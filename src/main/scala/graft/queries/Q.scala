@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One gate-visible query: a Spark plan plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL over the same parquet tables. Column names
+  * and row order must match between the two — the driver sorts columns by
+  * name and hashes values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+}

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.Hashing
+
+/** Core relational operators (SURVEY.md §2.2–§2.6) expressed over the star
+  * schema: fused multi-aggregate scans, broadcast-dim joins, semi/anti joins,
+  * window dedup/reindex, relaxed unions, CASE classification, deterministic
+  * split hashing, group fingerprints.
+  *
+  * Scale notes baked into each plan:
+  *  - dims (region/nation/customer/part/supplier) are broadcast — no shuffle
+  *    of the fact table for dimension enrichment;
+  *  - money math is exact scaled-integer (see [[graft.functions.Exact]]) so
+  *    partial aggregation is deterministic under any shuffle topology;
+  *  - every query ends in an explicit orderBy — determinism never depends on
+  *    partition order.
+  */
+object Relational {
+
+  /** A1-style fused single-pass aggregation (reference validate_one.py:89-100
+    * computes 9 aggregates in one scan): pricing summary per flag/status.
+    */
+  val q01PricingSummary: Q = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 / count(*), 6) AS avg_qty,
+      |  min(CAST(l_shipdate AS DATE)) AS min_ship,
+      |  max(CAST(l_shipdate AS DATE)) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        fromCents(sum(cents(col("l_quantity")))).as("sum_qty"),
+        fromCents(sum(cents(col("l_extendedprice")))).as("sum_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        round(fromCents(sum(cents(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
+        min(col("l_shipdate").cast("date")).as("min_ship"),
+        max(col("l_shipdate").cast("date")).as("max_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H-Q5-shaped multi-join: fact shuffled once; all four dims broadcast
+    * (at 100 TB the only shuffle is lineitem⋈orders on orderkey; dims are
+    * KB–MB and never move the fact table).
+    */
+  val q02RevenueByNation: Q = Q(
+    "q02_revenue_by_nation",
+    """SELECT n.n_name AS nation,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY n.n_name
+      |ORDER BY nation""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy("nation")
+  }
+
+  /** Broadcast-join + per-group top-k (rank on exact cents, id tiebreak —
+    * deterministic under ties).
+    */
+  val q03TopPartsPerBrand: Q = Q(
+    "q03_top_parts_per_brand",
+    """WITH rev AS (
+      |  SELECT p.p_brand, l.l_partkey,
+      |    sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS rev_cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand, l.l_partkey
+      |), ranked AS (
+      |  SELECT p_brand, l_partkey, rev_cents,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY rev_cents DESC, l_partkey) AS rk
+      |  FROM rev
+      |)
+      |SELECT p_brand, l_partkey AS partkey, CAST(rev_cents AS DOUBLE)/100.0 AS revenue, rk
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    val w = Window.partitionBy("p_brand").orderBy(col("rev_cents").desc, col("l_partkey"))
+    rev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("l_partkey").as("partkey"),
+        fromCents(col("rev_cents")).as("revenue"), col("rk"))
+      .orderBy("p_brand", "rk")
+  }
+
+  /** W2 dedup-keep-first: per key keep the first row in a defined order.
+    * `dropDuplicates` does NOT guarantee keep-first — the row_number window
+    * form does (reference align_transform_refactored.py:108-110).
+    */
+  val q04DedupKeepFirst: Q = Q(
+    "q04_dedup_keep_first",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |                       ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      |  FROM lineitem
+      |) WHERE rn = 1
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    // The sort key must be TOTAL over the projected columns: linenumber alone
+    // is not unique per order in this data, and a partial order makes the
+    // keep-first winner depend on partitioning.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey")
+  }
+
+  /** W3 reindex 0..N-1 within group (reference align_transform:111 overwrites
+    * frame_index with a post-sort contiguous range).
+    */
+  val q05Reindex: Q = Q(
+    "q05_reindex",
+    """SELECT l_orderkey, l_linenumber,
+      |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS new_index
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (row_number().over(w) - 1).as("new_index"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A2 monotonicity / sortedness check via lag: is `ts` non-decreasing and
+    * `value` strictly increasing when each user's events are ordered by
+    * event_id? (reference validate_one.py:93-94 checks frame/timestamp order
+    * with diff()).
+    */
+  val q06Monotonic: Q = Q(
+    "q06_monotonic_check",
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(min(CASE WHEN ts_ok THEN 1 ELSE 0 END) AS BOOLEAN) AS ts_sorted,
+      |  CAST(min(CASE WHEN ev_ok THEN 1 ELSE 0 END) AS BOOLEAN) AS events_distinct
+      |FROM (
+      |  SELECT user_id,
+      |    coalesce(epoch_us(CAST(ts AS TIMESTAMP)) >= lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w, TRUE) AS ts_ok,
+      |    coalesce(event_id > lag(event_id) OVER w, TRUE) AS ev_ok
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_ok", coalesce(col("ts_us") >= lag("ts_us", 1).over(w), lit(true)))
+      .withColumn("ev_ok", coalesce(col("event_id") > lag("event_id", 1).over(w), lit(true)))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(when(col("ts_ok"), 1).otherwise(0)).cast("boolean").as("ts_sorted"),
+        min(when(col("ev_ok"), 1).otherwise(0)).cast("boolean").as("events_distinct"))
+      .orderBy("user_id")
+  }
+
+  /** F3 + F6: CASE-WHEN classification + deterministic seeded hash split
+    * (the reference's materialize split, materialize_refactored.py:16-26,
+    * re-expressed with the portable md5-60bit hash — see Hashing.scaladoc).
+    */
+  val q07HashSplit: Q = Q(
+    "q07_hash_split",
+    """SELECT split, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    CASE
+      |      WHEN h < 0.8 THEN 'train'
+      |      WHEN h < 0.9 THEN 'val'
+      |      ELSE 'test'
+      |    END AS split
+      |  FROM (
+      |    SELECT event_type, value,
+      |      CAST(CAST(('0x' || substring(md5('42' || ':' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)/1152921504606846976.0 AS h
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY split, event_type
+      |ORDER BY split, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("split",
+        Hashing.splitAssign(col("user_id").cast("string"), "42", 0.8, 0.1))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"),
+        fromCents(sum(cents(col("value")))).as("sum_value"))
+      .orderBy("split", "event_type")
+  }
+
+  /** J5 semi-join: customers having at least one open-priority order. */
+  val q08SemiJoin: Q = Q(
+    "q08_semi_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_mktsegment
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment")
+  }
+
+  /** J2 anti-join (the discover stage's DELETED-tombstone shape,
+    * discover_refactored.py:124-136): customers with no orders at all.
+    */
+  val q09AntiJoin: Q = Q(
+    "q09_anti_join",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** U1 relaxed by-name union (discover_refactored.py:159-163 unions rows
+    * with heterogeneous columns): parts and suppliers as one entity table,
+    * missing columns null-filled.
+    */
+  val q10UnionByName: Q = Q(
+    "q10_union_by_name",
+    """SELECT kind, id, name, size
+      |FROM (
+      |  SELECT 'part' AS kind, p_partkey AS id, p_name AS name, p_size AS size FROM part
+      |  UNION ALL BY NAME
+      |  SELECT 'supplier' AS kind, s_suppkey AS id, s_name AS name, NULL::INTEGER AS size FROM supplier
+      |)
+      |ORDER BY kind, id""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir)
+      .select(lit("part").as("kind"), col("p_partkey").as("id"),
+        col("p_name").as("name"), col("p_size").as("size"))
+    val sup = Tables.supplier(s, dir)
+      .select(lit("supplier").as("kind"), col("s_suppkey").as("id"),
+        col("s_name").as("name"))
+    p.unionByName(sup, allowMissingColumns = true)
+      .select("kind", "id", "name", "size")
+      .orderBy("kind", "id")
+  }
+
+  /** U2/J6 distinct key pairs + F1-style scalar derivation. */
+  val q11DistinctPairs: Q = Q(
+    "q11_distinct_pairs",
+    """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_suppkey")
+  }
+
+  /** F7/F4 group fingerprint: md5 over the sorted member encodings of each
+    * order (order-independent combine like fp/fingerprint.py:37-38).
+    */
+  val q12OrderFingerprint: Q = Q(
+    "q12_order_fingerprint",
+    """SELECT l_orderkey,
+      |  md5(string_agg(part, ',' ORDER BY part)) AS fingerprint,
+      |  count(*) AS n_lines
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR) AS part
+      |  FROM lineitem
+      |)
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .withColumn("part",
+        concat_ws(":", col("l_linenumber").cast("string"),
+          col("l_partkey").cast("string"), col("l_suppkey").cast("string")))
+      .groupBy("l_orderkey")
+      .agg(
+        Hashing.combineFingerprint(collect_list(col("part"))).as("fingerprint"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+  }
+
+  /** P4/P5-style predicate stack: null/NaN guard + range filter + projection
+    * (pushed to the parquet scan by Catalyst).
+    */
+  val q13FilterPushdown: Q = Q(
+    "q13_filter_pushdown",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS value_cents
+      |FROM events
+      |WHERE value IS NOT NULL AND NOT isnan(value)
+      |  AND value >= 100.0 AND event_type IN ('click','purchase')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        col("value") >= 100.0 && col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Time-bucketed aggregation (tumbling window, processing the `events`
+    * table the way the streaming path would — hourly buckets, exact sums).
+    */
+  val q14EventsHourly: Q = Q(
+    "q14_events_hourly",
+    """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        fromCents(sum(cents(col("value")))).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
+    q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
+    q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
+    q12OrderFingerprint, q13FilterPushdown, q14EventsHourly)
+}

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time a single query repeatedly to separate plan/codegen cost
+  * from steady-state execution.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q04_dedup_keep_first")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (name == "ALL") {
+      graft.SparkEntry.queries.foreach { case (n, fn) =>
+        val t0 = System.nanoTime()
+        val c = fn(spark, sfDir).count()
+        println(f"seq $n: ${(System.nanoTime() - t0) / 1e9}%.3f s, $c rows")
+      }
+    } else {
+      val fn = graft.SparkEntry.queries(name)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n2 = fn(spark, sfDir).count()
+        println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n2 rows")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness compare.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the oracle SQL
+from <verifyOutDir>/oracle_sql.json in DuckDB (with each testdata table
+registered as a view), sorts columns by name, sorts rows, and compares
+row-count / schema / value hash. NOT part of the shipped library — dev
+feedback loop only.
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not files:
+                print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            spark_rel = con.sql("SELECT * FROM read_parquet(" + repr(files) + ")")
+            scols = [c.lower() for c in spark_rel.columns]
+            srows = spark_rel.fetchall()
+            duck_rel = con.sql(sql)
+            dcols = [c.lower() for c in duck_rel.columns]
+            drows = duck_rel.fetchall()
+            if sorted(scols) != sorted(dcols):
+                print(f"FAIL {name}: schema spark={sorted(scols)} duck={sorted(dcols)}")
+                n_fail += 1; continue
+            if len(srows) != len(drows):
+                print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+                n_fail += 1; continue
+            sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
+            if sh != dh:
+                print(f"FAIL {name}: hash mismatch ({len(srows)} rows)")
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted("|".join(norm_cell(r[i]) for i in so) for r in srows)
+                dset = sorted("|".join(norm_cell(r[i]) for i in do) for r in drows)
+                shown = 0
+                for a, b in zip(sset, dset):
+                    if a != b and shown < 3:
+                        print(f"  spark: {a[:200]}\n  duck : {b[:200]}")
+                        shown += 1
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(srows)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__} {str(e)[:300]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
