@@ -1,0 +1,187 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{FeatureStats, GlobalStats, Schemas, StatsDoc}
+import graft.io.{Episodes, SingleFile}
+
+/** Stage 3 — Stats (reference steps/stats_refactored.py:139-216).
+  *
+  * Two independent implementations that cross-check each other:
+  *
+  * 1. [[reduceFromJsonl]] — the reference path: weighted pooled reduction of
+  *    per-episode stats records (`episodes_stats.jsonl`), with all of the
+  *    reference's input tolerances (heterogeneous count shapes A7, scalar→
+  *    list coercion F12, dimension guard A8, zero-count episode skip A9,
+  *    JSONL/CSV/lines id-list S7). Pure column expressions over a permissive
+  *    JSON parse — the reference's 90-line Python reducer becomes one
+  *    explode + groupBy, and parallelizes over episodes.
+  *
+  * 2. [[computeFromFrames]] — the Spark-native path: recompute the same
+  *    global stats directly from raw frames with posexplode + built-in aggs.
+  *
+  * Pooled-variance identity used by both (stats_refactored.py:9-44):
+  * S = Σn, mean = Σ(n·μ)/S, var = Σ(n·(σ²+μ²))/S − mean², clamped ≥ 0.
+  */
+object Stats {
+
+  /** Tolerant episode-id-set load (S7): JSONL (`episode_index`/`episode`
+    * keys), CSV (last field), or bare-number lines. Returns None when no
+    * path/file (meaning: no filtering).
+    */
+  def loadValidIds(spark: SparkSession, path: Option[String]): Option[DataFrame] = {
+    path.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else {
+        val lines = spark.read.text(p).filter(length(trim(col("value"))) > 0)
+        val ids = lines.select(
+          when(trim(col("value")).startsWith("{"),
+            coalesce(
+              get_json_object(col("value"), "$.episode_index"),
+              get_json_object(col("value"), "$.episode")))
+            .otherwise(element_at(split(col("value"), ","), -1))
+            .try_cast("long").as("episode_index"))
+          .filter(col("episode_index").isNotNull)
+          .distinct()
+        Some(ids)
+      }
+    }
+  }
+
+  /** Parse one feature block out of the per-episode `stats` JSON object:
+    * permissive count (scalar | list-head | frame_count/frames/count_total)
+    * and scalar→list coercion for mean/std/min/max, with the A8 dimension
+    * guard applied later via size equality.
+    */
+  private def featureCols(statsJson: Column, key: String): (Column, Column, Column, Column, Column) = {
+    val block = get_json_object(statsJson, s"$$['$key']")
+    def vec(field: String): Column = {
+      val raw = get_json_object(block, s"$$.$field")
+      val asArr = from_json(raw, ArrayType(DoubleType))
+      // scalar → single-element list (stats_refactored.py:81-93)
+      when(asArr.isNotNull, asArr)
+        .otherwise(when(raw.try_cast("double").isNotNull, array(raw.try_cast("double"))))
+    }
+    val countScalar = get_json_object(block, "$.count").try_cast("double")
+    val countList = element_at(from_json(get_json_object(block, "$.count"), ArrayType(DoubleType)), 1)
+    val count = coalesce(countScalar, countList,
+      get_json_object(block, "$.frame_count").try_cast("double"),
+      get_json_object(block, "$.frames").try_cast("double"),
+      get_json_object(block, "$.count_total").try_cast("double"))
+    (count.try_cast("long"), vec("mean"), vec("std"), vec("min"), vec("max"))
+  }
+
+  /** The weighted pooled reduction. Returns the global stats plus meta
+    * counters (episodes_used, total_frames).
+    */
+  def reduceFromJsonl(spark: SparkSession, statsJsonlPath: String,
+      features: Seq[String], validIdsPath: Option[String] = None): GlobalStats = {
+
+    val lines = spark.read.text(statsJsonlPath)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        get_json_object(col("value"), "$.episode_index").try_cast("long").as("episode_index"),
+        get_json_object(col("value"), "$.stats").as("stats_json"))
+      .filter(col("episode_index").isNotNull)
+
+    val filtered = loadValidIds(spark, validIdsPath) match {
+      case Some(ids) => lines.join(broadcast(ids), Seq("episode_index"), "left_semi")
+      case None => lines
+    }
+
+    // per-episode frame count: action → observation.state → any feature, in
+    // declared order (stats_refactored.py:176-190)
+    val refKeys = Seq("action", Schemas.ObsStateStorage) ++
+      features.filterNot(Seq("action", Schemas.ObsStateStorage).contains)
+    val nCol = coalesce(refKeys.map(k => {
+      val c = featureCols(col("stats_json"), k)._1
+      when(c > 0, c)
+    }): _*)
+
+    val withN = filtered.withColumn("n", nCol).filter(col("n").isNotNull && col("n") > 0)
+      .cache()
+
+    val (episodesUsed, totalFrames) = {
+      val r = withN.agg(count(lit(1)), coalesce(sum("n"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val featureStats: Map[String, FeatureStats] = features.flatMap { key =>
+      val (_, mean, std, mi, ma) = featureCols(col("stats_json"), key)
+      val ep = withN.select(col("n"), mean.as("mean"), std.as("std"), mi.as("mi"), ma.as("ma"))
+        .filter(col("mean").isNotNull && col("std").isNotNull &&
+          col("mi").isNotNull && col("ma").isNotNull)
+        .filter(size(col("std")) === size(col("mean")) &&
+          size(col("mi")) === size(col("mean")) &&
+          size(col("ma")) === size(col("mean")))
+      val dims = ep.select(col("n"), posexplode(col("mean")).as(Seq("dim", "mu")),
+          col("std"), col("mi"), col("ma"))
+        .withColumn("sd", element_at(col("std"), col("dim") + 1))
+        .withColumn("mival", element_at(col("mi"), col("dim") + 1))
+        .withColumn("maval", element_at(col("ma"), col("dim") + 1))
+      val agg = dims.groupBy("dim").agg(
+        sum(col("n")).as("S"),
+        sum(col("n") * col("mu")).as("sum_mu"),
+        sum(col("n") * (col("sd") * col("sd") + col("mu") * col("mu"))).as("sum_m2"),
+        min("mival").as("mn"),
+        max("maval").as("mx"))
+        .orderBy("dim")
+        .collect()
+      if (agg.isEmpty) None
+      else {
+        val s = agg.map(_.getAs[Long]("S"))
+        val meanV = agg.map(r => r.getAs[Double]("sum_mu") / r.getAs[Long]("S"))
+        val varV = agg.zip(meanV).map { case (r, m) =>
+          math.max(r.getAs[Double]("sum_m2") / r.getAs[Long]("S") - m * m, 0.0)
+        }
+        Some(key -> FeatureStats(
+          count = s.head,
+          mean = meanV.toSeq,
+          std = varV.map(math.sqrt).toSeq,
+          min = agg.map(_.getAs[Double]("mn")).toSeq,
+          max = agg.map(_.getAs[Double]("mx")).toSeq))
+      }
+    }.toMap
+
+    withN.unpersist()
+    GlobalStats(episodesUsed, totalFrames, statsJsonlPath, featureStats)
+  }
+
+  /** Spark-native recompute from raw frames: per-dimension
+    * count/mean/std_pop/min/max of the vector features over ALL frames in
+    * one posexplode + groupBy job. Cross-checks [[reduceFromJsonl]].
+    */
+  def computeFromFrames(raw: DataFrame, features: Seq[String]): GlobalStats = {
+    import Schemas._
+    val epCount = raw.select(Episodes.SrcFileCol).distinct().count()
+    val frameCount = raw.count()
+    val featureStats = features.flatMap { key =>
+      val c = col(s"`$key`")
+      val dims = raw.select(posexplode(c.cast(ArrayType(DoubleType))).as(Seq("dim", "v")))
+      val agg = dims.groupBy("dim").agg(
+        count(lit(1)).as("n"), avg("v").as("mean"), stddev_pop("v").as("std"),
+        min("v").as("mn"), max("v").as("mx")).orderBy("dim").collect()
+      if (agg.isEmpty) None
+      else Some(key -> FeatureStats(
+        count = agg.head.getAs[Long]("n"),
+        mean = agg.map(_.getAs[Double]("mean")).toSeq,
+        std = agg.map(_.getAs[Double]("std")).toSeq,
+        min = agg.map(_.getAs[Double]("mn")).toSeq,
+        max = agg.map(_.getAs[Double]("mx")).toSeq))
+    }.toMap
+    GlobalStats(epCount, frameCount, "frames", featureStats)
+  }
+
+  /** Full stage: reduce JSONL → write `global_stats.json`. */
+  def run(spark: SparkSession, statsJsonlPath: String, outPath: String,
+      features: Seq[String], validIdsPath: Option[String] = None): GlobalStats = {
+    val gs = reduceFromJsonl(spark, statsJsonlPath, features, validIdsPath)
+    SingleFile.writeText(spark, outPath,
+      StatsDoc.render(gs, features,
+        "Weighted reduction over per-episode means/stds (distributed)."))
+    gs
+  }
+}

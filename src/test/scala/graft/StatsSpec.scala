@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.core.Schemas
+import graft.io.Episodes
+import graft.stages.Stats
+
+/** Stage 3 oracle tests: pooled reduction == flat stats over concatenated
+  * data; input tolerances (count shapes, id-list formats, malformed
+  * features).
+  */
+class StatsSpec extends SparkSuite {
+  import FixtureGen._
+
+  private val features = Seq("action", Schemas.ObsStateStorage)
+
+  test("pooled reduction equals flat recompute over concatenated frames") {
+    val root = tmpDir("stats_eq")
+    val episodes = Map(
+      0L -> cleanFrames(0, 20), 1L -> cleanFrames(1, 35), 2L -> cleanFrames(2, 10))
+    dataset(spark, root, episodes)
+    Files.write(Paths.get(s"$root/episodes_stats.jsonl"),
+      statsJsonl(episodes).getBytes)
+
+    val pooled = Stats.reduceFromJsonl(spark, s"$root/episodes_stats.jsonl", features)
+    val flat = Stats.computeFromFrames(
+      Episodes.readDataDir(spark, s"$root/data"), features)
+
+    assert(pooled.episodesUsed === 3)
+    assert(pooled.totalFrames === 65)
+    for (k <- features) {
+      val (p, f) = (pooled.features(k), flat.features(k))
+      assert(p.count === f.count)
+      p.mean.zip(f.mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6, s"$k mean") }
+      p.std.zip(f.std).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4, s"$k std") }
+      assert(p.min === f.min)
+      assert(p.max === f.max)
+    }
+  }
+
+  test("count-shape tolerance: scalar, list, frame_count all accepted") {
+    val root = tmpDir("stats_shapes")
+    val episodes = Map(0L -> cleanFrames(0, 10), 1L -> cleanFrames(1, 12), 2L -> cleanFrames(2, 14))
+    val shapes = Map(0L -> "scalar", 1L -> "list", 2L -> "frame_count")
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(s"$root/stats.jsonl"),
+      statsJsonl(episodes, shapes).getBytes)
+    val gs = Stats.reduceFromJsonl(spark, s"$root/stats.jsonl", features)
+    assert(gs.episodesUsed === 3)
+    assert(gs.totalFrames === 36)
+  }
+
+  test("valid-ids filtering accepts JSONL, CSV and bare-line formats") {
+    val root = tmpDir("stats_ids")
+    val episodes = Map(0L -> cleanFrames(0, 10), 1L -> cleanFrames(1, 10),
+      2L -> cleanFrames(2, 10), 3L -> cleanFrames(3, 10))
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(s"$root/stats.jsonl"), statsJsonl(episodes).getBytes)
+    // mixed-format id list: JSONL, bare line, CSV-last-field
+    Files.write(Paths.get(s"$root/ids.txt"),
+      "{\"episode_index\": 0}\n2\nx,y,3\n".getBytes)
+    val gs = Stats.reduceFromJsonl(spark, s"$root/stats.jsonl", features,
+      Some(s"$root/ids.txt"))
+    assert(gs.episodesUsed === 3)
+    assert(gs.totalFrames === 30)
+  }
+
+  test("episodes with zero/missing count are skipped; malformed feature skipped") {
+    val root = tmpDir("stats_bad")
+    Files.createDirectories(Paths.get(root))
+    val good = statsJsonl(Map(0L -> cleanFrames(0, 10))).trim
+    val zeroCount = """{"episode_index": 1, "stats": {"action": {"count": 0, "mean": [1], "std": [1], "min": [1], "max": [1]}}}"""
+    val malformedFeature = """{"episode_index": 2, "stats": {"action": {"count": 5, "mean": [1,2], "std": [1], "min": [1,2], "max": [1,2]}, "observation.state": {"count": 5, "mean": [1,1,1,1,1,1,1,1], "std": [0,0,0,0,0,0,0,0], "min": [1,1,1,1,1,1,1,1], "max": [1,1,1,1,1,1,1,1]}}}"""
+    Files.write(Paths.get(s"$root/stats.jsonl"),
+      (good + "\n" + zeroCount + "\n" + malformedFeature + "\n").getBytes)
+    val gs = Stats.reduceFromJsonl(spark, s"$root/stats.jsonl", features)
+    // ep1 skipped (zero count); ep2 counted (obs feature fine) but its
+    // malformed action block is excluded from the action aggregation
+    assert(gs.episodesUsed === 2)
+    assert(gs.totalFrames === 15)
+    assert(gs.features("action").count === 10)
+    assert(gs.features(Schemas.ObsStateStorage).count === 15)
+  }
+
+  test("scalar stats coerce to 1-dim vectors") {
+    val root = tmpDir("stats_scalar")
+    Files.createDirectories(Paths.get(root))
+    val line = """{"episode_index": 0, "stats": {"action": {"count": 4, "mean": 2.5, "std": 0.5, "min": 2.0, "max": 3.0}}}"""
+    Files.write(Paths.get(s"$root/stats.jsonl"), (line + "\n").getBytes)
+    val gs = Stats.reduceFromJsonl(spark, s"$root/stats.jsonl", Seq("action"))
+    assert(gs.features("action").mean === Seq(2.5))
+    assert(gs.features("action").count === 4)
+  }
+
+  test("full run writes a parseable global_stats.json") {
+    val root = tmpDir("stats_run")
+    val episodes = Map(0L -> cleanFrames(0, 8), 1L -> cleanFrames(1, 9))
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(s"$root/stats.jsonl"), statsJsonl(episodes).getBytes)
+    val gs = Stats.run(spark, s"$root/stats.jsonl", s"$root/global_stats.json", features)
+    val text = graft.io.SingleFile.readText(spark, s"$root/global_stats.json").get
+    val parsed = graft.core.StatsDoc.parse(text).get
+    assert(parsed.features.keySet === Set("action", Schemas.ObsStateStorage))
+    assert(parsed.episodesUsed === gs.episodesUsed)
+  }
+}
