@@ -38,4 +38,20 @@ object Exact {
 
   def stddevPopFromSums(sum: Column, sumsq: Column, n: Column): Column =
     sqrt(varPopFromSums(sum, sumsq, n))
+
+  /** Engine-portable rounding: `floor(x·10ⁿ + 0.5) / 10ⁿ` using only IEEE
+    * ops, which every engine computes bit-identically. Native `round()`
+    * implementations differ at representational boundaries (BigDecimal
+    * half-up in Spark vs double-multiply in DuckDB) and CANNOT be matched.
+    */
+  def roundPortable(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5).cast("double") / p
+  }
+
+  /** The DuckDB-SQL twin of [[roundPortable]] for oracle queries. */
+  def roundPortableSql(exprSql: String, digits: Int): String = {
+    val p = "1" + "0" * digits
+    s"CAST(floor(($exprSql) * $p + 0.5) AS BIGINT) / CAST($p AS DOUBLE)"
+  }
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, shingling, document
+  * fingerprinting. Everything is built-in column expressions (codegen'd,
+  * shuffle-free, embarrassingly parallel) — the per-document cost is O(doc
+  * length) with no driver involvement, which is exactly what a 100 TB text
+  * corpus needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Regex token classes: alphabetic words, numbers, other (BPE-ish
+    * pre-tokenization census).
+    */
+  def alphaTokens(text: Column): Column = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+  def numTokens(text: Column): Column = regexp_extract_all(text, lit("[0-9]+"), lit(0))
+
+  /** Small per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and hard-coded: the operator contract is
+    * "deterministic lexicon hit-rate", not linguistic accuracy.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "im"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"))
+
+  /** Count of tokens that appear in `lexicon`. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => t.isin(lexicon: _*)))
+
+  /** Language-ID: argmax of per-language stopword hit counts, deterministic
+    * lexicographic tiebreak, "und" (undetermined) when no hits at all.
+    */
+  def langId(toks: Column): Column = {
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(lexiconHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits, lang): ties break to the LAST in array order for
+    // array_max on structs; invert lang ordering is messier — instead use
+    // a fold with strict > so earlier (lexicographically smaller) wins ties
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: mean of four deterministic signals —
+    * stopword ratio (any language), alpha-char fraction, mean-token-length
+    * window [3,12], and a length factor saturating at 200 tokens. All exact
+    * integer counts divided at the end (portable across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val allStop = Stopwords.values.flatten.toSeq.distinct
+    val stopRatio = lexiconHits(toks, allStop).cast("double") /
+      greatest(nTok.cast("double"), lit(1.0))
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
+    val alphaFrac = alphaChars.cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(nTok.cast("double"), lit(1.0))
+    val lenOk = when(meanTokLen >= 3 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
+    val lenFactor = least(nTok.cast("double") / 200.0, lit(1.0))
+    (least(stopRatio * 2.0, lit(1.0)) + alphaFrac + lenOk + lenFactor) / 4.0
+  }
+
+  /** Word n-gram shingles (distinct), the MinHash input unit.
+    * Note: `sequence(0, -1)` in Spark yields a DESCENDING array, not an
+    * empty one — short docs must short-circuit to an empty shingle set.
+    */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(typedLit(Seq.empty[Int]))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Document fingerprint: min of seeded 60-bit hashes over the k-gram
+    * shingle set (winnowing-style representative), plus the shingle count.
+    * Stable across engines via the portable md5 hash.
+    */
+  def docFingerprint(shingles: Column, seed: String): Column =
+    array_min(transform(shingles, s => Hashing.hash60(s, seed)))
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextAnalysis}
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy (single shuffle on the fingerprint);
+  *  - pairwise Jaccard is NEVER all-pairs: candidates come from a blocking
+  *    key (caller-chosen) or from MinHash-LSH band buckets, so the join is
+  *    an equi-join Catalyst can shuffle-hash — the O(n²) explosion is
+  *    bounded per bucket;
+  *  - signatures/bands are pure column expressions (no UDF, no shuffle).
+  *
+  * Two hash flavors: `portable = true` uses the md5-based 60-bit hash
+  * (engine-portable, oracle-checkable); `false` uses xxhash64 (≈10× faster,
+  * the 100 TB default).
+  */
+object Dedup {
+
+  def hash60(c: Column, seed: String, portable: Boolean): Column =
+    if (portable) Hashing.hash60(c, seed)
+    else abs(xxhash64(lit(seed), c))
+
+  /** Exact dedup: content fingerprint + keep-min-id flag. One shuffle. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    df.withColumn("fp", md5(col(textCol)))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  /** Exact word-set Jaccard similarity between two token-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Blocked pairwise near-dup: pairs within the same `blockKey` whose
+    * token-set Jaccard ≥ threshold. Block sizes bound the quadratic term;
+    * the join itself is a plain equi-join on the block key.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
+      blockKey: Column, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
+      blockKey.as("blk"))
+    val b = df.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
+      blockKey.as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** MinHash signature: `numHashes` seeded min-hashes over the shingle set,
+    * as one array column. O(#shingles × numHashes) codegen'd work per row.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: String,
+      portable: Boolean = true): Column =
+    array((0 until numHashes).map(h =>
+      array_min(transform(shingles, s => hash60(s, s"$seed:$h", portable)))): _*)
+
+  /** LSH band keys: signature sliced into `bands` bands of `rowsPerBand`,
+    * each band hashed to one bucket id.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        x => x.cast("string"))))): _*)
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
+    * explode → bucket self-join → distinct candidate pairs → exact Jaccard
+    * verification ≥ threshold.
+    *
+    * Scale: the only shuffles are the band-bucket join (keys are uniform
+    * hashes → no skew) and the final distinct. Candidate count ≈
+    * Σ bucket² — tuned by (bands × rowsPerBand) against the target
+    * similarity threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int, rowsPerBand: Int, seed: String, threshold: Double,
+      portable: Boolean = true): DataFrame = {
+    val sigs = df
+      .filter(size(col(shinglesCol)) > 0)
+      .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable))
+      .withColumn("_bands", lshBandKeys(col("_sig"), bands, rowsPerBand))
+      .select(col(idCol), col(shinglesCol), posexplode(col("_bands")).as(Seq("band", "bucket")))
+    val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+      col(shinglesCol).as("toks_a"))
+    val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+      col(shinglesCol).as("toks_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "toks_a", "toks_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** SimHash over a token array: per-token seeded hash, bit-majority vote
+    * over `bits` positions → integer signature. Near-dups have small
+    * Hamming distance.
+    */
+  def simhash(toks: Column, bits: Int, seed: String, portable: Boolean = true): Column = {
+    val h = transform(toks, t => hash60(t, seed, portable))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(h, lit(0L),
+        (acc, x) => acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.ops.Dedup
+
+/** Deduplication operators over `documents`: exact, blocked n-gram Jaccard,
+  * MinHash+LSH, SimHash. The portable (md5) hash flavor is used here so
+  * every pipeline stage is oracle-checkable end to end; the engine also
+  * ships the xxhash64 fast flavor for production runs.
+  */
+object DedupQueries {
+
+  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  /** DuckDB 60-bit portable hash of expression `e` under `seed`. */
+  private def duckHash(seed: String, e: String): String =
+    s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
+
+  /** Exact dedup by content hash: every doc with its fingerprint group. */
+  val q25ExactDedup: Q = Q(
+    "q25_exact_dedup",
+    """SELECT doc_id, fp, group_size, is_keeper FROM (
+      |  SELECT doc_id, fp,
+      |    count(*) OVER (PARTITION BY fp) AS group_size,
+      |    (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_keeper
+      |  FROM (SELECT doc_id, md5(text) AS fp FROM documents)
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .select("doc_id", "fp", "group_size", "is_keeper")
+      .orderBy("doc_id")
+  }
+
+  /** Blocked near-dup: token-set Jaccard ≥ 0.6 among docs sharing an
+    * n_chars bucket (64-char bins bound the pairwise term).
+    */
+  val q26JaccardNearDup: Q = Q(
+    "q26_jaccard_neardup",
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / len(list_distinct(a.toks || b.toks))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jac
+       |FROM (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) a
+       |JOIN (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) b
+       |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / len(list_distinct(a.toks || b.toks)) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+    Dedup.jaccardPairs(docs, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6)
+      .withColumn("jac", graft.functions.Exact.roundPortable(col("jac"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash(12) + LSH(4 bands × 3 rows) candidate generation over word
+    * 2-gram shingles, verified with exact Jaccard ≥ 0.5.
+    */
+  val q27MinhashLsh: Q = {
+    val bands = 4; val rows = 3; val seed = "mh"
+    Q(
+      "q27_minhash_lsh",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, ${bands * rows - 1}),
+         |      h -> list_min(list_transform(sh,
+         |        s -> CAST(('0x' || substring(md5('$seed:' || CAST(h AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM docs WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, sh, b,
+         |    md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+         |  FROM sigs, generate_series(0, ${bands - 1}) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(floor((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |        / len(list_distinct(sh_a || sh_b))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jac
+         |FROM cand
+         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / len(list_distinct(sh_a || sh_b)) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("_sh", TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2))
+      Dedup.minhashLshPairs(docs, "doc_id", "_sh", bands, rows, seed, 0.5, portable = true)
+        .withColumn("jac", graft.functions.Exact.roundPortable(col("jac"), 6))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  /** 16-bit SimHash per document + near-dup pairs at Hamming ≤ 3 within
+    * the n_chars block.
+    */
+  val q28Simhash: Q = Q(
+    "q28_simhash",
+    s"""WITH sigs AS (
+       |  SELECT doc_id, n_chars // 64 AS blk,
+       |    list_sum(list_transform(generate_series(0, 15),
+       |      b -> CASE WHEN list_sum(list_transform(toks,
+       |             t -> CASE WHEN ((${duckHash("sh", "t")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+       |  FROM (SELECT doc_id, n_chars, $DuckToks AS toks FROM documents)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .withColumn("_simhash",
+        Dedup.simhash(TextAnalysis.tokens(col("text")), 16, "sh", portable = true))
+      .withColumn("_blk", expr("n_chars DIV 64"))
+    val a = docs.select(col("_blk"), col("doc_id").as("id_a"), col("_simhash").as("sh_a"))
+    val b = docs.select(col("_blk"), col("doc_id").as("id_b"), col("_simhash").as("sh_b"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh, q28Simhash)
+}

@@ -32,7 +32,7 @@ object Relational {
       |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
-      |  round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 / count(*), 6) AS avg_qty,
+      |  CAST(floor((CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 / count(*)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_qty,
       |  min(CAST(l_shipdate AS DATE)) AS min_ship,
       |  max(CAST(l_shipdate AS DATE)) AS max_ship
       |FROM lineitem
@@ -46,7 +46,7 @@ object Relational {
         fromCents(sum(cents(col("l_extendedprice")))).as("sum_price"),
         (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
           .cast("double") / 10000.0).as("sum_disc_price"),
-        round(fromCents(sum(cents(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
+        graft.functions.Exact.roundPortable(fromCents(sum(cents(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
         min(col("l_shipdate").cast("date")).as("min_ship"),
         max(col("l_shipdate").cast("date")).as("max_ship"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -240,16 +240,19 @@ object Relational {
   }
 
   /** J2 anti-join (the discover stage's DELETED-tombstone shape,
-    * discover_refactored.py:124-136): customers with no orders at all.
+    * discover_refactored.py:124-136): customers with no urgent orders.
+    * (Every customer has *some* order in this corpus, so the filterless
+    * anti-join would be a degenerate empty gate.)
     */
   val q09AntiJoin: Q = Q(
     "q09_anti_join",
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table. The cosine is computed on
+  * 1e6-scaled integer vectors (exact, engine-portable — see Similarity
+  * scaladoc); ranking keys are (rounded sim, id) so ordering is total.
+  */
+object SimilarityQueries {
+
+  /** DuckDB scaled-int vector + dot helpers. */
+  private val DuckScaled =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  /** Brute-force exact cosine top-5 for every 25th vector as query. */
+  val q29CosineTopK: Q = Q(
+    "q29_cosine_topk",
+    s"""WITH sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+       |  FROM sv q JOIN sv c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("vec_id") % 25 === 0, 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 within the same cluster label (the synthetic corpus has no pairs above ~0.48, so 0.35 exercises the operator with a non-empty result)
+    * (semantic blocking keeps the pairwise term bounded).
+    */
+  val q30EmbedNearDup: Q = Q(
+    "q30_embed_neardup",
+    s"""WITH sv AS (
+       |  SELECT vec_id, label, $DuckScaled AS s FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(floor((CAST(${duckDot("a.s", "b.s")} AS DOUBLE)
+       |    / (sqrt(CAST(${duckDot("a.s", "a.s")} AS DOUBLE))
+       |       * sqrt(CAST(${duckDot("b.s", "b.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+       |FROM sv a JOIN sv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE CAST(${duckDot("a.s", "b.s")} AS DOUBLE)
+       |    / (sqrt(CAST(${duckDot("a.s", "a.s")} AS DOUBLE))
+       |       * sqrt(CAST(${duckDot("b.s", "b.s")} AS DOUBLE))) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("label"), 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-dimension global stats of the embedding corpus (posexplode →
+    * groupBy(dim)) — the A6 pooled-stats operator on the star schema, with
+    * exact scaled-integer mean/std.
+    */
+  val q31EmbedDimStats: Q = Q(
+    "q31_embed_dim_stats",
+    s"""SELECT dim, count(*) AS n,
+       |  CAST(floor((CAST(sum(sv) AS DOUBLE) / count(*) / CAST(1000000.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS mean,
+       |  CAST(floor((sqrt((CAST(sum(sv * sv) AS DOUBLE)
+       |      - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE) / count(*)) / count(*))
+       |    / CAST(1000000.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS std,
+       |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v
+       |FROM (
+       |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+       |    unnest(embedding) AS v,
+       |    unnest($DuckScaled) AS sv
+       |  FROM embeddings
+       |)
+       |GROUP BY dim
+       |ORDER BY dim""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(posexplode(Similarity.scaled(col("embedding"))).as(Seq("dim", "sv")),
+        col("embedding"))
+      .withColumn("v", element_at(col("embedding"), col("dim") + 1))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Exact.roundPortable(
+          sum("sv").cast("double") / count(lit(1)) / 1000000.0, 6).as("mean"),
+        graft.functions.Exact.roundPortable(sqrt(
+          (sum(col("sv") * col("sv")).cast("double") -
+            sum("sv").cast("double") * sum("sv").cast("double") / count(lit(1)))
+            / count(lit(1))) / 1000000.0, 6).as("std"),
+        min("v").cast("double").as("min_v"),
+        max("v").cast("double").as("max_v"))
+      .orderBy("dim")
+  }
+
+  /** Sessionization of the events stream (batch form): sessions split at
+    * >30 min gaps per user — the gaps-and-islands pattern both engines
+    * express with lag + running sum.
+    */
+  val q32Sessionize: Q = Q(
+    "q32_sessionize",
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM (
+      |  SELECT user_id, ts_us, value,
+      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    graft.ops.Sessionize.sessions(
+      Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+      gapMicros = 1800000000L)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        (sum(graft.functions.Exact.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats, q32Sessionize)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.Tables
+import graft.multimodal.Media
+import graft.streaming.EventStream
+
+/** Structured-Streaming and multimodal operators surfaced through the
+  * correctness gate.
+  */
+object StreamingQueries {
+
+  /** The streaming hourly aggregation, drained with a memory sink in
+    * Complete mode over the static events parquet — must produce EXACTLY
+    * the batch answer (same oracle as q14, different engine path: state
+    * store + watermark instead of a shuffle agg).
+    */
+  val q33StreamingHourly: Q = Q(
+    "q33_streaming_hourly",
+    """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_start,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.hourlyAgg, "q33_mem", OutputMode.Complete)
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Streaming sessionization via session_window in Complete mode — must
+    * match the batch gaps-and-islands sessionization (q32's session
+    * boundaries re-derived as (start, end, count) tuples).
+    */
+  val q34StreamingSessions: Q = Q(
+    "q34_streaming_sessions",
+    """SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+      |FROM (
+      |  SELECT user_id, ts_us, value,
+      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.sessionAgg, "q34_mem", OutputMode.Complete)
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Multimodal cheap pass: metadata/byte stats over the synthetic media
+    * table (128 md5-derived bytes per doc) — bytes column plumbing
+    * (unhex/concat/length) verified against the oracle's blob functions.
+    */
+  val q35MediaByteStats: Q = Q(
+    "q35_media_byte_stats",
+    """SELECT doc_id AS media_id,
+      |  octet_length(from_hex(
+      |    md5('0:' || text) || md5('1:' || text) || md5('2:' || text) || md5('3:' || text) ||
+      |    md5('4:' || text) || md5('5:' || text) || md5('6:' || text) || md5('7:' || text))) AS n_bytes,
+      |  'fake' AS format,
+      |  (doc_id % 64 + 16) * (doc_id % 48 + 12) AS n_pixels
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    Media.byteStats(Media.syntheticMediaFromDocs(Tables.documents(s, dir)))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions, q35MediaByteStats)
+}

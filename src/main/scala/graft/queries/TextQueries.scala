@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Hashing, TextAnalysis}
+
+/** Text-analysis operators over the `documents` table: tokenization census,
+  * language-ID, quality scoring, document fingerprinting. All shuffle-light
+  * (one groupBy at most) and fully codegen'd.
+  */
+object TextQueries {
+
+  /** DuckDB token expression matching TextAnalysis.tokens for the
+    * single-space [a-z ] corpus.
+    */
+  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+
+  /** Per-language corpus census: doc counts and exact token statistics. */
+  val q20TextStats: Q = Q(
+    "q20_text_stats",
+    s"""SELECT lang, count(*) AS n_docs,
+       |  sum(len($DuckToks)) AS total_tokens,
+       |  sum(len(list_distinct($DuckToks))) AS total_distinct_tokens,
+       |  sum(n_chars) AS total_chars,
+       |  CAST(floor((CAST(sum(len($DuckToks)) AS DOUBLE) / count(*)) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_tokens_per_doc
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("_n_tok", size(toks))
+      .withColumn("_n_dist", size(array_distinct(toks)))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_n_tok").as("total_tokens"),
+        sum("_n_dist").as("total_distinct_tokens"),
+        sum("n_chars").as("total_chars"),
+        graft.functions.Exact.roundPortable(sum("_n_tok").cast("double") / count(lit(1)), 4).as("avg_tokens_per_doc"))
+      .orderBy("lang")
+  }
+
+  /** Regex token-class census per document (BPE-ish pre-tokenization). */
+  val q21TokenClasses: Q = Q(
+    "q21_token_classes",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha,
+      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_alpha_distinct,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+      |  length(text) AS n_chars_measured
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.alphaTokens(col("text"))).as("n_alpha"),
+      size(array_distinct(TextAnalysis.alphaTokens(col("text")))).as("n_alpha_distinct"),
+      size(TextAnalysis.numTokens(col("text"))).as("n_num"),
+      length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword language-ID vs the labeled lang column, with agreement flag.
+    * Argmax with lexicographic-first tiebreak, encoded portably as
+    * `max(hits * 8 + reversed-lang-rank)` so both engines agree bit-for-bit.
+    */
+  val q22LangId: Q = {
+    val langs = TextAnalysis.Stopwords.toSeq.sortBy(_._1) // de, en, es, fr
+    val k = langs.size
+    def duckHits(words: Seq[String]): String =
+      s"len(list_filter($DuckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val codesSql = langs.zipWithIndex.map { case ((l, ws), i) =>
+      s"${duckHits(ws)} * 8 + ${k - 1 - i}"
+    }.mkString("greatest(", ", ", ")")
+    val langCaseSql = langs.zipWithIndex.map { case ((l, _), i) =>
+      s"WHEN ${k - 1 - i} THEN '$l'"
+    }.mkString("CASE best_code % 8 ", " ", " END")
+    Q(
+      "q22_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN best_code // 8 > 0 THEN $langCaseSql ELSE 'und' END AS pred_lang,
+         |  best_code // 8 AS score,
+         |  (lang = CASE WHEN best_code // 8 > 0 THEN $langCaseSql ELSE 'und' END) AS agree
+         |FROM (SELECT doc_id, lang, $codesSql AS best_code FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val codes = langs.zipWithIndex.map { case ((_, words), i) =>
+        TextAnalysis.lexiconHits(toks, words).cast("long") * 8 + (k - 1 - i)
+      }
+      val bestCode = greatest(codes: _*)
+      val predLang = langs.zipWithIndex
+        .foldLeft(lit(null).cast("string")) { case (acc, ((l, _), i)) =>
+          when(col("_best_code") % 8 === (k - 1 - i), lit(l)).otherwise(acc)
+        }
+      Tables.documents(s, dir)
+        .withColumn("_best_code", bestCode)
+        .withColumn("_score", expr("_best_code DIV 8"))
+        .withColumn("pred_lang", when(col("_score") > 0, predLang).otherwise("und"))
+        .select(
+          col("doc_id"), col("lang"), col("pred_lang"),
+          col("_score").as("score"),
+          (col("lang") === col("pred_lang")).as("agree"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Deterministic quality score per document (see TextAnalysis scaladoc). */
+  val q23QualityScore: Q = {
+    val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    val stopList = allStop.map(w => s"'$w'").mkString(",")
+    Q(
+      "q23_quality_score",
+      s"""SELECT doc_id, CAST(floor(q * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS quality FROM (
+         |  SELECT doc_id,
+         |    (least(CAST(2.0 AS DOUBLE) * len(list_filter(toks, t -> t IN ($stopList))) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+         |     + length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |     + CASE WHEN mtl >= 3 AND mtl <= 12 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |     + least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) / CAST(4.0 AS DOUBLE) AS q
+         |  FROM (
+         |    SELECT doc_id, text, toks,
+         |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mtl
+         |    FROM (SELECT doc_id, text, $DuckToks AS toks FROM documents)
+         |  )
+         |)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Exact.roundPortable(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Document fingerprint: min 60-bit hash over distinct word 3-gram
+    * shingles (winnowing-style representative).
+    */
+  val q24DocFingerprint: Q = Q(
+    "q24_doc_fingerprint",
+    """SELECT doc_id, n_shingles,
+      |  CASE WHEN n_shingles > 0 THEN
+      |    list_min(list_transform(sh, s -> CAST(('0x' || substring(md5('fp1' || ':' || s), 1, 15)) AS BIGINT)))
+      |  END AS fp_min
+      |FROM (
+      |  SELECT doc_id, len(sh) AS n_shingles, sh FROM (
+      |    SELECT doc_id,
+      |      list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks) - 2, 0)),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks FROM documents)
+      |  )
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val sh = TextAnalysis.wordShingles(toks, 3)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(sh).as("n_shingles"),
+        when(size(sh) > 0, TextAnalysis.docFingerprint(sh, "fp1")).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
+    q23QualityScore, q24DocFingerprint)
+}

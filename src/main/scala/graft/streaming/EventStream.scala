@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming twin of the batch event operators (SURVEY §2.8):
+  * the same tumbling-window aggregation and sessionization, expressed as a
+  * continuous query with event-time watermarks. The reference's
+  * batch-incremental contract (fingerprint CDC + PENDING retry) maps to
+  * `Trigger.AvailableNow` file-source micro-batches; these operators are
+  * what a *streaming* ingest of the events table needs.
+  *
+  * Scale notes: watermark bounds state; the windowed agg state is
+  * O(active windows × groups); sessionization state is O(active sessions)
+  * and is evicted by the state timeout.
+  */
+object EventStream {
+
+  /** The events schema as read from a stream source (ts already micros). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window counts/sums per event type with a 2h watermark —
+    * the streaming form of q14_events_hourly.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .select(
+        unix_millis(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+
+  /** Session windows (30-minute gap) per user via the built-in
+    * session_window — the streaming twin of ops.Sessionize.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value_cents"))
+
+  /** Custom stateful operator: running per-user event counter with
+    * mapGroupsWithState (the KeyValueGroupedDataset state-machine surface —
+    * here a simple monotone counter with processing-time timeout).
+    */
+  final case class UserCount(user_id: Long, n_events: Long, max_value: Double)
+
+  def runningUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "coalesce(value, 0.0) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(uid, 0L, Double.MinValue))
+          var n = prev.n_events
+          var mx = prev.max_value
+          rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+          val next = UserCount(uid, n, mx)
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame from the static events parquet through a
+    * memory sink until all available data is processed; returns the result
+    * table. Batch parquet in, streaming semantics, synchronous for tests —
+    * `Trigger.AvailableNow`-style (SURVEY T1).
+    */
+  def runToMemory(spark: SparkSession, eventsDir: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory: stream the parent with a glob
+    // filter when handed a single file path.
+    val (dir, globFilter) = {
+      val p = new org.apache.hadoop.fs.Path(eventsDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(p).isFile) (p.getParent.toString, Some(p.getName))
+      else (eventsDir, None)
+    }
+    val reader = spark.readStream
+      .schema(StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    val stream = reader.parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q: StreamingQuery = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.multimodal.Media
+
+/** Streaming-equals-batch equivalence + multimodal plumbing tests. */
+class StreamingSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg equals batch groupBy on the same data") {
+    val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      EventStream.hourlyAgg, "t_hourly", OutputMode.Complete)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming session windows match batch gaps-and-islands boundaries") {
+    val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      EventStream.sessionAgg, "t_sess", OutputMode.Complete)
+    val batch = graft.ops.Sessionize.sessions(
+      Tables.events(spark, sfDir), col("user_id"), col("ts"), col("event_id"),
+      gapMicros = 1800000000L)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("session_start_us"),
+        (max("ts_us") + 1800000000L).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .drop("session_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.select(batch.columns.map(col): _*).except(batch).isEmpty)
+  }
+
+  test("stateful running user counts process every event exactly once") {
+    import spark.implicits._
+    val counts = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      df => EventStream.runningUserCounts(spark, df), "t_counts", OutputMode.Update)
+    // Update-mode memory sink keeps every update; the LAST row per user is
+    // the final state. Sum of final counts == total events.
+    val finalCounts = counts.groupBy("user_id").agg(max("n_events").as("n"))
+    val total = finalCounts.agg(sum("n")).head().getLong(0)
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+
+  test("multimodal: synthetic media bytes are 128B, decode features deterministic") {
+    val media = Media.syntheticMediaFromDocs(Tables.documents(spark, sfDir))
+    val stats = Media.byteStats(media)
+    assert(stats.filter(col("n_bytes") =!= 128).count() === 0)
+    val f1 = Media.decodeFrames(spark, media).collect()
+      .map(d => d.media_id -> d.pixels.toSeq).toMap
+    val f2 = Media.decodeFrames(spark, media).collect()
+      .map(d => d.media_id -> d.pixels.toSeq).toMap
+    assert(f1 === f2)
+    assert(f1.values.forall(_.size === 16))
+    // different docs → different features (hash-derived)
+    assert(f1(0L) !== f1(1L))
+  }
+
+  test("multimodal: binaryFile ingestion reads real files") {
+    val dir = tmpDir("media_in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      Array.fill[Byte](64)(7))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"),
+      Array.fill[Byte](32)(9))
+    val df = Media.readBinaryDir(spark, dir, "*.bin")
+    val sizes = df.select(length(col("bytes"))).collect().map(_.getInt(0)).sorted
+    assert(sizes.toSeq === Seq(32, 64))
+  }
+}
