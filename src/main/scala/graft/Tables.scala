@@ -32,5 +32,13 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+
+  /** Documents spread across the default parallelism: the testdata tables
+    * are single-file single-row-group parquet (ONE input split), so any
+    * per-document heavy expression must be preceded by a repartition or it
+    * runs on one core.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -12,14 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (lowercased). */
+  /** ASCII lowercase via `translate` — a pure char-map expression.
+    * NEVER use `lower()`/`upper()`/`initcap()` in engine paths: Spark 4
+    * routes them through ICU collation support whose class initializer
+    * builds full Unicode case tables and can take MINUTES on first touch
+    * (observed >10 min in this container), serializing every executor
+    * thread on the class-init monitor.
+    */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** Whitespace tokens (ASCII-lowercased). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(asciiLower(text), "\\s+"), t => length(t) > 0)
 
   /** Regex token classes: alphabetic words, numbers, other (BPE-ish
     * pre-tokenization census).
     */
-  def alphaTokens(text: Column): Column = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+  def alphaTokens(text: Column): Column = regexp_extract_all(asciiLower(text), lit("[a-z]+"), lit(0))
   def numTokens(text: Column): Column = regexp_extract_all(text, lit("[0-9]+"), lit(0))
 
   /** Small per-language stopword sets for the n-gram/stopword language-ID
@@ -63,7 +73,7 @@ object TextAnalysis {
     val allStop = Stopwords.values.flatten.toSeq.distinct
     val stopRatio = lexiconHits(toks, allStop).cast("double") /
       greatest(nTok.cast("double"), lit(1.0))
-    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
+    val alphaChars = length(regexp_replace(asciiLower(text), "[^a-z]", ""))
     val alphaFrac = alphaChars.cast("double") / greatest(length(text).cast("double"), lit(1.0))
     val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(nTok.cast("double"), lit(1.0))

@@ -47,10 +47,16 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
       blockKey: Column, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
-      blockKey.as("blk"))
-    val b = df.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
-      blockKey.as("blk"))
+    // Single-file sources arrive as ONE partition: spread rows BEFORE the
+    // token/shingle expressions run, and cache so the two self-join
+    // branches do not each re-derive them (higher-order exprs are
+    // interpreted, not codegen'd — recomputing per pair row is fatal).
+    val prepared = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(tokensCol), blockKey.as("blk"))
+      .cache()
+    val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"), col("blk"))
+    val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"), col("blk"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
@@ -86,11 +92,25 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
       bands: Int, rowsPerBand: Int, seed: String, threshold: Double,
       portable: Boolean = true): DataFrame = {
-    val sigs = df
+    // TWO materialization barriers, both load-bearing:
+    // 1. `base` caches the shingle arrays. Without it, CollapseProject
+    //    re-inlines the shingle expression into EVERY one of the
+    //    bands x rows min-hash transforms (there is no common-subexpression
+    //    elimination in interpreted eval) -- tokenization would run 12x
+    //    per row, and the collapsed projection slides below the
+    //    repartition into the single-split scan stage.
+    // 2. `sigs` caches the band buckets so the two self-join branches
+    //    reuse one materialization.
+    val base = df
       .filter(size(col(shinglesCol)) > 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(shinglesCol))
+      .cache()
+    val sigs = base
       .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable))
       .withColumn("_bands", lshBandKeys(col("_sig"), bands, rowsPerBand))
       .select(col(idCol), col(shinglesCol), posexplode(col("_bands")).as(Seq("band", "bucket")))
+      .cache()
     val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(shinglesCol).as("toks_a"))
     val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
@@ -108,10 +128,17 @@ object Dedup {
     * over `bits` positions → integer signature. Near-dups have small
     * Hamming distance.
     */
-  def simhash(toks: Column, bits: Int, seed: String, portable: Boolean = true): Column = {
-    val h = transform(toks, t => hash60(t, seed, portable))
+  def simhash(toks: Column, bits: Int, seed: String, portable: Boolean = true): Column =
+    simhashFromHashes(transform(toks, t => hash60(t, seed, portable)), bits)
+
+  /** SimHash from an ALREADY-MATERIALIZED hash array. Callers doing bulk
+    * work must materialize the hashes first (cache/checkpoint): each bit
+    * position re-reads the hash column, and without a barrier Catalyst
+    * re-inlines the token-hash expression `bits` times per row.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(h, lit(0L),
+      val votes = aggregate(hashes, lit(0L),
         (acc, x) => acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
     }

@@ -46,8 +46,9 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val corpus = df.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
-    val queries = df.filter(queryPred)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val corpus = spread.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
+    val queries = spread.filter(queryPred)
       .select(col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -105,8 +106,11 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       blockKey: Column, threshold: Double): DataFrame = {
-    val a = df.select(blockKey.as("blk"), col(idCol).as("id_a"), scaled(col(vecCol)).as("_sa"))
-    val b = df.select(blockKey.as("blk"), col(idCol).as("id_b"), scaled(col(vecCol)).as("_sb"))
+    val prepared = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(blockKey.as("blk"), col(idCol).as("id"), scaled(col(vecCol)).as("_s"))
+      .cache()
+    val a = prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"))
+    val b = prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.Exact.roundPortable(cosineScaled(col("_sa"), col("_sb")), 6))

@@ -27,7 +27,7 @@ object DedupQueries {
       |  FROM (SELECT doc_id, md5(text) AS fp FROM documents)
       |)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+    Dedup.exactDedup(Tables.documentsSpread(s, dir), "text", "doc_id")
       .select("doc_id", "fp", "group_size", "is_keeper")
       .orderBy("doc_id")
   }
@@ -115,10 +115,17 @@ object DedupQueries {
        |FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-      .withColumn("_simhash",
-        Dedup.simhash(TextAnalysis.tokens(col("text")), 16, "sh", portable = true))
-      .withColumn("_blk", expr("n_chars DIV 64"))
+    // materialize token hashes first (cache barrier), THEN fold bits:
+    // without it the per-token md5 expression is re-inlined 16x per row
+    val hashed = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), expr("n_chars DIV 64").as("_blk"),
+        transform(TextAnalysis.tokens(col("text")),
+          t => Dedup.hash60(t, "sh", portable = true)).as("_h"))
+      .cache()
+    val docs = hashed
+      .withColumn("_simhash", Dedup.simhashFromHashes(col("_h"), 16))
+      .select("_blk", "doc_id", "_simhash")
+      .cache()
     val a = docs.select(col("_blk"), col("doc_id").as("id_a"), col("_simhash").as("sh_a"))
     val b = docs.select(col("_blk"), col("doc_id").as("id_b"), col("_simhash").as("sh_b"))
     a.join(b, Seq("_blk"))

@@ -27,7 +27,7 @@ object TextQueries {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin) { (s, dir) =>
     val toks = TextAnalysis.tokens(col("text"))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("_n_tok", size(toks))
       .withColumn("_n_dist", size(array_distinct(toks)))
       .groupBy("lang")
@@ -50,7 +50,7 @@ object TextQueries {
       |  length(text) AS n_chars_measured
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir).select(
+    Tables.documentsSpread(s, dir).select(
       col("doc_id"),
       size(TextAnalysis.alphaTokens(col("text"))).as("n_alpha"),
       size(array_distinct(TextAnalysis.alphaTokens(col("text")))).as("n_alpha_distinct"),
@@ -91,7 +91,7 @@ object TextQueries {
         .foldLeft(lit(null).cast("string")) { case (acc, ((l, _), i)) =>
           when(col("_best_code") % 8 === (k - 1 - i), lit(l)).otherwise(acc)
         }
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .withColumn("_best_code", bestCode)
         .withColumn("_score", expr("_best_code DIV 8"))
         .withColumn("pred_lang", when(col("_score") > 0, predLang).otherwise("und"))
@@ -122,7 +122,7 @@ object TextQueries {
          |  )
          |)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           graft.functions.Exact.roundPortable(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")
@@ -150,7 +150,7 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val toks = TextAnalysis.tokens(col("text"))
     val sh = TextAnalysis.wordShingles(toks, 3)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), size(sh).as("n_shingles"),
         when(size(sh) > 0, TextAnalysis.docFingerprint(sh, "fp1")).as("fp_min"))
       .orderBy("doc_id")

@@ -165,9 +165,12 @@ object Validate {
         array(struct(lit("parquet_missing").as("kind"),
           coalesce(col("parquet_uri"), lit("null")).as("detail"))).as("issues"))
 
-    val results =
-      (if (validated.isEmpty) missing
-       else validated.unionByName(missing)).orderBy("episode_index").cache()
+    val combined =
+      if (validated.isEmpty) missing
+      else validated.unionByName(missing)
+
+    val results = (if (cfg.skipVideo) combined else addVideoChecks(spark, combined, cfg))
+      .orderBy("episode_index").cache()
 
     results.write.mode(SaveMode.Overwrite).parquet(s"$outDir/episodes.parquet")
     SingleFile.writeJsonl(
@@ -184,6 +187,51 @@ object Validate {
     SingleFile.writeText(spark, s"$outDir/summary.yaml",
       s"total: $total\nok: $okN\nfail: ${total - okN}\n")
     (total, okN, total - okN)
+  }
+
+  /** Video checks (validate_one.py:124-137): per camera, ffprobe the
+    * manifest's video URI inside `mapPartitions` (S17). Missing/unreadable
+    * video → `<cam>_video_missing`; fps outside ±1.0 of expected →
+    * `<cam>_fps`; frame count vs table rows beyond tolerance →
+    * `<cam>_frames_vs_rows`. A probe failure (including no ffprobe binary
+    * on the executor) degrades to the missing issue, never a crash.
+    */
+  def addVideoChecks(spark: SparkSession, results: DataFrame, cfg: Config): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Probe
+    val fpsExpected = cfg.fpsExpected
+    val tol = cfg.frameTolerance
+    val probed = results
+      .select(col("episode_index"), col("video_front_uri"), col("video_wrist_uri"), col("rows"))
+      .as[(Long, Option[String], Option[String], Option[Long])]
+      .mapPartitions { it =>
+        it.map { case (ep, vf, vw, rowsOpt) =>
+          val issues = Seq(("front", vf), ("wrist", vw)).flatMap { case (cam, uriOpt) =>
+            val meta = uriOpt.flatMap(Probe.ffprobe)
+            meta match {
+              case None =>
+                Seq((s"${cam}_video_missing", uriOpt.getOrElse("null")))
+              case Some(m) =>
+                val fpsIssue = Probe.effectiveFps(m)
+                  .filter(f => math.abs(f - fpsExpected) > 1.0)
+                  .map(f => (s"${cam}_fps", f.toString))
+                val framesIssue = (m.nbFrames, rowsOpt) match {
+                  case (Some(nb), Some(rows)) if math.abs(nb - rows) > tol =>
+                    Some((s"${cam}_frames_vs_rows", s"$nb,$rows"))
+                  case _ => None
+                }
+                fpsIssue.toSeq ++ framesIssue.toSeq
+            }
+          }
+          (ep, issues)
+        }
+      }.toDF("episode_index", "_video_issues")
+      .withColumn("_video_issues",
+        expr("transform(_video_issues, x -> struct(x._1 AS kind, x._2 AS detail))"))
+    results.join(probed, Seq("episode_index"), "left")
+      .withColumn("issues", concat(col("issues"), col("_video_issues")))
+      .withColumn("ok", size(col("issues")) === 0)
+      .drop("_video_issues")
   }
 
   /** `meta/episodes.jsonl` with declared schema (S5); empty frame when the

@@ -10,8 +10,9 @@ object Profile {
     val name = args.headOption.getOrElse("q04_dedup_keep_first")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROFILE_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROFILE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

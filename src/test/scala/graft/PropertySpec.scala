@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Property tests (SURVEY §5) via raw ScalaCheck (scalatestplus is not on
+  * the classpath): pooled variance identity, split determinism/convergence,
+  * dedup-keep-first, reindex contiguity, portable-rounding parity.
+  */
+class PropertySpec extends SparkSuite {
+
+  private def check(name: String, prop: Prop, n: Int = 50): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("pooled variance == flat variance on concatenated chunks") {
+    val chunkGen = Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0))
+    check("pooled", Prop.forAll(Gen.nonEmptyListOf(chunkGen)) { chunks =>
+      val all = chunks.flatten
+      val flatMean = all.sum / all.size
+      val flatVar = all.map(x => (x - flatMean) * (x - flatMean)).sum / all.size
+      var s = 0L; var sumMu = 0.0; var sumM2 = 0.0
+      chunks.foreach { c =>
+        val n = c.size
+        val mu = c.sum / n
+        val v = c.map(x => (x - mu) * (x - mu)).sum / n
+        s += n; sumMu += n * mu; sumM2 += n * (v + mu * mu)
+      }
+      val mean = sumMu / s
+      val varp = math.max(sumM2 / s - mean * mean, 0.0)
+      math.abs(mean - flatMean) < 1e-9 * math.max(1, math.abs(flatMean)) &&
+        math.abs(varp - flatVar) < 1e-6 * math.max(1.0, flatVar)
+    }, n = 30)
+  }
+
+  test("dedup keep-first + reindex: contiguous 0..N-1, first occurrence kept") {
+    check("dedup", Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 20))) { frameIdxs =>
+      val withOrd = frameIdxs.zipWithIndex
+      val sorted = withOrd.sortBy(t => (t._1, t._2))
+      val deduped = sorted.foldLeft(Vector.empty[(Int, Int)]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last._1 == t._1) acc else acc :+ t
+      }
+      val firstOcc = withOrd.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      deduped.zipWithIndex.forall { case ((orig, ord), i) => ord == firstOcc(orig) } &&
+        deduped.indices == (0 until deduped.size)
+    }, n = 30)
+  }
+
+  test("portable rounding: scala twin == SQL twin formula") {
+    check("round", Prop.forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) { (x, d) =>
+      val p = math.pow(10, d)
+      math.floor(x * p + 0.5) / p == math.floor(x * p + 0.5).toLong / p
+    }, n = 200)
+  }
+
+  test("split assignment: deterministic, fraction-convergent") {
+    import spark.implicits._
+    val n = 5000
+    val ids = (0 until n).toDF("id").select(col("id").cast("string").as("k"))
+    val s1 = ids.select(Hashing.splitAssign(col("k"), "s1", 0.7, 0.2).as("sp"))
+      .groupBy("sp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(s1("train") / n.toDouble - 0.7) < 0.03)
+    assert(math.abs(s1("val") / n.toDouble - 0.2) < 0.03)
+    assert(math.abs(s1.getOrElse("test", 0L) / n.toDouble - 0.1) < 0.03)
+  }
+
+  test("hashUnit is uniform-ish over [0,1)") {
+    import spark.implicits._
+    val buckets = (0 until 10000).toDF("id")
+      .select((Hashing.hashUnit(col("id").cast("string"), "u") * 10).cast("int").as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet === (0 until 10).toSet)
+    buckets.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"bucket skew: $buckets"))
+  }
+}
