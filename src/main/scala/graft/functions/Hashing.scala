@@ -22,8 +22,18 @@ object Hashing {
   /** 2^60 as double — 15 hex chars span [0, 2^60). */
   private val Span: Double = 1152921504606846976.0 // 2^60
 
-  /** Seeded 60-bit hash of a string column → Long in [0, 2^60). */
-  def hash60(c: Column, seed: String): Column =
+  /** Seeded 60-bit hash of a string column → Long in [0, 2^60).
+    * Backed by the native fused [[Hash60]] Catalyst expression (codegen'd,
+    * one MessageDigest call); [[hash60Composed]] is the built-in-functions
+    * form it is bit-identical to — the oracle-SQL mirror and the
+    * cross-check in tests.
+    */
+  def hash60(c: Column, seed: String): Column = Hash60(c, seed)
+
+  /** The composed built-ins form (what an engine without the custom
+    * expression would run — and what the DuckDB oracle SQL mirrors).
+    */
+  def hash60Composed(c: Column, seed: String): Column =
     conv(substring(md5(concat_ws(":", lit(seed), c)), 1, 15), 16, 10).cast("long")
 
   /** Seeded hash → unit interval [0, 1). Deterministic across engines. */

@@ -90,7 +90,7 @@ object DedupQueries {
          |      / len(list_distinct(sh_a || sh_b)) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-        .withColumn("_sh", TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2))
+        .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
       Dedup.minhashLshPairs(docs, "doc_id", "_sh", bands, rows, seed, 0.5, portable = true)
         .withColumn("jac", graft.functions.Exact.roundPortable(col("jac"), 6))
         .orderBy("id_a", "id_b")

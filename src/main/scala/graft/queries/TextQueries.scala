@@ -148,8 +148,7 @@ object TextQueries {
       |  )
       |)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = TextAnalysis.tokens(col("text"))
-    val sh = TextAnalysis.wordShingles(toks, 3)
+    val sh = graft.functions.WordShinglesExpr(col("text"), 3)
     Tables.documentsSpread(s, dir)
       .select(col("doc_id"), size(sh).as("n_shingles"),
         when(size(sh) > 0, TextAnalysis.docFingerprint(sh, "fp1")).as("fp_min"))

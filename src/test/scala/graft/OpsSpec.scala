@@ -93,6 +93,20 @@ class OpsSpec extends SparkSuite {
     assert(top.map(_.getLong(1)).contains(1L))
   }
 
+  test("native Hash60 expression is bit-identical to the composed md5/conv chain") {
+    val strs = ((0 until 500).map(i => s"token_$i") ++ Seq("", "a", "é中文", "with:colons", "sp ace")).toDF("x")
+    val mismatches = strs.select(
+      Hashing.hash60(col("x"), "seedA").as("native"),
+      Hashing.hash60Composed(col("x"), "seedA").as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatches === 0)
+    // also inside a higher-order lambda (interpreted path)
+    val arr = Seq(Seq("a", "b", "c")).toDF("xs")
+    val nat = arr.select(transform(col("xs"), x => Hashing.hash60(x, "s")).as("h")).head.getSeq[Long](0)
+    val comp = arr.select(transform(col("xs"), x => Hashing.hash60Composed(x, "s")).as("h")).head.getSeq[Long](0)
+    assert(nat === comp)
+  }
+
   test("hash60 is deterministic, seeded, in range") {
     val ids = (0 until 1000).toDF("x")
     val h1 = ids.select(Hashing.hash60(col("x").cast("string"), "a").as("h")).collect().map(_.getLong(0))
@@ -108,6 +122,17 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L) === "en")
     assert(out(4L) === "es")
+  }
+
+  test("native WordShinglesExpr is identical to the composed shingle chain") {
+    val texts = Seq("the quick Brown  fox", "a b", "", "  ", "one", "x y z w v u t").toDF("t")
+    val both = texts.select(
+      graft.functions.WordShinglesExpr(col("t"), 2).as("native"),
+      TextAnalysis.wordShingles(TextAnalysis.tokens(col("t")), 2).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
   }
 
   test("wordShingles: short docs yield empty set, no descending-sequence bug") {
