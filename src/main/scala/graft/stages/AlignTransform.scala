@@ -117,7 +117,22 @@ object AlignTransform {
       .withColumn("_ep_name",
         regexp_extract(col(Episodes.SrcFileCol), "(episode_\\d+\\.parquet)", 1))
       .drop(Episodes.SrcFileCol, Episodes.OrdCol, Episodes.EpIdxCol, Episodes.ChunkCol)
-    writePerEpisode(spark, out, outDir)
+    val written = writePerEpisode(spark, out, outDir)
+    // Episodes whose rows were ALL filtered still get an (empty) output
+    // file — the reference writes one parquet per input unconditionally
+    // (align_transform_refactored.py:158-160).
+    val writtenNames = written.map(_.split("/").last).toSet
+    val emptyOnes = files.map(_.split("/").last).filterNot(writtenNames)
+    if (emptyOnes.nonEmpty) {
+      val emptySchema = org.apache.spark.sql.types.StructType(
+        Schemas.episodeSchema.fields)
+      // repartition(1): a 0-partition empty frame writes no part file at all
+      val emptyDf = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+        .repartition(1)
+      emptyOnes.foreach(n => SingleFile.writeParquetAtomic(emptyDf, s"$outDir/$n"))
+    }
+    (written ++ emptyOnes.map(n => s"$outDir/$n")).sorted
   }
 
   /** Write one parquet file per `_ep_name` value: partitioned write, then

@@ -80,13 +80,19 @@ class AlignTransformSpec extends SparkSuite {
   test("full run writes one parquet per episode with the original name") {
     val root = tmpDir("align_run")
     val outDir = tmpDir("align_out")
-    dataset(spark, root, Map(0L -> cleanFrames(0, 8), 3L -> cleanFrames(3, 5)))
+    // episode 5: all rows have 7-wide vectors -> every row filtered -> the
+    // output file must still exist, empty (reference writes unconditionally)
+    dataset(spark, root, Map(0L -> cleanFrames(0, 8), 3L -> cleanFrames(3, 5),
+      5L -> Defects.wrongWidth(5, 4)))
     val written = AlignTransform.run(spark, s"$root/data", outDir, None)
     assert(written.map(_.split("/").last).sorted ===
-      Seq("episode_000000.parquet", "episode_000003.parquet"))
+      Seq("episode_000000.parquet", "episode_000003.parquet", "episode_000005.parquet"))
     val ep0 = spark.read.parquet(written.head)
     assert(ep0.columns.toSet === Schemas.RequiredEpisodeCols.toSet)
     assert(ep0.count() === 8)
+    val ep5 = spark.read.parquet(s"$outDir/episode_000005.parquet")
+    assert(ep5.count() === 0)
+    assert(ep5.columns.toSet === Schemas.RequiredEpisodeCols.toSet)
   }
 
   test("stats doc round-trip: render → parse") {
