@@ -89,6 +89,38 @@ object Media {
       }
   }
 
+  /** Resize decoded feature vectors to a target length by averaging
+    * fixed-width bins (the deterministic stand-in for an image resample —
+    * a real codec would do pixel-space interpolation at this exact seam).
+    */
+  def resizeFeatures(spark: SparkSession, decoded: Dataset[DecodedFrame],
+      targetLen: Int): DataFrame = {
+    import spark.implicits._
+    decoded.map { d =>
+      val src = d.pixels
+      val out = new Array[Float](targetLen)
+      val binW = math.max(1, src.length / targetLen)
+      var i = 0
+      while (i < targetLen) {
+        val from = math.min(i * binW, src.length - 1)
+        val to = math.min(from + binW, src.length)
+        var sum = 0.0f
+        var j = from
+        while (j < to) { sum += src(j); j += 1 }
+        out(i) = sum / (to - from)
+        i += 1
+      }
+      (d.media_id, d.frame_idx, out)
+    }.toDF("media_id", "frame_idx", "features")
+  }
+
+  /** Frame sampling for multi-frame media: keep every `stride`-th frame
+    * (plus frame 0). Pure filter on the frame index — runs at scan speed,
+    * never decodes dropped frames in a codec-backed deployment.
+    */
+  def sampleFrames(decoded: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+    decoded.filter(d => d.frame_idx % stride == 0)
+
   /** Metadata/feature extraction without decoding: pure column expressions
     * over the bytes (length, entropy-proxy histogram moments) — the
     * "cheap pass" that runs at full scan speed.

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbour over an embedding
+  * column — the coarse-quantizer scale path next to
+  * [[Similarity.signLshTopK]].
+  *
+  * Deterministic pipeline (no RNG — centroid choice is a seeded hash
+  * sample, so index builds are reproducible):
+  *  1. `centroids`: pick k seed vectors by smallest seeded hash of the id
+  *     (a deterministic uniform sample), collect to the driver (k vectors,
+  *     tiny) and broadcast as literals;
+  *  2. `assign`: each vector joins its nearest centroid (argmin cosine
+  *     distance against the broadcast centroid array — a map-only pass);
+  *  3. `searchTopK`: queries probe their `nProbe` nearest centroid lists
+  *     and re-rank candidates with the exact scaled-integer cosine.
+  *
+  * At 100 TB: the index build is one map pass + one small aggregation; a
+  * search touches n·(nProbe/k) of the corpus via an equi-join on
+  * centroid id instead of a cross product.
+  */
+object IvfIndex {
+
+  /** Deterministic k-sample: the k ids with smallest seeded hash. */
+  def pickCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: String): Array[(Long, Seq[Double])] = {
+    import graft.functions.Hashing
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
+        Hashing.hash60(col(idCol).cast("string"), seed).as("_h"))
+      .orderBy("_h")
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
+
+  /** Cosine similarity of a vector column against one literal centroid. */
+  private def cosToLit(v: Column, c: Seq[Double]): Column = {
+    val lit = typedLit(c)
+    val dot = aggregate(zip_with(v, lit, (x, y) => x * y), org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x))
+    val nc = math.sqrt(c.map(x => x * x).sum)
+    when(nv > 0, dot / (nv * nc)).otherwise(org.apache.spark.sql.functions.lit(0.0))
+  }
+
+  /** Nearest-centroid id expression against the broadcast centroid list
+    * (argmax cosine, deterministic id tiebreak).
+    */
+  def nearestCentroid(v: Column, centroids: Array[(Long, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct(cosToLit(v, cv).as("sim"), org.apache.spark.sql.functions.lit(cid).as("cid"))
+    }
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("sim") > a.getField("sim"), b).otherwise(a)
+    }
+    best.getField("cid")
+  }
+
+  /** Ranked centroid ids for a query vector (for nProbe > 1), as an array
+    * column ordered by descending similarity.
+    */
+  def probeList(v: Column, centroids: Array[(Long, Seq[Double])], nProbe: Int): Column = {
+    val scored = array(centroids.map { case (cid, cv) =>
+      struct(cosToLit(v, cv).as("sim"), org.apache.spark.sql.functions.lit(cid).as("cid"))
+    }: _*)
+    slice(transform(array_sort(scored,
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+      s => s.getField("cid")), 1, nProbe)
+  }
+
+  /** Build the index: adds `_centroid` to every row. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: String): (DataFrame, Array[(Long, Seq[Double])]) = {
+    val cents = pickCentroids(df, idCol, vecCol, k, seed)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val assigned = spread.withColumn("_centroid",
+      nearestCentroid(col(vecCol).cast("array<double>"), cents))
+    (assigned, cents)
+  }
+
+  /** ANN search: probe `nProbe` inverted lists, exact re-rank, top-k. */
+  def searchTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCentroids: Int, nProbe: Int,
+      seed: String): DataFrame = {
+    val (assigned, cents) = assign(df, idCol, vecCol, nCentroids, seed)
+    val corpus = assigned.select(col("_centroid"),
+      col(idCol).as("neighbor_id"), Similarity.scaled(col(vecCol)).as("_sn"))
+      .cache()
+    val queries = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), Similarity.scaled(col(vecCol)).as("_sq"),
+        explode(probeList(col(vecCol).cast("array<double>"), cents, nProbe))
+          .as("_centroid"))
+    val sims = corpus.join(broadcast(queries), Seq("_centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.functions.Exact.roundPortable(
+          Similarity.cosineScaled(col("_sq"), col("_sn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}

@@ -62,6 +62,36 @@ class StreamingSpec extends SparkSuite {
     assert(f1(0L) !== f1(1L))
   }
 
+  test("multimodal: resize + frame sampling plumbing") {
+    val media = Media.syntheticMediaFromDocs(Tables.documents(spark, sfDir))
+    val decoded = Media.decodeFrames(spark, media)
+    val resized = Media.resizeFeatures(spark, decoded, 4)
+    val row = resized.orderBy("media_id").head()
+    assert(row.getSeq[Float](2).size === 4)
+    // deterministic: same input -> same resized features
+    val again = Media.resizeFeatures(spark, Media.decodeFrames(spark, media), 4)
+      .orderBy("media_id").head()
+    assert(row.getSeq[Float](2) === again.getSeq[Float](2))
+    val sampled = Media.sampleFrames(decoded, 2)
+    assert(sampled.count() === decoded.count()) // single-frame media: all kept (frame 0)
+  }
+
+  test("IVF ANN: recalls the exact top neighbour for most queries") {
+    val topExact = graft.ops.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 50 === 0, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val topIvf = graft.ops.IvfIndex.searchTopK(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 50 === 0, 1,
+      nCentroids = 8, nProbe = 4, seed = "ivf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(topIvf.nonEmpty)
+    val agree = topExact.keys.count(k => topIvf.get(k).contains(topExact(k)))
+    // nProbe=4 of 8 centroids: expect at least half the exact top-1s found
+    assert(agree * 2 >= topExact.size, s"IVF recall too low: $agree/${topExact.size}")
+  }
+
   test("multimodal: binaryFile ingestion reads real files") {
     val dir = tmpDir("media_in")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
