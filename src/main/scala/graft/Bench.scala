@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Belt-and-braces vs the round-1 parse failure: even if a state store
+      // provider survives a query, its maintenance task never fires mid-bench.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -29,7 +32,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Orderly teardown BEFORE emitting the metric line: stop any streaming
+    // query that is still registered, then the state-store maintenance pool,
+    // then the session — so no late thread can spew errors after (or into)
+    // the one line the driver parses. Metric line is the FINAL stdout line.
+    spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
+    try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    catch { case _: Throwable => () }
     spark.stop()
+    System.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

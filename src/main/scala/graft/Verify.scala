@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Same orderly teardown as Bench: no streaming/state-store thread may
+    // outlive the RpcEnv (round-1 stdout pollution).
+    spark.streams.active.foreach { st => try st.stop() catch { case _: Throwable => () } }
+    try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

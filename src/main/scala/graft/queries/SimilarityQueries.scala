@@ -110,8 +110,8 @@ object SimilarityQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM (
       |  SELECT user_id, ts_us, value,
-      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, event_id, value,
       |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

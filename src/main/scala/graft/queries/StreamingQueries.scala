@@ -20,7 +20,7 @@ object StreamingQueries {
     "q33_streaming_hourly",
     """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_start,
       |  event_type, count(*) AS n,
-      |  sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
@@ -38,7 +38,7 @@ object StreamingQueries {
     """SELECT user_id, min(ts_us) AS session_start_us,
       |  max(ts_us) + 1800000000 AS session_end_us,
       |  count(*) AS n_events,
-      |  sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM (
       |  SELECT user_id, ts_us, value,
       |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)

@@ -19,9 +19,9 @@ object TextQueries {
   val q20TextStats: Q = Q(
     "q20_text_stats",
     s"""SELECT lang, count(*) AS n_docs,
-       |  sum(len($DuckToks)) AS total_tokens,
-       |  sum(len(list_distinct($DuckToks))) AS total_distinct_tokens,
-       |  sum(n_chars) AS total_chars,
+       |  CAST(sum(len($DuckToks)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(len(list_distinct($DuckToks))) AS BIGINT) AS total_distinct_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |  CAST(floor((CAST(sum(len($DuckToks)) AS DOUBLE) / count(*)) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_tokens_per_doc
        |FROM documents
        |GROUP BY lang

@@ -109,6 +109,10 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
+    q.awaitTermination()
+    // Tear down the state-store maintenance pool while the RpcEnv is still
+    // alive — it otherwise crashes after spark.stop() (see GraftBridge).
+    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
     spark.table(queryName)
   }
 }

@@ -11,17 +11,31 @@ feedback loop only.
 """
 import sys, json, glob, hashlib
 import duckdb
+import numpy as np
 
 def norm_cell(v):
+    # Mimic the driver: both sides are fetched via pandas (.df()), so DuckDB
+    # HUGEINT becomes float64 ("19428.0") while Spark BIGINT stays int64
+    # ("19428") — a real mismatch the driver sees. Do NOT normalize types.
     if v is None:
         return "NULL"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
+        if v != v:  # NaN = SQL NULL through pandas
+            return "NULL"
         return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+def fetch_pandas(rel):
+    df = rel.df()
+    return [tuple(row) for row in df.itertuples(index=False, name=None)]
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -46,10 +60,10 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
             spark_rel = con.sql("SELECT * FROM read_parquet(" + repr(files) + ")")
             scols = [c.lower() for c in spark_rel.columns]
-            srows = spark_rel.fetchall()
+            srows = fetch_pandas(spark_rel)
             duck_rel = con.sql(sql)
             dcols = [c.lower() for c in duck_rel.columns]
-            drows = duck_rel.fetchall()
+            drows = fetch_pandas(duck_rel)
             if sorted(scols) != sorted(dcols):
                 print(f"FAIL {name}: schema spark={sorted(scols)} duck={sorted(dcols)}")
                 n_fail += 1; continue
