@@ -134,5 +134,106 @@ object SimilarityQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats, q32Sessionize)
+  /** Sign-LSH approximate top-k (the 100 TB similarity path): candidates
+    * share a 4-plane random-hyperplane sign bucket; exact scaled-integer
+    * cosine re-rank within the bucket. The oracle mirrors the full
+    * pipeline — md5-derived plane components, left-fold double dot for the
+    * sign (list_reduce = Spark aggregate's fold order), bucket equi-join,
+    * identical re-rank.
+    */
+  val q36SignLshTopK: Q = {
+    val span = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    val plane = s"(CAST(('0x' || substring(md5('lsh1:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) / $span - CAST(0.5 AS DOUBLE))"
+    val bucket =
+      s"""list_sum(list_transform(generate_series(0, 3), p ->
+         |    CASE WHEN list_reduce(
+         |        list_transform(generate_series(1, len(embedding)), i ->
+         |          CAST(embedding[i] AS DOUBLE) * $plane),
+         |        (acc, x) -> acc + x) >= CAST(0 AS DOUBLE)
+         |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    Q(
+      "q36_signlsh_topk",
+      s"""WITH b AS (
+         |  SELECT vec_id, $DuckScaled AS s, $bucket AS bkt FROM embeddings
+         |), sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+         |      / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+         |         * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+         |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sims
+         |)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.signLshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 5, planes = 4, seed = "lsh1")
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  /** IVF approximate top-k: deterministic hash-sampled centroids, nearest-
+    * centroid inverted lists, nProbe=2 probing, exact re-rank. The oracle
+    * replays each stage: hash-ordered centroid pick, double-arithmetic
+    * centroid cosine (same fold order as Spark's aggregate), argmax with
+    * earliest-centroid tiebreak (row_number over sim DESC, ord), probe-list
+    * equi-join, scaled-integer re-rank.
+    */
+  val q37IvfTopK: Q = Q(
+    "q37_ivf_topk",
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(('0x' || substring(md5('ivf1:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    row_number() OVER (ORDER BY h) AS ord
+       |  FROM hashed ORDER BY h LIMIT 8
+       |), vc AS (
+       |  SELECT vec_id, cid, ord,
+       |    CASE WHEN nv > CAST(0 AS DOUBLE) THEN dot / (nv * nc) ELSE CAST(0 AS DOUBLE) END AS sim
+       |  FROM (
+       |    SELECT e.vec_id, c.cid, c.ord,
+       |      list_reduce(list_transform(generate_series(1, len(e.embedding)), i ->
+       |        CAST(e.embedding[i] AS DOUBLE) * c.cv[i]), (acc, x) -> acc + x) AS dot,
+       |      sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nv,
+       |      sqrt(list_reduce(list_transform(c.cv, x -> x * x), (acc, x) -> acc + x)) AS nc
+       |    FROM embeddings e CROSS JOIN cents c
+       |  )
+       |), assigned AS (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ord) AS rn FROM vc
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ord) AS rn
+       |    FROM vc WHERE vec_id % 25 = 0
+       |  ) WHERE rn <= 2
+       |), sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), sims AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+       |  JOIN sv q ON q.vec_id = p.query_id
+       |  JOIN sv c ON c.vec_id = a.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    graft.ops.IvfIndex.searchTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 5, nCentroids = 8, nProbe = 2, seed = "ivf1")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
+    q32Sessionize, q36SignLshTopK, q37IvfTopK)
 }
