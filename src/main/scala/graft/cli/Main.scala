@@ -44,7 +44,20 @@ object Main {
         fullHash = rest.contains("--full-hash"),
         onlyChunks = flag(rest, "--only-chunks").map(_.split(",").toSet))
       val delta = Discover.run(spark, dataRoot, manifestOut, cfg)
-      println(s"discover: ${delta.count()} delta rows → $manifestOut")
+      if (rest.contains("--stdout")) {
+        // JSONL delta emission (reference scripts/neura.py:66-74): one JSON
+        // object per delta row, reference column order, nulls kept.
+        import org.apache.spark.sql.functions.{col, struct, to_json}
+        val cols = Seq("episode_index", "chunk", "parquet_uri",
+          "video_front_uri", "video_wrist_uri", "exists_front", "exists_wrist",
+          "bytes_total", "fingerprint", "fingerprint_algo", "discovered_at",
+          "status", "errors").filter(delta.columns.contains)
+        delta.orderBy("chunk", "episode_index")
+          .select(to_json(struct(cols.map(col): _*),
+            Map("ignoreNullFields" -> "false")).as("j"))
+          .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
+      } else
+        println(s"discover: ${delta.count()} delta rows → $manifestOut")
 
     case "validate" :: manifest :: metaDir :: outDir :: rest =>
       val cfg = Validate.Config(

@@ -18,7 +18,9 @@ final case class FeatureStats(
     mean: Seq[Double],
     std: Seq[Double],
     min: Seq[Double],
-    max: Seq[Double])
+    max: Seq[Double],
+    q01: Option[Seq[Double]] = None,
+    q99: Option[Seq[Double]] = None)
 
 final case class GlobalStats(
     episodesUsed: Long,
@@ -54,7 +56,10 @@ object StatsDoc {
         case Some(c) if c.isArray && c.size() > 0 && c.get(0).isNumber => c.get(0).asLong()
         case _ => 0L
       }
-      FeatureStats(cnt, mean, std, mi, ma)
+      // optional quantile vectors (reference meta/stats.json carries q01/q99)
+      val q01 = floats(n.get("q01")).filter(_.size == mean.size)
+      val q99 = floats(n.get("q99")).filter(_.size == mean.size)
+      FeatureStats(cnt, mean, std, mi, ma, q01, q99)
     }
   }
 
@@ -96,8 +101,10 @@ object StatsDoc {
       sb.append(s"""    "mean": ${vec(f.mean)},\n""")
       sb.append(s"""    "std": ${vec(f.std)},\n""")
       sb.append(s"""    "min": ${vec(f.min)},\n""")
-      sb.append(s"""    "max": ${vec(f.max)}\n""")
-      sb.append("  }")
+      sb.append(s"""    "max": ${vec(f.max)}""")
+      f.q01.foreach(v => sb.append(s""",\n    "q01": ${vec(v)}"""))
+      f.q99.foreach(v => sb.append(s""",\n    "q99": ${vec(v)}"""))
+      sb.append("\n  }")
     }
     sb.append("\n}\n")
     sb.toString

@@ -39,17 +39,19 @@ object Episodes {
 
   /** Read the given episode files as one DataFrame with provenance columns:
     *  - `_src_file`: source file URI (the grouping key for per-episode ops);
-    *  - `_ord`: intra-file row-order surrogate. Parquet scans preserve row
-    *    order within a split and episode files are single-row-group, so
-    *    `monotonically_increasing_id` is a valid within-file order key
-    *    (SURVEY §7.3 hard part 1);
+    *  - `_ord`: intra-file row order from the parquet `_metadata.row_index`
+    *    metadata column — the row's index within its FILE, not its split,
+    *    so keep-first/first/last semantics survive a >maxPartitionBytes
+    *    episode file being carved into multiple input splits (a
+    *    `monotonically_increasing_id` surrogate would silently reorder
+    *    there; SURVEY §7.3 hard part 1);
     *  - `_ep_idx_from_name` / `_chunk_from_path`: parsed from the path (F1).
     */
   def readRaw(spark: SparkSession, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, "no episode files to read")
     spark.read.schema(Schemas.episodeSchema).parquet(files: _*)
       .withColumn(SrcFileCol, input_file_name())
-      .withColumn(OrdCol, monotonically_increasing_id())
+      .withColumn(OrdCol, col("_metadata.row_index"))
       .withColumn(EpIdxCol,
         regexp_extract(input_file_name(), "episode_(\\d+)\\.parquet", 1).try_cast("long"))
       .withColumn(ChunkCol,

@@ -54,7 +54,7 @@ object Dedup {
     val prepared = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), col(tokensCol), blockKey.as("blk"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"), col("blk"))
     val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"), col("blk"))
     a.join(b, Seq("blk"))
@@ -92,7 +92,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
       bands: Int, rowsPerBand: Int, seed: String, threshold: Double,
       portable: Boolean = true): DataFrame = {
-    // TWO materialization barriers, both load-bearing:
+    // TWO materialization barriers, both load-bearing (MEMORY_AND_DISK so
+    // they survive memory pressure at scale instead of recomputing):
     // 1. `base` caches the shingle arrays. Without it, CollapseProject
     //    re-inlines the shingle expression into EVERY one of the
     //    bands x rows min-hash transforms (there is no common-subexpression
@@ -105,12 +106,12 @@ object Dedup {
       .filter(size(col(shinglesCol)) > 0)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), col(shinglesCol))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base
       .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable))
       .withColumn("_bands", lshBandKeys(col("_sig"), bands, rowsPerBand))
       .select(col(idCol), col(shinglesCol), posexplode(col("_bands")).as(Seq("band", "bucket")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(shinglesCol).as("toks_a"))
     val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),

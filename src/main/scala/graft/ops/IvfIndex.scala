@@ -88,7 +88,7 @@ object IvfIndex {
     val (assigned, cents) = assign(df, idCol, vecCol, nCentroids, seed)
     val corpus = assigned.select(col("_centroid"),
       col(idCol).as("neighbor_id"), Similarity.scaled(col(vecCol)).as("_sn"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), Similarity.scaled(col(vecCol)).as("_sq"),
         explode(probeList(col(vecCol).cast("array<double>"), cents, nProbe))

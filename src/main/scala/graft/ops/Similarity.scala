@@ -108,7 +108,7 @@ object Similarity {
       blockKey: Column, threshold: Double): DataFrame = {
     val prepared = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(blockKey.as("blk"), col(idCol).as("id"), scaled(col(vecCol)).as("_s"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"))
     val b = prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"))
     a.join(b, Seq("blk"))

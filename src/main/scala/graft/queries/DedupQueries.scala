@@ -121,11 +121,11 @@ object DedupQueries {
       .select(col("doc_id"), expr("n_chars DIV 64").as("_blk"),
         transform(TextAnalysis.tokens(col("text")),
           t => Dedup.hash60(t, "sh", portable = true)).as("_h"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = hashed
       .withColumn("_simhash", Dedup.simhashFromHashes(col("_h"), 16))
       .select("_blk", "doc_id", "_simhash")
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("_blk"), col("doc_id").as("id_a"), col("_simhash").as("sh_a"))
     val b = docs.select(col("_blk"), col("doc_id").as("id_b"), col("_simhash").as("sh_b"))
     a.join(b, Seq("_blk"))

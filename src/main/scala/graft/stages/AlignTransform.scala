@@ -150,7 +150,7 @@ object AlignTransform {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(outDir).getFileSystem(conf)
     val dirs = Option(fs.globStatus(new HPath(s"$tmp/_ep_name=*"))).map(_.toSeq).getOrElse(Nil)
-    val written = dirs.map { st =>
+    val written = graft.io.ParallelFs.mapParallel(dirs) { st =>
       val name = st.getPath.getName.stripPrefix("_ep_name=")
       val part = fs.globStatus(new HPath(st.getPath, "part-*.parquet")).head.getPath
       val target = new HPath(s"$outDir/$name")

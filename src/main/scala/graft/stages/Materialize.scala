@@ -72,7 +72,7 @@ object Materialize {
     val fs = new HPath(outDir).getFileSystem(conf)
     val parts = Option(fs.globStatus(new HPath(s"$tmp/split=*/chunk=*/_ep_name=*")))
       .map(_.toSeq).getOrElse(Nil)
-    parts.foreach { st =>
+    graft.io.ParallelFs.mapParallel(parts) { st =>
       val epName = st.getPath.getName.stripPrefix("_ep_name=")
       val chunkDir = st.getPath.getParent
       val splitDir = chunkDir.getParent
@@ -127,30 +127,45 @@ object Materialize {
   /** Link/copy source videos into the layout; adds `<view>.path` columns.
     * All four reference modes (symlink relative / hardlink / copy /
     * manifest-only).
+    *
+    * Executor-side: the (episode × view) candidates are a DataFrame, the
+    * link/copy side effects run in `mapPartitions` (idempotent — delete
+    * then create — so task retries are safe), and the placed paths come
+    * back as rows that pivot into one column per view and join onto the
+    * index. No `collect()` of the index, no literal maps in the plan: at
+    * 10M episodes this is a normal distributed job, not a driver loop.
     */
   private def placeVideos(spark: SparkSession, index: DataFrame, outDir: String,
       cfg: Config): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val rows = index.collect()
-    val outCols = cfg.views.map { view =>
-      val paths: Map[Long, String] = cfg.videosRoot match {
-        case None => Map.empty
-        case Some(vroot) =>
-          rows.iterator.flatMap { r =>
-            val ep = r.getAs[Long]("episode_index")
-            val split = r.getAs[String]("split")
-            val srcP = Paths.get(vroot, s"chunk-${cfg.videoSourceChunkId}", view,
-              f"episode_$ep%06d.mp4")
+    import spark.implicits._
+    def addPathCol(df: DataFrame, view: String, c: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn(s"${view}_path_tmp".replace(".", "_"), c)
+        .withColumnRenamed(s"${view}_path_tmp".replace(".", "_"), s"$view.path")
+    cfg.videosRoot match {
+      case None =>
+        cfg.views.foldLeft(index)((df, view) =>
+          addPathCol(df, view, lit(null).cast("string")))
+      case Some(vroot) =>
+        val linkMode = cfg.linkVideos
+        val chunkId = cfg.chunkId
+        val srcChunk = cfg.videoSourceChunkId
+        val outRoot = outDir.stripPrefix("file:")
+        val candidates = index.select(col("episode_index"), col("split"))
+          .crossJoin(cfg.views.toDF("view")) // |views| rows — broadcast NLJ
+        val placed = candidates.as[(Long, String, String)].mapPartitions { it =>
+          import java.nio.file.{Files, Paths}
+          it.flatMap { case (ep, split, view) =>
+            val srcP = Paths.get(vroot, s"chunk-$srcChunk", view, f"episode_$ep%06d.mp4")
             if (!Files.exists(srcP)) None
             else {
-              val relPath = s"split=$split/chunk=${cfg.chunkId}/videos/$view/" +
+              val relPath = s"split=$split/chunk=$chunkId/videos/$view/" +
                 f"episode_$ep%06d.mp4"
-              val dstP = Paths.get(outDir.stripPrefix("file:"), s"split=$split",
-                s"chunk=${cfg.chunkId}", "videos", view, f"episode_$ep%06d.mp4")
-              if (cfg.linkVideos != "manifest-only") {
+              val dstP = Paths.get(outRoot, s"split=$split", s"chunk=$chunkId",
+                "videos", view, f"episode_$ep%06d.mp4")
+              if (linkMode != "manifest-only") {
                 Files.createDirectories(dstP.getParent)
                 Files.deleteIfExists(dstP)
-                cfg.linkVideos match {
+                linkMode match {
                   case "symlink" =>
                     Files.createSymbolicLink(dstP, dstP.getParent.relativize(srcP.toAbsolutePath))
                   case "hardlink" => Files.createLink(dstP, srcP)
@@ -158,20 +173,20 @@ object Materialize {
                   case other => throw new IllegalArgumentException(s"Unknown link method: $other")
                 }
               }
-              Some(ep -> relPath)
+              Some((ep, view, relPath))
             }
-          }.toMap
-      }
-      view -> paths
+          }
+        }.toDF("episode_index", "view", "rel_path")
+        // one path column per view (explicit pivot values: no discovery job)
+        val pivoted = placed.groupBy("episode_index")
+          .pivot("view", cfg.views)
+          .agg(first("rel_path"))
+          .withColumnRenamed("episode_index", "_pv_ep")
+        val joined = index
+          .join(pivoted, col("episode_index") === col("_pv_ep"), "left")
+          .drop("_pv_ep")
+        cfg.views.foldLeft(joined)((df, view) =>
+          addPathCol(df, view, col(s"`$view`")).drop(col(s"`$view`")))
     }
-    // attach as literal map lookups (small: one row per episode)
-    import spark.implicits._
-    var df = index
-    outCols.foreach { case (view, paths) =>
-      val mapping = if (paths.isEmpty) typedLit(Map.empty[Long, String]) else typedLit(paths)
-      df = df.withColumn(s"$view.path".replace(".", "_") + "_tmp", mapping(col("episode_index")))
-        .withColumnRenamed(s"$view.path".replace(".", "_") + "_tmp", s"$view.path")
-    }
-    df
   }
 }

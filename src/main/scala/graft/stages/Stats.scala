@@ -163,14 +163,22 @@ object Stats {
       val dims = raw.select(posexplode(c.cast(ArrayType(DoubleType))).as(Seq("dim", "v")))
       val agg = dims.groupBy("dim").agg(
         count(lit(1)).as("n"), avg("v").as("mean"), stddev_pop("v").as("std"),
-        min("v").as("mn"), max("v").as("mx")).orderBy("dim").collect()
+        min("v").as("mn"), max("v").as("mx"),
+        // q01/q99 like the reference dataset's meta/stats.json; approximate
+        // with tight accuracy — the mergeable sketch is the 100 TB path
+        // (exact percentile would hold all values per group in memory)
+        percentile_approx(col("v"), lit(0.01), lit(100000)).as("q01"),
+        percentile_approx(col("v"), lit(0.99), lit(100000)).as("q99"))
+        .orderBy("dim").collect()
       if (agg.isEmpty) None
       else Some(key -> FeatureStats(
         count = agg.head.getAs[Long]("n"),
         mean = agg.map(_.getAs[Double]("mean")).toSeq,
         std = agg.map(_.getAs[Double]("std")).toSeq,
         min = agg.map(_.getAs[Double]("mn")).toSeq,
-        max = agg.map(_.getAs[Double]("mx")).toSeq))
+        max = agg.map(_.getAs[Double]("mx")).toSeq,
+        q01 = Some(agg.map(_.getAs[Double]("q01")).toSeq),
+        q99 = Some(agg.map(_.getAs[Double]("q99")).toSeq)))
     }.toMap
     GlobalStats(epCount, frameCount, "frames", featureStats)
   }

@@ -92,4 +92,33 @@ class DiscoverSpec extends SparkSuite {
     val fp2 = spark.read.parquet(manifest2).select("fingerprint").head.getString(0)
     assert(fp1 === fp2)
   }
+
+  test("discover --stdout emits one JSON delta line per row (neura.py:66-74 contract)") {
+    val root = tmpDir("disc_stdout")
+    val manifest = s"$root/manifest/episodes.parquet"
+    dataset(spark, root, Map(0L -> cleanFrames(0, 5), 1L -> cleanFrames(1, 7)),
+      videosFor = Set(0L, 1L))
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.cli.Main.run(spark, List("discover", root, manifest, "--stdout"))
+    }
+    val lines = buf.toString("UTF-8").split("\n").filter(_.trim.nonEmpty).toSeq
+    assert(lines.size === 2) // both episodes are NEW → both in the delta
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = lines.map(mapper.readTree)
+    // reference column surface, incl. null-valued keys kept
+    Seq("episode_index", "chunk", "parquet_uri", "exists_front", "exists_wrist",
+      "bytes_total", "fingerprint", "fingerprint_algo", "discovered_at", "status")
+      .foreach(k => assert(parsed.forall(_.has(k)), s"missing key $k"))
+    assert(parsed.map(_.get("episode_index").asLong).toSet === Set(0L, 1L))
+    assert(parsed.forall(_.get("status").asText == core.Status.New))
+
+    // second scan: no changes → empty delta → no JSONL lines
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      graft.cli.Main.run(spark, List("discover", root, manifest, "--stdout"))
+    }
+    assert(buf2.toString("UTF-8").split("\n").forall(_.trim.isEmpty))
+  }
 }

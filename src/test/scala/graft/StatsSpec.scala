@@ -92,6 +92,40 @@ class StatsSpec extends SparkSuite {
     assert(gs.features("action").count === 4)
   }
 
+  test("computeFromFrames emits q01/q99 matching the reference stats.json shape") {
+    // golden SHAPE contract: the reference dataset's meta/stats.json carries
+    // per-feature q01/q99 vectors next to mean/std/min/max
+    // (reference robot_data/meta/stats.json)
+    val refPath = Paths.get("/root/reference/robot_data/meta/stats.json")
+    if (Files.exists(refPath)) {
+      val ref = graft.core.StatsDoc.parse(new String(Files.readAllBytes(refPath)))
+      assert(ref.isDefined)
+      val act = ref.get.features("action")
+      assert(act.q01.isDefined && act.q99.isDefined)
+      assert(act.q01.get.size === act.mean.size)
+    }
+
+    val root = tmpDir("stats_q")
+    val episodes = Map(0L -> cleanFrames(0, 40), 1L -> cleanFrames(1, 40))
+    dataset(spark, root, episodes)
+    val gs = Stats.computeFromFrames(Episodes.readDataDir(spark, s"$root/data"), features)
+    features.foreach { k =>
+      val f = gs.features(k)
+      assert(f.q01.isDefined && f.q99.isDefined, s"$k missing q01/q99")
+      assert(f.q01.get.size === f.mean.size && f.q99.get.size === f.mean.size)
+      // quantiles bounded by min/max and ordered, per dimension
+      f.q01.get.indices.foreach { d =>
+        assert(f.min(d) <= f.q01.get(d) && f.q01.get(d) <= f.q99.get(d) &&
+          f.q99.get(d) <= f.max(d), s"$k dim $d quantiles out of bounds")
+      }
+    }
+    // render → parse roundtrip preserves the quantile vectors
+    val text = graft.core.StatsDoc.render(gs, features, "test")
+    val rt = graft.core.StatsDoc.parse(text).get
+    assert(rt.features("action").q01 === gs.features("action").q01)
+    assert(rt.features("action").q99 === gs.features("action").q99)
+  }
+
   test("full run writes a parseable global_stats.json") {
     val root = tmpDir("stats_run")
     val episodes = Map(0L -> cleanFrames(0, 8), 1L -> cleanFrames(1, 9))
