@@ -39,6 +39,16 @@ object Hashing {
   /** Seeded hash → unit interval [0, 1). Deterministic across engines. */
   def hashUnit(c: Column, seed: String): Column = hash60(c, seed).cast("double") / Span
 
+  /** Driver-side twin of [[hash60]] for precomputing literal tables
+    * (e.g. LSH hyperplanes): bit-identical to the column expression.
+    */
+  def hash60Jvm(c: String, seed: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$c".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Deterministic split assignment (reference materialize_refactored.py:16-26):
     * unit-interval thresholding h < train → "train", h < train+val → "val",
     * else "test". Fraction sanity is validated on the driver by callers.

@@ -46,17 +46,20 @@ object IvfIndex {
   }
 
   /** Nearest-centroid id expression against the broadcast centroid list
-    * (argmax cosine, deterministic id tiebreak).
+    * (argmax cosine, deterministic earliest-centroid tiebreak).
+    *
+    * Implemented as [[probeList]] with nProbe=1 — ONE array of scored
+    * structs, each centroid cosine evaluated exactly once per row. A
+    * `reduceLeft(when(b.sim > a.sim, b).otherwise(a))` chain is the
+    * equivalent argmax but references the accumulator twice per step:
+    * with no common-subexpression elimination in interpreted eval the
+    * first centroid's cosine explodes into ~2^k copies (measured 121 s
+    * for q37 at sf0.1 vs ~3 s for this form). array_sort's comparator
+    * sort is stable, so ties keep hash order — same winner as the
+    * strict-greater reduce.
     */
-  def nearestCentroid(v: Column, centroids: Array[(Long, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cid, cv) =>
-      struct(cosToLit(v, cv).as("sim"), org.apache.spark.sql.functions.lit(cid).as("cid"))
-    }
-    val best = scored.reduceLeft { (a, b) =>
-      when(b.getField("sim") > a.getField("sim"), b).otherwise(a)
-    }
-    best.getField("cid")
-  }
+  def nearestCentroid(v: Column, centroids: Array[(Long, Seq[Double])]): Column =
+    probeList(v, centroids, 1).getItem(0)
 
   /** Ranked centroid ids for a query vector (for nProbe > 1), as an array
     * column ordered by descending similarity.
@@ -86,9 +89,12 @@ object IvfIndex {
       queryPred: Column, k: Int, nCentroids: Int, nProbe: Int,
       seed: String): DataFrame = {
     val (assigned, cents) = assign(df, idCol, vecCol, nCentroids, seed)
+    // no persist: the corpus feeds exactly one join, so a materialization
+    // barrier would only add a pass (nearestCentroid evaluates each
+    // centroid cosine once — see its scaladoc — so there is no
+    // expression-duplication hazard to firewall here)
     val corpus = assigned.select(col("_centroid"),
       col(idCol).as("neighbor_id"), Similarity.scaled(col(vecCol)).as("_sn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), Similarity.scaled(col(vecCol)).as("_sq"),
         explode(probeList(col(vecCol).cast("array<double>"), cents, nProbe))

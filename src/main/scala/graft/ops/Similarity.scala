@@ -59,24 +59,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-0.5, 0.5). Portable across engines.
+  /** Deterministic pseudo-random hyperplane vector for one plane: per-dim
+    * md5-derived values in [-0.5, 0.5). Computed ONCE on the driver
+    * (bit-identical to the per-row `hashUnit(…) - 0.5` expression — the
+    * oracle SQL mirrors that form) and shipped as an array literal: the
+    * per-row cost drops from planes×dims md5 calls to one zip_with dot.
     */
-  private def planeComponent(plane: Int, dim: Column, seed: String): Column =
-    graft.functions.Hashing.hashUnit(
-      concat_ws(":", lit(plane.toString), dim.cast("string")), seed) - 0.5
+  def planeVector(plane: Int, dims: Int, seed: String): Seq[Double] =
+    (0 until dims).map(i =>
+      graft.functions.Hashing.hash60Jvm(s"$plane:$i", seed).toDouble /
+        1152921504606846976.0 /* 2^60 */ - 0.5)
 
   /** Sign-LSH bucket id: `planes` hyperplane sign bits packed into a Long.
-    * Vectors in the same bucket are candidate neighbors.
+    * Vectors in the same bucket are candidate neighbors. `dims` bounds the
+    * vector width (extra literal components are sliced off per row).
     */
-  def signBucket(v: Column, planes: Int, seed: String): Column = {
+  def signBucket(v: Column, planes: Int, seed: String, dims: Int): Column = {
     val sv = v.cast("array<double>")
     (0 until planes).map { p =>
+      val pv = typedLit(planeVector(p, dims, seed))
       val dot = aggregate(
-        zip_with(sv, sequence(lit(0), size(sv) - 1),
-          (x, i) => x * planeComponent(p, i, seed)),
+        zip_with(sv, slice(pv, lit(1), size(sv)), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -86,8 +91,10 @@ object Similarity {
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, planes: Int, seed: String): DataFrame = {
+    // one-row probe for the corpus dimensionality (bounds the plane literals)
+    val dims = df.select(size(col(vecCol))).head.getInt(0)
     val bucketed = df.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), planes, seed).as("_bucket"))
+      signBucket(col(vecCol), planes, seed, dims).as("_bucket"))
     val corpus = bucketed.select(col("_bucket"), col(idCol).as("neighbor_id"),
       scaled(col(vecCol)).as("_sn"))
     val queries = bucketed.filter(queryPred)

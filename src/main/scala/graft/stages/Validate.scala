@@ -136,16 +136,27 @@ object Validate {
         "video_front_uri", "video_wrist_uri", "parquet_exists").cache()
 
     val present = withExists.filter(col("parquet_exists"))
-    val presentFiles = present.select("parquet_uri").as[String].collect().toSeq.sorted
+    // Driver state is O(#directories), not O(#episodes): collect only the
+    // distinct parent dirs, read them as globs, and keep manifest-present
+    // files via the post-aggregation join below (one row per episode by
+    // then). Collecting every file path was a 10M-episode driver ceiling.
+    val presentDirs = present
+      .select(regexp_replace(col("parquet_uri"), "/[^/]+$", "").as("dir"))
+      .distinct().as[String].collect().sorted
+
+    // `input_file_name()` is scheme-qualified; manifest URIs may not be.
+    def normUri(c: Column): Column = regexp_replace(c, "^file:/+", "/")
 
     val validated: DataFrame =
-      if (presentFiles.isEmpty) spark.emptyDataFrame
+      if (presentDirs.isEmpty) spark.emptyDataFrame
       else {
-        val aggs = episodeAggregates(Episodes.readRaw(spark, presentFiles))
+        val aggs = episodeAggregates(
+          Episodes.readRaw(spark, presentDirs.map(d => s"$d/episode_*.parquet")))
+        // inner join: drops any globbed file the manifest doesn't know
         verdicts(aggs, meta, cfg)
           .join(present.select(col("parquet_uri").as("src_uri"), col("chunk").as("m_chunk"),
               col("video_front_uri"), col("video_wrist_uri")),
-            col("src_file") === col("src_uri"), "left")
+            normUri(col("src_file")) === normUri(col("src_uri")), "inner")
           .select(
             col("episode_index"), col("m_chunk").as("chunk"),
             col("src_uri").as("parquet_uri"),

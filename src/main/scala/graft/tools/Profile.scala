@@ -24,7 +24,9 @@ object Profile {
       }
     } else {
       val fn = graft.SparkEntry.queries(name)
-      for (i <- 1 to 3) {
+      val cold = sys.env.get("PROFILE_COLD").contains("1")
+      for (i <- 1 to sys.env.get("PROFILE_RUNS").map(_.toInt).getOrElse(3)) {
+        if (cold) spark.catalog.clearCache() // bench-faithful: no cross-run reuse
         val t0 = System.nanoTime()
         val n2 = fn(spark, sfDir).count()
         println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n2 rows")

@@ -93,6 +93,15 @@ class OpsSpec extends SparkSuite {
     assert(top.map(_.getLong(1)).contains(1L))
   }
 
+  test("hash60Jvm (driver-side plane tables) is bit-identical to the hash60 expression") {
+    val strs = ((0 until 64).map(i => s"0:$i") ++ Seq("3:7", "", "x")).toDF("x")
+    val fromExpr = strs.select(col("x"), Hashing.hash60(col("x"), "lsh1").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fromExpr.foreach { case (s, h) =>
+      assert(Hashing.hash60Jvm(s, "lsh1") === h, s"mismatch for '$s'")
+    }
+  }
+
   test("native Hash60 expression is bit-identical to the composed md5/conv chain") {
     val strs = ((0 until 500).map(i => s"token_$i") ++ Seq("", "a", "é中文", "with:colons", "sp ace")).toDF("x")
     val mismatches = strs.select(
