@@ -234,6 +234,46 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact linear-interpolation per-dimension quantiles (numpy `quantile`
+    * semantics) — the exact twin of the percentile_approx sketch in Stats,
+    * gated bit-for-bit: both engines pick the two bracketing order
+    * statistics per dim and interpolate with the same IEEE formula.
+    */
+  val q38EmbedQuantiles: Q = {
+    val ps = Seq("q01" -> 0.01, "q50" -> 0.5, "q99" -> 0.99)
+    def p(d: Double) = s"CAST($d AS DOUBLE)"
+    val caseCols = ps.map { case (name, q) =>
+      s"""    max(CASE WHEN rn = CAST(floor(${p(q)} * (n_w - 1)) AS BIGINT) THEN v END) AS _lo_$name,
+         |    max(CASE WHEN rn = CAST(ceil(${p(q)} * (n_w - 1)) AS BIGINT) THEN v END) AS _hi_$name""".stripMargin
+    }.mkString(",\n")
+    val outCols = ps.map { case (name, q) =>
+      val pos = s"${p(q)} * (n - 1)"
+      s"""  CAST(floor((_lo_$name + ($pos - floor($pos)) * (_hi_$name - _lo_$name)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS $name"""
+    }.mkString(",\n")
+    Q(
+      "q38_embed_quantiles",
+      s"""WITH e AS (
+         |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT dim, v,
+         |    row_number() OVER (PARTITION BY dim ORDER BY v) - 1 AS rn,
+         |    count(*) OVER (PARTITION BY dim) AS n_w
+         |  FROM e
+         |), g AS (
+         |  SELECT dim, count(*) AS n,
+         |$caseCols
+         |  FROM r GROUP BY dim
+         |)
+         |SELECT dim, n,
+         |$outCols
+         |FROM g ORDER BY dim""".stripMargin) { (s, dir) =>
+      graft.ops.Quantiles.perDimension(Tables.embeddings(s, dir), "embedding", ps)
+        .orderBy("dim")
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
-    q32Sessionize, q36SignLshTopK, q37IvfTopK)
+    q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles)
 }

@@ -76,5 +76,24 @@ object StreamingQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions, q35MediaByteStats)
+  /** Custom stateful streaming operator (mapGroupsWithState): the running
+    * per-user counter's FINAL state after draining the events file must
+    * equal the batch groupBy — the state-machine surface gated against a
+    * plain SQL aggregate. Update mode + one AvailableNow-style batch →
+    * exactly one row per user in the memory sink.
+    */
+  val q39RunningUserCounts: Q = Q(
+    "q39_running_user_counts",
+    """SELECT user_id, count(*) AS n_events,
+      |  max(coalesce(value, CAST(0 AS DOUBLE))) AS max_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.runningUserCounts(s, df), "q39_mem", OutputMode.Update)
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
+    q35MediaByteStats, q39RunningUserCounts)
 }
