@@ -88,12 +88,16 @@ object Materialize {
     // dataset index (A13-A14): one row per episode with paths + row counts.
     // `split`/`chunk` were consumed by partitionBy, so recompute split from
     // the same deterministic hash — identical by construction.
+    // persisted: placeVideos consumes the index twice (link candidates +
+    // the final path join) — without the barrier the full-corpus groupBy
+    // above would run once per consumer
     val index = raw.groupBy(col("_ep_idx").as("episode_index"), col("_ep_name"))
       .agg(count(lit(1)).as("num_rows"))
       .withColumn("split", splitCol(col("episode_index"), cfg))
       .withColumn("chunk", lit(cfg.chunkId))
       .withColumn("parquet_path",
         concat(lit("split="), col("split"), lit(s"/chunk=${cfg.chunkId}/"), col("_ep_name")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // video placement (S18) + per-view index paths
     val withVideos = placeVideos(spark, index, outDir, cfg)
