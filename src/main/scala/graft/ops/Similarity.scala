@@ -93,7 +93,10 @@ object Similarity {
       queryPred: Column, k: Int, planes: Int, seed: String): DataFrame = {
     // one-row probe for the corpus dimensionality (bounds the plane literals)
     val dims = df.select(size(col(vecCol))).head.getInt(0)
-    val bucketed = df.select(col(idCol), col(vecCol),
+    // spread before the per-row plane dots: single-file sources otherwise
+    // evaluate the bucketing on one core (see COVERAGE.md scale notes)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val bucketed = spread.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), planes, seed, dims).as("_bucket"))
     val corpus = bucketed.select(col("_bucket"), col(idCol).as("neighbor_id"),
       scaled(col(vecCol)).as("_sn"))
