@@ -136,5 +136,23 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh, q28Simhash)
+  /** Salted skew join gate: documents (5-language Zipfian key — every row
+    * of a language lands on one reducer unsalted) joined to per-language
+    * counts through SkewJoin. The salted plan must produce EXACTLY the
+    * plain-join result, which the oracle states as a window count.
+    */
+  val q40SaltedSkewJoin: Q = Q(
+    "q40_salted_skew_join",
+    """SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS lang_n
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    graft.ops.SkewJoin.saltedJoin(docs, perLang, "lang", col("doc_id"), salts = 8)
+      .select("doc_id", "lang", "lang_n")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
+    q28Simhash, q40SaltedSkewJoin)
 }

@@ -152,4 +152,25 @@ class OpsSpec extends SparkSuite {
     assert(sh(0L) === Seq.empty)
     assert(sh(1L) === Seq("a b c", "b c d"))
   }
+
+  test("salted skew join equals the plain join and spreads hot keys over salts") {
+    // Zipfian key: 900 of 1000 rows share key "hot"
+    val big = (0 until 1000).map(i =>
+      (i.toLong, if (i < 900) "hot" else s"cold_${i % 7}")).toDF("id", "k")
+    val small = Seq(("hot", 1L), ("cold_0", 2L), ("cold_1", 3L), ("cold_2", 4L),
+      ("cold_3", 5L), ("cold_4", 6L), ("cold_5", 7L), ("cold_6", 8L)).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).select("id", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val salted = graft.ops.SkewJoin.saltedJoin(big, small, "k", col("id"), salts = 8)
+      .select("id", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 1000)
+    // the hot key's rows really split across multiple salts
+    val saltSpread = big.filter(col("k") === "hot")
+      .select(org.apache.spark.sql.functions.pmod(
+        Hashing.hash60(col("id").cast("string"), "salt"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(saltSpread > 4, s"hot key used only $saltSpread of 8 salts")
+  }
 }
