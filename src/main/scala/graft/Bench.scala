@@ -21,6 +21,39 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT the interpreted higher-order-expression paths,
+    // whole-stage codegen, shuffle and window machinery once, so the first
+    // timed query measures the engine, not JVM cold start.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val d = spark.range(0, 20000)
+        .select(col("id"), transform(sequence(lit(0), lit(15)),
+          i => i.cast("double") * 0.5).as("v"))
+      d.select(
+          aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+            lit(0.0), (a, x) => a + x).as("dot"),
+          conv(substring(md5(concat_ws(":", lit("w"), col("id"))), 1, 15), 16, 10).as("h"),
+          row_number().over(Window.partitionBy(col("id") % 16).orderBy("id")).as("rn"))
+        .groupBy("rn").count().count()
+      // streaming machinery (micro-batch engine, state store provider,
+      // memory sink) — first streaming query otherwise pays ~5 s of init
+      val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
+      spark.range(0, 1000)
+        .select(expr("timestamp_micros(id * 1000000)").as("ts"), (col("id") % 7).as("k"))
+        .write.mode("overwrite").parquet(warmDir)
+      val wq = spark.readStream
+        .schema("ts TIMESTAMP, k BIGINT")
+        .parquet(warmDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 minute"), col("k")).count()
+        .writeStream.format("memory").queryName("_bench_warm")
+        .outputMode("complete").start()
+      wq.processAllAvailable()
+      wq.stop()
+      wq.awaitTermination()
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
