@@ -42,16 +42,27 @@ object Bench {
       spark.range(0, 1000)
         .select(expr("timestamp_micros(id * 1000000)").as("ts"), (col("id") % 7).as("k"))
         .write.mode("overwrite").parquet(warmDir)
-      val wq = spark.readStream
-        .schema("ts TIMESTAMP, k BIGINT")
-        .parquet(warmDir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 minute"), col("k")).count()
-        .writeStream.format("memory").queryName("_bench_warm")
-        .outputMode("complete").start()
-      wq.processAllAvailable()
-      wq.stop()
-      wq.awaitTermination()
+      def warmStream(qname: String)(build: org.apache.spark.sql.DataFrame =>
+          (org.apache.spark.sql.DataFrame, String)): Unit = {
+        val src = spark.readStream.schema("ts TIMESTAMP, k BIGINT").parquet(warmDir)
+        val (out, mode) = build(src)
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode(mode).start()
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+      }
+      // each stateful operator has its own state format/codegen to warm
+      warmStream("_bw_window") { s =>
+        (s.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 minute"), col("k")).count(), "complete")
+      }
+      warmStream("_bw_session") { s =>
+        (s.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "1 minute"), col("k")).count(), "complete")
+      }
+      warmStream("_bw_mgws") { s =>
+        (streaming.EventStream.runningUserCounts(spark,
+          s.selectExpr("k AS user_id", "CAST(k AS DOUBLE) AS value")), "update")
+      }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
