@@ -83,7 +83,7 @@ object Bench {
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
     catch { case _: Throwable => () }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()

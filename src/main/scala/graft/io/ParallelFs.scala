@@ -15,7 +15,16 @@ object ParallelFs {
       val pool = Executors.newFixedThreadPool(math.min(parallelism, items.size))
       try {
         val futures = items.map(a => pool.submit(new Callable[B] { def call(): B = f(a) }))
-        futures.map(_.get())
+        futures.map { fut =>
+          try fut.get()
+          catch {
+            // surface the worker's own exception, not the ExecutionException
+            // wrapper, and stop queued work before unwinding
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
       } finally pool.shutdown()
     }
   }

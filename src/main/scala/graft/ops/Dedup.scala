@@ -92,8 +92,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
       bands: Int, rowsPerBand: Int, seed: String, threshold: Double,
       portable: Boolean = true): DataFrame = {
-    // TWO materialization barriers, both load-bearing (MEMORY_AND_DISK so
-    // they survive memory pressure at scale instead of recomputing):
+    // TWO materialization barriers, both load-bearing (explicit
+    // MEMORY_AND_DISK — the Dataset default, spelled out because the
+    // barrier surviving memory pressure is what the correctness of the
+    // cost model here relies on):
     // 1. `base` caches the shingle arrays. Without it, CollapseProject
     //    re-inlines the shingle expression into EVERY one of the
     //    bands x rows min-hash transforms (there is no common-subexpression

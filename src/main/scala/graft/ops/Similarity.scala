@@ -91,8 +91,25 @@ object Similarity {
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, planes: Int, seed: String): DataFrame = {
-    // one-row probe for the corpus dimensionality (bounds the plane literals)
-    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    // max-width probe for the corpus dimensionality (bounds the plane
+    // literals): max — not an arbitrary first row — so ragged corpora still
+    // get full-length plane vectors (a too-short literal would null-pad the
+    // zip_with and collapse wide vectors into bucket 0). Empty/all-null
+    // corpus → empty result with the output schema.
+    val dimsRow = df.agg(max(size(col(vecCol)))).head()
+    if (dimsRow.isNullAt(0))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType))))
+    val dims = dimsRow.getInt(0)
     // spread before the per-row plane dots: single-file sources otherwise
     // evaluate the bucketing on one core (see COVERAGE.md scale notes)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)

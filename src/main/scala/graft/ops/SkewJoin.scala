@@ -20,13 +20,22 @@ object SkewJoin {
 
   /** @param bigRowKey a unique-ish column of `big` used only to derive the
     *                  deterministic salt (any stable id works; collisions
-    *                  just co-locate rows, never corrupt results)
+    *                  just co-locate rows, never corrupt results; nulls
+    *                  fall into one fixed salt)
+    * @param joinType  inner or any left-side type — right/full outer would
+    *                  return each unmatched small row once per salt, so
+    *                  they are rejected
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       bigRowKey: Column, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "leftouter", "left_outer", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(
+        joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin preserves plain-join semantics only for inner/left joins, got $joinType")
     val salted = big.withColumn("_salt",
-      pmod(graft.functions.Hashing.hash60(bigRowKey.cast("string"), "salt"), lit(salts.toLong)))
+      pmod(graft.functions.Hashing.hash60(
+        coalesce(bigRowKey.cast("string"), lit("")), "salt"), lit(salts.toLong)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

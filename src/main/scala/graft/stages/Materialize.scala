@@ -16,9 +16,10 @@ import graft.io.{Episodes, SingleFile}
   * portable hash (no driver loop); the partitioned layout is ONE
   * partitionBy write job + metadata renames; the index is a small DataFrame
   * aggregation. Video placement (symlink/hardlink/copy/manifest-only,
-  * materialize_refactored.py:29-47) runs on the driver for local FS — at
-  * scale it would move into foreachPartition, but link semantics are
-  * inherently FS-local.
+  * materialize_refactored.py:29-47) runs executor-side in mapPartitions —
+  * which requires a SHARED filesystem (NFS/HDFS-mounted paths): links are
+  * created on whichever machine the task runs, so on a cluster the
+  * videosRoot/outDir must resolve identically on every executor.
   */
 object Materialize {
 

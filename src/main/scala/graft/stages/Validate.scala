@@ -136,22 +136,35 @@ object Validate {
         "video_front_uri", "video_wrist_uri", "parquet_exists").cache()
 
     val present = withExists.filter(col("parquet_exists"))
-    // Driver state is O(#directories), not O(#episodes): collect only the
-    // distinct parent dirs, read them as globs, and keep manifest-present
-    // files via the post-aggregation join below (one row per episode by
-    // then). Collecting every file path was a 10M-episode driver ceiling.
-    val presentDirs = present
-      .select(regexp_replace(col("parquet_uri"), "/[^/]+$", "").as("dir"))
-      .distinct().as[String].collect().sorted
+    // Hybrid read strategy:
+    //  - small actionable delta (the common CDC case): explicit file list —
+    //    reads ONLY the delta, driver memory bounded by the threshold;
+    //  - huge delta (first scan / full re-validate): per-directory globs so
+    //    driver state is O(#directories), not O(#episodes). The glob may
+    //    read extra non-manifest files; they are dropped after the cheap
+    //    per-episode aggregation by the join below.
+    val ExplicitListMax = 100000L
+    val presentCount = present.count()
+    val readPaths: Seq[String] =
+      if (presentCount <= ExplicitListMax)
+        present.select("parquet_uri").as[String].collect().toSeq.sorted
+      else
+        present.select(regexp_replace(col("parquet_uri"), "/[^/]+$", "").as("dir"))
+          .distinct().as[String].collect().sorted.map(d => s"$d/episode_*.parquet")
 
-    // `input_file_name()` is scheme-qualified; manifest URIs may not be.
-    def normUri(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+    // `input_file_name()` is a scheme-qualified, percent-ENCODED URI;
+    // manifest URIs (Hadoop Path.toString) keep raw chars and may lack the
+    // scheme. Normalize both sides: strip scheme, then percent-decode
+    // (decoding a string without '%' escapes is the identity).
+    def normUri(c: Column): Column = {
+      val stripped = regexp_replace(c, "^file:/+", "/")
+      coalesce(try_url_decode(stripped), stripped)
+    }
 
     val validated: DataFrame =
-      if (presentDirs.isEmpty) spark.emptyDataFrame
+      if (readPaths.isEmpty) spark.emptyDataFrame
       else {
-        val aggs = episodeAggregates(
-          Episodes.readRaw(spark, presentDirs.map(d => s"$d/episode_*.parquet")))
+        val aggs = episodeAggregates(Episodes.readRaw(spark, readPaths))
         // inner join: drops any globbed file the manifest doesn't know
         verdicts(aggs, meta, cfg)
           .join(present.select(col("parquet_uri").as("src_uri"), col("chunk").as("m_chunk"),
