@@ -153,6 +153,34 @@ class OpsSpec extends SparkSuite {
     assert(sh(1L) === Seq("a b c", "b c d"))
   }
 
+  test("signLshTopK: empty corpus yields empty result; ragged widths keep full-width planes") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.signLshTopK(empty, "vec_id", "embedding",
+      col("vec_id") === 0, 2, planes = 4, seed = "p").count() === 0)
+    // ragged: first row narrower than the widest — wide vectors must not
+    // collapse into bucket 0 (max-width probe, not first-row probe)
+    val ragged = Seq(
+      (0L, Array(0.5f, 0.5f)),
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (2L, Array(1.0f, 0.2f, -0.3f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.signLshTopK(ragged, "vec_id", "embedding",
+      col("vec_id") === 1, 2, planes = 4, seed = "p").collect()
+    assert(out.map(_.getLong(1)).contains(2L)) // identical wide vector recalled
+  }
+
+  test("salted skew join handles null row keys and rejects outer types") {
+    val big = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "a"))
+      .toDF("id", "k")
+    val small = Seq(("a", 10L)).toDF("k", "v")
+    val out = graft.ops.SkewJoin.saltedJoin(big, small, "k", col("id"), salts = 4)
+      .select("k", "v").collect()
+    assert(out.length === 2) // the null-id row still joins
+    intercept[IllegalArgumentException] {
+      graft.ops.SkewJoin.saltedJoin(big, small, "k", col("id"), 4, joinType = "full")
+    }
+  }
+
   test("salted skew join equals the plain join and spreads hot keys over salts") {
     // Zipfian key: 900 of 1000 rows share key "hot"
     val big = (0 until 1000).map(i =>
