@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE JSON metric line from `sbt "runMain graft.Bench"`
+// stdout. sbt's default logger prefixes forked-run output with "[info] "
+// and appends a "[success] Total time" line, both of which break that
+// parse. StdoutOutput pipes the forked JVM's stdout through unprefixed,
+// and showSuccess drops the trailing success line, so the metric line is
+// the final, raw stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
