@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native codegen'd dot products over array columns.
+  *
+  * The composed form `aggregate(zip_with(a, b, (x, y) => x * y), 0, + )`
+  * is evaluated INTERPRETED (higher-order functions never enter
+  * whole-stage codegen), which is the dominant cost of every pairwise
+  * similarity join: a single interpreted dot of a 64-dim vector costs
+  * ~100× the fused loop below, and the joins evaluate one per candidate
+  * PAIR. These expressions are drop-in bit-identical replacements:
+  *
+  *  - null input array → null (aggregate over null is null);
+  *  - length mismatch → null (zip_with pads the short side with null,
+  *    the null product poisons the fold);
+  *  - null element → null (same poisoning);
+  *  - [[DotLong]] accumulates with Java wrap-around long arithmetic,
+  *    exactly like the interpreted `x * y` / `acc + x` on LongType;
+  *  - [[DotDouble]] adds in index order from +0.0, the same IEEE
+  *    operation sequence as the interpreted left fold, so results are
+  *    bit-identical, not just close.
+  */
+abstract class DotProductBase extends BinaryExpression {
+  protected def elemType: DataType
+  override def dataType: DataType = elemType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(elemType, containsNull = true)
+    def ok(dt: DataType) = dt match {
+      case ArrayType(et, _) => et == elemType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two $want children, got ${left.dataType} and ${right.dataType}")
+  }
+}
+
+object DotImpl {
+  /** @return null on length mismatch or null element, else the wrapped Long sum. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Index-order IEEE left fold from +0.0 — bit-identical to `aggregate`. */
+  def dotDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Exact Long dot product of two `array<long>` columns (wrap-around). */
+case class DotLong(left: Expression, right: Expression) extends DotProductBase {
+  override protected def elemType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotImpl.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxedDot")
+      s"""java.lang.Long $boxed = graft.functions.DotImpl.dotLong($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** IEEE double dot product of two `array<double>` columns (index-order fold). */
+case class DotDouble(left: Expression, right: Expression) extends DotProductBase {
+  override protected def elemType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotImpl.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxedDot")
+      s"""java.lang.Double $boxed = graft.functions.DotImpl.dotDouble($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+object Dot {
+  import org.apache.spark.sql.graft.GraftBridge.{toColumn, toExpression}
+  def long(a: Column, b: Column): Column = toColumn(DotLong(toExpression(a), toExpression(b)))
+  def double(a: Column, b: Column): Column = toColumn(DotDouble(toExpression(a), toExpression(b)))
+}

@@ -44,6 +44,16 @@ object Dedup {
   /** Blocked pairwise near-dup: pairs within the same `blockKey` whose
     * token-set Jaccard ≥ threshold. Block sizes bound the quadratic term;
     * the join itself is a plain equi-join on the block key.
+    *
+    * Per-pair cost is kept minimal (the candidate count is quadratic in
+    * the block size, so every per-pair op is multiplied by it):
+    *  - token arrays are deduplicated ONCE per row, so
+    *    `|A∪B| = |A|+|B|-|A∩B|` replaces the second per-pair set op;
+    *  - a size-ratio prefilter drops pairs before the intersect:
+    *    `jac ≤ min(|A|,|B|) / max(|A|,|B|)` (intersect ≤ min, union ≥
+    *    max), so `min < t·max` cannot reach the threshold. Same result
+    *    set, but the surviving pairs — the only ones paying the
+    *    intersect — are typically a small fraction.
     */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
       blockKey: Column, threshold: Double): DataFrame = {
@@ -53,13 +63,23 @@ object Dedup {
     // interpreted, not codegen'd — recomputing per pair row is fatal).
     val prepared = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), col(tokensCol), blockKey.as("blk"))
+      .select(col(idCol), array_distinct(col(tokensCol)).as(tokensCol), blockKey.as("blk"))
+      .withColumn("_nt", size(col(tokensCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"), col("blk"))
-    val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"), col("blk"))
+    val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
+      col("_nt").as("_na"), col("blk"))
+    val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
+      col("_nt").as("_nb"), col("blk"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    val union = (col("_na") + col("_nb")).cast("double") - inter
+    // 1e-9 slack >> any double-rounding gap, so the prefilter can only keep
+    // extra pairs (which the exact jac filter then drops), never lose one
+    val sizeRatioOk = greatest(col("_na"), col("_nb")) === 0 ||
+      least(col("_na"), col("_nb")).cast("double") /
+        greatest(col("_na"), col("_nb")).cast("double") >= lit(threshold - 1e-9)
     a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("id_a") < col("id_b") && sizeRatioOk)
+      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -134,19 +154,12 @@ object Dedup {
   def simhash(toks: Column, bits: Int, seed: String, portable: Boolean = true): Column =
     simhashFromHashes(transform(toks, t => hash60(t, seed, portable)), bits)
 
-  /** SimHash from an ALREADY-MATERIALIZED hash array. Callers doing bulk
-    * work must materialize the hashes first (cache/checkpoint): each bit
-    * position re-reads the hash column, and without a barrier Catalyst
-    * re-inlines the token-hash expression `bits` times per row.
+  /** SimHash from a hash array: native one-pass bit-majority kernel
+    * ([[graft.functions.SimHashBits]] — bit-compat with the composed
+    * per-bit aggregate form it replaced, including null semantics).
     */
-  def simhashFromHashes(hashes: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, x) => acc + when(shiftright(x, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
+    graft.functions.SimHashBits(hashes, bits)
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

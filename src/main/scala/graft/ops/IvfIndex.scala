@@ -36,11 +36,14 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
   }
 
-  /** Cosine similarity of a vector column against one literal centroid. */
+  /** Cosine similarity of a vector column against one literal centroid
+    * (native codegen dot — [[graft.functions.DotDouble]] folds in the same
+    * index order as the interpreted aggregate it replaced).
+    */
   private def cosToLit(v: Column, c: Seq[Double]): Column = {
     val lit = typedLit(c)
-    val dot = aggregate(zip_with(v, lit, (x, y) => x * y), org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x)
-    val nv = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x))
+    val dot = graft.functions.Dot.double(v, lit)
+    val nv = sqrt(graft.functions.Dot.double(v, v))
     val nc = math.sqrt(c.map(x => x * x).sum)
     when(nv > 0, dot / (nv * nc)).otherwise(org.apache.spark.sql.functions.lit(0.0))
   }
@@ -95,15 +98,17 @@ object IvfIndex {
     // expression-duplication hazard to firewall here)
     val corpus = assigned.select(col("_centroid"),
       col(idCol).as("neighbor_id"), Similarity.scaled(col(vecCol)).as("_sn"))
+      .withColumn("_nn", Similarity.normScaled(col("_sn")))
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), Similarity.scaled(col(vecCol)).as("_sq"),
         explode(probeList(col(vecCol).cast("array<double>"), cents, nProbe))
           .as("_centroid"))
+      .withColumn("_nq", Similarity.normScaled(col("_sq")))
     val sims = corpus.join(broadcast(queries), Seq("_centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.functions.Exact.roundPortable(
-          Similarity.cosineScaled(col("_sq"), col("_sn")), 6))
+          Similarity.cosineFromNorms(col("_sq"), col("_sn"), col("_nq"), col("_nn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

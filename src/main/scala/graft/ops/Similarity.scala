@@ -26,17 +26,31 @@ object Similarity {
   def scaled(v: Column): Column =
     transform(v.cast("array<double>"), x => round(x * 1000000).cast("long"))
 
-  /** Exact Long dot product of two scaled vectors. */
-  def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact Long dot product of two scaled vectors (native codegen — see
+    * [[graft.functions.DotLong]] for the bit-compat contract with the
+    * interpreted aggregate/zip_with form it replaced).
+    */
+  def dotScaled(a: Column, b: Column): Column = graft.functions.Dot.long(a, b)
+
+  /** Euclidean norm of a scaled vector, as the double every cosine below
+    * divides by. Precomputed ONCE PER ROW before any pairwise join — the
+    * norms are row-local, so computing them inside the pair expression
+    * (as a naive cosine(a, b) does) multiplies their cost by the
+    * candidate count.
+    */
+  def normScaled(s: Column): Column = sqrt(dotScaled(s, s).cast("double"))
 
   /** Cosine similarity from scaled vectors: exact integer dot and norms,
     * one deterministic double division at the end.
     */
-  def cosineScaled(sa: Column, sb: Column): Column = {
+  def cosineScaled(sa: Column, sb: Column): Column =
+    cosineFromNorms(sa, sb, normScaled(sa), normScaled(sb))
+
+  /** Cosine from precomputed per-row norms: ONE dot per pair. Bit-identical
+    * to [[cosineScaled]] (same operands, same IEEE op sequence).
+    */
+  def cosineFromNorms(sa: Column, sb: Column, na: Column, nb: Column): Column = {
     val dot = dotScaled(sa, sb).cast("double")
-    val na = sqrt(dotScaled(sa, sa).cast("double"))
-    val nb = sqrt(dotScaled(sb, sb).cast("double"))
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
@@ -48,11 +62,14 @@ object Similarity {
       queryPred: Column, k: Int): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val corpus = spread.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
+      .withColumn("_nn", normScaled(col("_sn")))
     val queries = spread.filter(queryPred)
       .select(col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
+      .withColumn("_nq", normScaled(col("_sq")))
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", graft.functions.Exact.roundPortable(cosineScaled(col("_sq"), col("_sn")), 6))
+      .withColumn("sim", graft.functions.Exact.roundPortable(
+        cosineFromNorms(col("_sq"), col("_sn"), col("_nq"), col("_nn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -78,9 +95,7 @@ object Similarity {
     val sv = v.cast("array<double>")
     (0 until planes).map { p =>
       val pv = typedLit(planeVector(p, dims, seed))
-      val dot = aggregate(
-        zip_with(sv, slice(pv, lit(1), size(sv)), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.Dot.double(sv, slice(pv, lit(1), size(sv)))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -117,11 +132,14 @@ object Similarity {
       signBucket(col(vecCol), planes, seed, dims).as("_bucket"))
     val corpus = bucketed.select(col("_bucket"), col(idCol).as("neighbor_id"),
       scaled(col(vecCol)).as("_sn"))
+      .withColumn("_nn", normScaled(col("_sn")))
     val queries = bucketed.filter(queryPred)
       .select(col("_bucket"), col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
+      .withColumn("_nq", normScaled(col("_sq")))
     val sims = corpus.join(broadcast(queries), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", graft.functions.Exact.roundPortable(cosineScaled(col("_sq"), col("_sn")), 6))
+      .withColumn("sim", graft.functions.Exact.roundPortable(
+        cosineFromNorms(col("_sq"), col("_sn"), col("_nq"), col("_nn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -135,12 +153,16 @@ object Similarity {
       blockKey: Column, threshold: Double): DataFrame = {
     val prepared = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(blockKey.as("blk"), col(idCol).as("id"), scaled(col(vecCol)).as("_s"))
+      .withColumn("_n", normScaled(col("_s")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"))
-    val b = prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"))
+    val a = prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"),
+      col("_n").as("_na"))
+    val b = prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"),
+      col("_n").as("_nb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", graft.functions.Exact.roundPortable(cosineScaled(col("_sa"), col("_sb")), 6))
+      .withColumn("sim", graft.functions.Exact.roundPortable(
+        cosineFromNorms(col("_sa"), col("_sb"), col("_na"), col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -115,16 +115,14 @@ object DedupQueries {
        |FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    // materialize token hashes first (cache barrier), THEN fold bits:
-    // without it the per-token md5 expression is re-inlined 16x per row
-    val hashed = Tables.documentsSpread(s, dir)
+    // one-pass native simhash kernel: the token hashes feed a single
+    // expression, so no materialization barrier is needed between hashing
+    // and the bit fold; the persist below still splits the join branches
+    val docs = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), expr("n_chars DIV 64").as("_blk"),
-        transform(TextAnalysis.tokens(col("text")),
-          t => Dedup.hash60(t, "sh", portable = true)).as("_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = hashed
-      .withColumn("_simhash", Dedup.simhashFromHashes(col("_h"), 16))
-      .select("_blk", "doc_id", "_simhash")
+        Dedup.simhashFromHashes(
+          transform(TextAnalysis.tokens(col("text")),
+            t => Dedup.hash60(t, "sh", portable = true)), 16).as("_simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("_blk"), col("doc_id").as("id_a"), col("_simhash").as("sh_a"))
     val b = docs.select(col("_blk"), col("doc_id").as("id_b"), col("_simhash").as("sh_b"))
