@@ -63,14 +63,17 @@ object Dedup {
     // interpreted, not codegen'd — recomputing per pair row is fatal).
     val prepared = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), array_distinct(col(tokensCol)).as(tokensCol), blockKey.as("blk"))
+      .select(col(idCol),
+        sort_array(array_distinct(col(tokensCol))).as(tokensCol), blockKey.as("blk"))
       .withColumn("_nt", size(col(tokensCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
       col("_nt").as("_na"), col("blk"))
     val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
       col("_nt").as("_nb"), col("blk"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    // sorted-distinct per row once → per-pair merge scan, no per-pair sets
+    val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
+      .cast("double")
     val union = (col("_na") + col("_nb")).cast("double") - inter
     // 1e-9 slack >> any double-rounding gap, so the prefilter can only keep
     // extra pairs (which the exact jac filter then drops), never lose one
@@ -129,10 +132,15 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), col(shinglesCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // portable flavor: fused one-pass native kernel (bit-identical to the
+    // composed signature → band-keys pipeline — see MinHashBandKeys
+    // scaladoc for why the composed form is pathological)
+    val bandKeysCol =
+      if (portable) graft.functions.MinHashBandKeys(col(shinglesCol), bands, rowsPerBand, seed)
+      else lshBandKeys(minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable),
+        bands, rowsPerBand)
     val sigs = base
-      .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable))
-      .withColumn("_bands", lshBandKeys(col("_sig"), bands, rowsPerBand))
-      .select(col(idCol), col(shinglesCol), posexplode(col("_bands")).as(Seq("band", "bucket")))
+      .select(col(idCol), col(shinglesCol), posexplode(bandKeysCol).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(shinglesCol).as("toks_a"))
