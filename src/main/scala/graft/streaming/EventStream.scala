@@ -85,8 +85,15 @@ object EventStream {
     */
   def runToMemory(spark: SparkSession, eventsDir: String,
       transform: DataFrame => DataFrame, queryName: String,
-      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+      outputMode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // State-store cost (init, per-batch delta commit, snapshot) is paid per
+    // STATE PARTITION, and the partition count is frozen into the
+    // checkpoint at first start. A one-shot drain of a file keeps state
+    // tiny, so a small count wins; a production continuous job sizes this
+    // to the cluster instead (state ops parallelize per partition).
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     // FileStreamSource requires a directory: stream the parent with a glob
     // filter when handed a single file path.
     val (dir, globFilter) = {
@@ -101,15 +108,18 @@ object EventStream {
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
     val stream = reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val q: StreamingQuery = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q: StreamingQuery = transform(stream).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // AvailableNow stops itself after the drain
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    }
     // Tear down the state-store maintenance pool while the RpcEnv is still
     // alive — it otherwise crashes after spark.stop() (see GraftBridge).
     org.apache.spark.sql.graft.GraftBridge.stopStateStore()
