@@ -19,8 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *  - length mismatch → null (zip_with pads the short side with null,
   *    the null product poisons the fold);
   *  - null element → null (same poisoning);
-  *  - [[DotLong]] accumulates with Java wrap-around long arithmetic,
-  *    exactly like the interpreted `x * y` / `acc + x` on LongType;
+  *  - [[DotLong]] accumulates with Java wrap-around long arithmetic. This
+  *    is the ONE deliberate divergence from the composed form: under
+  *    Spark 4's default ANSI mode the interpreted `x * y` raises
+  *    ARITHMETIC_OVERFLOW instead. The engine's scaled vectors
+  *    (|element| ≤ ~2^31 after 1e6 scaling of unit-range floats) keep a
+  *    4-billion-dim dot below 2^63, so overflow is unreachable in the
+  *    supported domain — and a production kernel must not trade a 100×
+  *    hot-loop slowdown for an overflow check it cannot trigger;
   *  - [[DotDouble]] adds in index order from +0.0, the same IEEE
   *    operation sequence as the interpreted left fold, so results are
   *    bit-identical, not just close.

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    expression tree was large enough to dominate first-run planning.
   *
   * Bit-compat contract with the composed form:
-  *  - null shingle array → null;
+  *  - null shingle array behaves as empty (the composed signature is an
+  *    array OF nulls, not null — `transform(null)` nulls every min, and
+  *    `concat_ws` then skips them, leaving md5("") per band);
   *  - null shingle elements are skipped (`hash60(null)` is null and
   *    `array_min` ignores nulls);
   *  - a band whose min-hashes are all null (empty/all-null shingles)
@@ -83,6 +85,12 @@ object MinHashBandImpl {
   }
 
   private val Hex: Array[Byte] = "0123456789abcdef".getBytes
+
+  /** Stand-in for a null shingle array (see null contract above). Accessed
+    * from generated Java as `MinHashBandImpl.EmptyArray()` (the static
+    * forwarder of this val's accessor).
+    */
+  val EmptyArray: ArrayData = new GenericArrayData(Array.empty[Any])
 }
 
 /** `array<string>` of `bands` LSH bucket keys for one shingle array. */
@@ -90,7 +98,7 @@ case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int,
     seed: String) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "minhash_band_keys"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -104,14 +112,26 @@ case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int,
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     (0 until bands * rowsPerBand).map(h => s"$seed:$h:".getBytes("UTF-8")).toArray
 
-  override protected def nullSafeEval(input: Any): Any =
-    MinHashBandImpl.bandKeys(input.asInstanceOf[ArrayData], seedPrefixes,
-      bands, rowsPerBand)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val arr = if (v == null) MinHashBandImpl.EmptyArray else v.asInstanceOf[ArrayData]
+    MinHashBandImpl.bandKeys(arr, seedPrefixes, bands, rowsPerBand)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val prefixRef = ctx.addReferenceObj("seedPrefixes", seedPrefixes, "byte[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashBandImpl.bandKeys($c, $prefixRef, $bands, $rowsPerBand)")
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = graft.functions.MinHashBandImpl.bandKeys(
+          ${c.isNull} ? graft.functions.MinHashBandImpl.EmptyArray() : ${c.value},
+          $prefixRef, $bands, $rowsPerBand);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =

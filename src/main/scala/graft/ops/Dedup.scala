@@ -54,9 +54,14 @@ object Dedup {
     *    max), so `min < t·max` cannot reach the threshold. Same result
     *    set, but the surviving pairs — the only ones paying the
     *    intersect — are typically a small fraction.
+    *
+    * `subBlocks` > 1 enables the replicated-triangular decomposition
+    * (comment at the join below): identical result set, s× replication,
+    * s²× parallelism per block — for hot blocks / few distinct keys.
     */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
-      blockKey: Column, threshold: Double): DataFrame = {
+      blockKey: Column, threshold: Double, subBlocks: Int = 1): DataFrame = {
+    require(subBlocks >= 1, s"subBlocks must be >= 1, got $subBlocks")
     // Single-file sources arrive as ONE partition: spread rows BEFORE the
     // token/shingle expressions run, and cache so the two self-join
     // branches do not each re-derive them (higher-order exprs are
@@ -67,10 +72,28 @@ object Dedup {
         sort_array(array_distinct(col(tokensCol))).as(tokensCol), blockKey.as("blk"))
       .withColumn("_nt", size(col(tokensCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
-      col("_nt").as("_na"), col("blk"))
-    val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
-      col("_nt").as("_nb"), col("blk"))
+    // Replicated-triangular sub-blocking: a blocked SELF-join shuffles on
+    // the block key alone, so one block = one reducer — at 100 TB a hot
+    // block (or merely few distinct blocks) serializes the quadratic
+    // verify work. With `subBlocks` = s, each row gets a deterministic
+    // chunk c = hash(id) mod s; side A replicates each row s times under
+    // keys (blk, c, 0..s-1), side B under (blk, 0..s-1, c). A pair with
+    // chunks (cx, cy) then meets on EXACTLY the key (blk, cx, cy) — every
+    // pair produced once, no dedup pass — while the block's work spreads
+    // over s² reducers for s× data replication.
+    val chunk = pmod(xxhash64(col(idCol)), lit(subBlocks)).cast("int")
+    val replicas = explode(sequence(lit(0), lit(subBlocks - 1)))
+    val (a, b) =
+      if (subBlocks == 1) (
+        prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
+          col("_nt").as("_na"), col("blk")),
+        prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
+          col("_nt").as("_nb"), col("blk")))
+      else (
+        prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
+          col("_nt").as("_na"), col("blk"), chunk.as("_ca"), replicas.as("_cb")),
+        prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
+          col("_nt").as("_nb"), col("blk"), replicas.as("_ca"), chunk.as("_cb")))
     // sorted-distinct per row once → per-pair merge scan, no per-pair sets
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
@@ -80,7 +103,8 @@ object Dedup {
     val sizeRatioOk = greatest(col("_na"), col("_nb")) === 0 ||
       least(col("_na"), col("_nb")).cast("double") /
         greatest(col("_na"), col("_nb")).cast("double") >= lit(threshold - 1e-9)
-    a.join(b, Seq("blk"))
+    val joinKeys = if (subBlocks == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
+    a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b") && sizeRatioOk)
       .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jac") >= threshold)
