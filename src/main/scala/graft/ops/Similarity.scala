@@ -148,18 +148,33 @@ object Similarity {
 
   /** Embedding near-dup pairs within a blocking column (e.g. a cluster
     * label or LSH bucket): cosine ≥ threshold.
+    *
+    * `subBlocks` > 1 applies the replicated-triangular decomposition for
+    * hot blocks (see [[graft.ops.Dedup.jaccardPairs]]): identical pairs,
+    * s× replication, s²× reducers.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      blockKey: Column, threshold: Double): DataFrame = {
+      blockKey: Column, threshold: Double, subBlocks: Int = 1): DataFrame = {
+    require(subBlocks >= 1, s"subBlocks must be >= 1, got $subBlocks")
     val prepared = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(blockKey.as("blk"), col(idCol).as("id"), scaled(col(vecCol)).as("_s"))
       .withColumn("_n", normScaled(col("_s")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"),
-      col("_n").as("_na"))
-    val b = prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"),
-      col("_n").as("_nb"))
-    a.join(b, Seq("blk"))
+    val chunk = pmod(xxhash64(col("id")), lit(subBlocks)).cast("int")
+    val replicas = explode(sequence(lit(0), lit(subBlocks - 1)))
+    val (a, b) =
+      if (subBlocks == 1) (
+        prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"),
+          col("_n").as("_na")),
+        prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"),
+          col("_n").as("_nb")))
+      else (
+        prepared.select(col("blk"), col("id").as("id_a"), col("_s").as("_sa"),
+          col("_n").as("_na"), chunk.as("_ca"), replicas.as("_cb")),
+        prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"),
+          col("_n").as("_nb"), replicas.as("_ca"), chunk.as("_cb")))
+    val joinKeys = if (subBlocks == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
+    a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.Exact.roundPortable(
         cosineFromNorms(col("_sa"), col("_sb"), col("_na"), col("_nb")), 6))

@@ -362,9 +362,31 @@ object Relational {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Distinct aggregate (extension surface — the reference has none):
+    * exact per-group distinct cardinality. Spark plans this as a two-phase
+    * expand/partial-distinct aggregation — distributable, unlike a naive
+    * collect_set. The sketch twin for 100 TB (`approx_count_distinct`,
+    * HLL++) is property-tested against this exact form in PropertySpec:
+    * sketch VALUES are engine-specific, so only the exact form is
+    * oracle-hashable.
+    */
+  val q41DistinctUsers: Q = Q(
+    "q41_distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
-    q12OrderFingerprint, q13FilterPushdown, q14EventsHourly)
+    q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
+    q41DistinctUsers)
 }

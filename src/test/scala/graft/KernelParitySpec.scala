@@ -158,6 +158,19 @@ class KernelParitySpec extends SparkSuite {
     assert(run(7) === plain) // s not dividing the id space evenly
   }
 
+  test("sub-blocked cosinePairs returns exactly the single-reducer result") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map { id =>
+      (id, Seq.fill(16)(rnd.nextDouble() * 2 - 1).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(s: Int) =
+      graft.ops.Similarity.cosinePairs(vecs, "vec_id", "embedding", lit(1), 0.1, subBlocks = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = run(1)
+    assert(plain.nonEmpty, "fixture should produce at least one qualifying pair")
+    assert(run(5) === plain)
+  }
+
   test("SortedIntersectSize randomized parity with hash-set intersection") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 40).map(i => s"w$i")

@@ -74,4 +74,24 @@ class PropertySpec extends SparkSuite {
     assert(buckets.keySet === (0 until 10).toSet)
     buckets.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"bucket skew: $buckets"))
   }
+
+  test("approx_count_distinct tracks the exact distinct aggregate within rsd") {
+    // the 100 TB twin of q41's exact count(DISTINCT): HLL++ sketch values
+    // are engine-specific (not oracle-hashable), so the accuracy contract
+    // lives here — within advertised rsd of the exact form on a
+    // cardinality large enough that the sketch actually estimates
+    import spark.implicits._
+    val df = (0 until 200000).map(i => (i % 4, s"u${i % 37519}")).toDF("g", "user")
+    val got = df.groupBy("g").agg(
+        countDistinct(col("user")).as("exact"),
+        approx_count_distinct(col("user"), 0.02).as("approx"))
+      .collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.06,
+        s"sketch drift: exact=$exact approx=$approx")
+    }
+  }
 }
