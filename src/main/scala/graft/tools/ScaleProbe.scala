@@ -1,0 +1,55 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.functions.TextAnalysis
+
+/** One-off 10x scale probe (dev): documents/embeddings replicated 10x with
+  * perturbed ids; times the quadratic-risk operators. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    val n0 = docs0.count()
+    val docs = (0 until 10).map { r =>
+      docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$r")).as("text"), col("n_chars"), col("lang"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"[probe] docs: ${docs.count()} (from $n0)")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+    t("jaccardPairs 50k docs (blocked)") {
+      val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("jaccardPairs 50k docs subBlocks=4") {
+      val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6, subBlocks = 4).count()
+      println(s"[probe]   pairs: $n")
+    }
+    val sh = docs.withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+    t("minhashLsh 50k docs") {
+      val n = Dedup.minhashLshPairs(sh, "doc_id", "_sh", 4, 3, "mh", 0.5).count()
+      println(s"[probe]   pairs: $n")
+    }
+    val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val emb = (0 until 10).map { r =>
+      emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"[probe] embeddings: ${emb.count()}")
+    t("signLshTopK 50k vecs") {
+      val n = Similarity.signLshTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 250 === 0, 5, 4, "lsh1").count()
+      println(s"[probe]   rows: $n")
+    }
+    spark.stop()
+  }
+}
