@@ -151,10 +151,13 @@ object Dedup {
     //    repartition into the single-split scan stage.
     // 2. `sigs` caches the band buckets so the two self-join branches
     //    reuse one materialization.
+    // sorted-distinct shingles: min-hashing is order- and dup-independent,
+    // and the sorted form lets the final verify run the merge-scan
+    // intersect instead of per-candidate hash sets (identical Jaccard)
     val base = df
       .filter(size(col(shinglesCol)) > 0)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), col(shinglesCol))
+      .select(col(idCol), sort_array(array_distinct(col(shinglesCol))).as(shinglesCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // portable flavor: fused one-pass native kernel (bit-identical to the
     // composed signature → band-keys pipeline — see MinHashBandKeys
@@ -170,11 +173,14 @@ object Dedup {
       col(shinglesCol).as("toks_a"))
     val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
       col(shinglesCol).as("toks_b"))
+    val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
+      .cast("double")
+    val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "toks_a", "toks_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
