@@ -151,6 +151,27 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Rollup subtotals (extension surface — the reference has no grouping
+    * sets): per-(lang, size-bucket) counts with per-lang and grand
+    * totals in one pass. Spark plans this as ONE Expand + aggregation —
+    * the distributable form of subtotal reporting (no per-level
+    * re-scans). Subtotal rows carry NULL group keys; `lang` is non-null
+    * in the corpus, so ordering NULLS FIRST on both engines makes the
+    * output total-ordered and hashable.
+    */
+  val q42RollupCensus: Q = Q(
+    "q42_rollup_census",
+    """SELECT lang, n_chars // 256 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY ROLLUP(lang, n_chars // 256)
+      |ORDER BY lang NULLS FIRST, bucket NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .rollup(col("lang"), expr("n_chars DIV 256").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("bucket").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
-    q28Simhash, q40SaltedSkewJoin)
+    q28Simhash, q40SaltedSkewJoin, q42RollupCensus)
 }
