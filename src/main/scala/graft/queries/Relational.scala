@@ -383,10 +383,36 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Pivot (extension surface): per-user event counts widened to one
+    * column per event type. With an EXPLICIT value list Spark compiles
+    * the pivot to a single conditional-aggregation pass (no second scan
+    * to discover values, which at 100 TB would double the read) — the
+    * same shape the oracle states as FILTER counts. Spark leaves
+    * never-seen combinations null where a FILTER count yields 0, so the
+    * pivot output is coalesced to make the contract exact.
+    */
+  val q43PivotUserEvents: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q(
+      "q43_pivot_user_events",
+      s"""SELECT user_id,
+         |${types.map(t => s"  count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n")}
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
-    q41DistinctUsers)
+    q41DistinctUsers, q43PivotUserEvents)
 }
