@@ -409,10 +409,48 @@ object Relational {
     }
   }
 
+  /** As-of join (extension surface — Spark has no built-in): every
+    * purchase matched to the user's most recent click at-or-before it.
+    * One shuffle (union + window merge, ops/AsOfJoin); the oracle mirrors
+    * the same interleave so tie semantics hash identically.
+    */
+  val q44AsofClicks: Q = Q(
+    "q44_asof_clicks",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, 0 AS side,
+      |    event_id AS tb, epoch_us(CAST(ts AS TIMESTAMP)) AS rts,
+      |    event_id AS cid, CAST(NULL AS BIGINT) AS eid
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1,
+      |    event_id, NULL, NULL, event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts_us, side, eid,
+      |    last_value(rts IGNORE NULLS) OVER w AS asof_ts_us,
+      |    last_value(cid IGNORE NULLS) OVER w AS click_id
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, ts_us, eid AS event_id, asof_ts_us, click_id
+      |FROM c WHERE side = 1
+      |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    val clicks = base.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id")
+    graft.ops.AsOfJoin.backward(purchases, clicks, "user_id", "ts_us",
+      "event_id", Seq("event_id" -> "click_id"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
-    q41DistinctUsers, q43PivotUserEvents)
+    q41DistinctUsers, q43PivotUserEvents, q44AsofClicks)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** AsOfJoin.backward vs a brute-force per-row reference on random data:
+  * same matches including tie handling, staleness tolerance, and
+  * no-prior-match nulls.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(19)
+  private val lefts = (0L until 400L).map(i =>
+    (i % 7, rnd.nextInt(1000).toLong, i))         // (key, ts, id)
+  private val rights = (1000L until 1300L).map(i =>
+    (i % 7, rnd.nextInt(1000).toLong, i, s"r$i")) // (key, ts, id, tag)
+
+  private def bruteForce(tolerance: Option[Long]): Map[Long, Option[Long]] =
+    lefts.map { case (k, lts, lid) =>
+      val candidates = rights.filter { case (rk, rts, _, _) =>
+        rk == k && rts <= lts && tolerance.forall(t => lts - rts <= t)
+      }
+      // latest ts wins; among equal ts, largest tiebreak id wins
+      val best = candidates.sortBy { case (_, rts, rid, _) => (rts, rid) }.lastOption
+      lid -> best.map(_._3)
+    }.toMap
+
+  private def run(tolerance: Option[Long]): Map[Long, Option[Long]] = {
+    val l = lefts.toDF("k", "ts", "id")
+    val r = rights.toDF("k", "ts", "id", "tag")
+    AsOfJoin.backward(l, r, "k", "ts", "id",
+      Seq("id" -> "match_id", "tag" -> "match_tag"), tolerance)
+      .collect()
+      .map(row => row.getAs[Long]("id") ->
+        Option(row.getAs[Any]("match_id")).map(_.asInstanceOf[Long]))
+      .toMap
+  }
+
+  test("backward as-of join matches brute force (no tolerance)") {
+    val got = run(None)
+    val want = bruteForce(None)
+    assert(got.size === lefts.size)
+    assert(got === want)
+    assert(got.values.exists(_.isEmpty), "fixture should include unmatched lefts")
+    assert(got.values.exists(_.nonEmpty))
+  }
+
+  test("backward as-of join matches brute force with staleness tolerance") {
+    val got = run(Some(50L))
+    val want = bruteForce(Some(50L))
+    assert(got === want)
+    // tolerance must null-out some matches that exist unbounded
+    assert(run(None).values.flatten.size > got.values.flatten.size)
+  }
+
+  test("right row exactly at left.ts is visible to that left row") {
+    val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "id")
+    val r = Seq((1L, 100L, 20L, "exact"), (1L, 99L, 21L, "older")).toDF("k", "ts", "id", "tag")
+    val out = AsOfJoin.backward(l, r, "k", "ts", "id", Seq("tag" -> "match_tag"))
+      .collect().head
+    assert(out.getAs[String]("match_tag") === "exact")
+  }
+}
