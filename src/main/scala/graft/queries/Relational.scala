@@ -447,10 +447,40 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Range join (extension surface — no Spark built-in): lineitems
+    * matched to IRREGULAR quantity bands `[lo, hi)` via the bucketized
+    * equi-join (ops/RangeJoin) instead of an un-plannable theta join.
+    * The band table is inlined on both engines; the oracle states the
+    * range predicate directly (DuckDB plans it natively as an IEJoin).
+    */
+  val q45RangeBands: Q = {
+    val bands = Seq(("b0_tiny", 0L, 3L), ("b1_small", 3L, 7L),
+      ("b2_mid", 7L, 15L), ("b3_large", 15L, 30L), ("b4_huge", 30L, 60L))
+    Q(
+      "q45_range_bands",
+      s"""WITH bands(band, lo, hi) AS (VALUES
+         |  ${bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")})
+         |SELECT band, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN bands
+         |  ON CAST(l_quantity AS BIGINT) >= lo AND CAST(l_quantity AS BIGINT) < hi
+         |GROUP BY band
+         |ORDER BY band""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bandDf = bands.toDF("band", "lo", "hi")
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("q"))
+      graft.ops.RangeJoin.bucketed(items, "q", bandDf, "lo", "hi", bucketWidth = 8L)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_qty"))
+        .orderBy("band")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
-    q41DistinctUsers, q43PivotUserEvents, q44AsofClicks)
+    q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands)
 }
