@@ -477,10 +477,37 @@ object Relational {
     }
   }
 
+  /** Unpivot/melt (extension surface): the q43 wide table back to long
+    * (user_id, event_type, n) INCLUDING explicit zero rows — Spark's
+    * `unpivot` is a per-row Expand (map-side, no shuffle); the oracle
+    * states the same long form as users × types with left-joined counts.
+    */
+  val q46UnpivotUserEvents: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q(
+      "q46_unpivot_user_events",
+      """WITH t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin) { (s, dir) =>
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
-    q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands)
+    q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
+    q46UnpivotUserEvents)
 }
