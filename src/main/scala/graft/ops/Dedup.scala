@@ -21,6 +21,13 @@ import graft.functions.{Hashing, TextAnalysis}
   */
 object Dedup {
 
+  /** Auto sub-blocking (`subBlocks = 0`) splits a block once its
+    * population would exceed this many rows per chunk pair — ~16M
+    * candidate pairs per reducer at the default, a few seconds of
+    * merge-scan work.
+    */
+  val AutoSubBlockTarget: Long = 4096L
+
   def hash60(c: Column, seed: String, portable: Boolean): Column =
     if (portable) Hashing.hash60(c, seed)
     else abs(xxhash64(lit(seed), c))
@@ -58,10 +65,15 @@ object Dedup {
     * `subBlocks` > 1 enables the replicated-triangular decomposition
     * (comment at the join below): identical result set, s× replication,
     * s²× parallelism per block — for hot blocks / few distinct keys.
+    * `subBlocks = 0` picks it automatically from the observed maximum
+    * block population (one tiny aggregation over the already-persisted
+    * prep): s = ceil(maxBlock / 4096) capped at 16, so small corpora pay
+    * nothing and hot blocks split themselves — the result set is
+    * s-invariant, so auto-tuning cannot change answers.
     */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
       blockKey: Column, threshold: Double, subBlocks: Int = 1): DataFrame = {
-    require(subBlocks >= 1, s"subBlocks must be >= 1, got $subBlocks")
+    require(subBlocks >= 0, s"subBlocks must be >= 0 (0 = auto), got $subBlocks")
     // Single-file sources arrive as ONE partition: spread rows BEFORE the
     // token/shingle expressions run, and cache so the two self-join
     // branches do not each re-derive them (higher-order exprs are
@@ -81,10 +93,18 @@ object Dedup {
     // chunks (cx, cy) then meets on EXACTLY the key (blk, cx, cy) — every
     // pair produced once, no dedup pass — while the block's work spreads
     // over s² reducers for s× data replication.
-    val chunk = pmod(xxhash64(col(idCol)), lit(subBlocks)).cast("int")
-    val replicas = explode(sequence(lit(0), lit(subBlocks - 1)))
+    val s =
+      if (subBlocks > 0) subBlocks
+      else {
+        val maxRow = prepared.groupBy("blk").count().agg(max("count")).head()
+        val maxBlock = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        math.min(16L, (maxBlock + AutoSubBlockTarget - 1) / AutoSubBlockTarget).toInt
+          .max(1)
+      }
+    val chunk = pmod(xxhash64(col(idCol)), lit(s)).cast("int")
+    val replicas = explode(sequence(lit(0), lit(s - 1)))
     val (a, b) =
-      if (subBlocks == 1) (
+      if (s == 1) (
         prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
           col("_nt").as("_na"), col("blk")),
         prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
@@ -103,7 +123,7 @@ object Dedup {
     val sizeRatioOk = greatest(col("_na"), col("_nb")) === 0 ||
       least(col("_na"), col("_nb")).cast("double") /
         greatest(col("_na"), col("_nb")).cast("double") >= lit(threshold - 1e-9)
-    val joinKeys = if (subBlocks == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
+    val joinKeys = if (s == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
     a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b") && sizeRatioOk)
       .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))

@@ -48,7 +48,10 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
-    Dedup.jaccardPairs(docs, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6)
+    // subBlocks = 0: auto-split hot blocks (result-invariant; s = 1 at
+    // this corpus's block sizes, engages at the 10x-probe scale)
+    Dedup.jaccardPairs(docs, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6,
+      subBlocks = 0)
       .withColumn("jac", graft.functions.Exact.roundPortable(col("jac"), 6))
       .orderBy("id_a", "id_b")
   }

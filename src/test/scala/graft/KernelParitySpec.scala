@@ -156,6 +156,7 @@ class KernelParitySpec extends SparkSuite {
     assert(plain.nonEmpty, "fixture should produce at least one qualifying pair")
     assert(run(4) === plain)
     assert(run(7) === plain) // s not dividing the id space evenly
+    assert(run(0) === plain) // auto-tuned s is result-invariant too
   }
 
   test("sub-blocked cosinePairs returns exactly the single-reducer result") {
