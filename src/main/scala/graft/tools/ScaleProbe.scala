@@ -30,8 +30,8 @@ object ScaleProbe {
       val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6).count()
       println(s"[probe]   pairs: $n")
     }
-    t("jaccardPairs 50k docs subBlocks=4") {
-      val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6, subBlocks = 4).count()
+    t("jaccardPairs 50k docs subBlocks=auto") {
+      val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6, subBlocks = 0).count()
       println(s"[probe]   pairs: $n")
     }
     val sh = docs.withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
