@@ -175,6 +175,40 @@ object DedupQueries {
       .orderBy(col("lang").asc_nulls_first, col("bucket").asc_nulls_first)
   }
 
+  /** Cube twin of q42: all four grouping levels — (lang, bucket) cells,
+    * per-lang, per-bucket, grand total — still ONE Expand+agg pass.
+    * The bucket-only subtotal level is what rollup cannot produce.
+    */
+  val q47CubeCensus: Q = Q(
+    "q47_cube_census",
+    """SELECT lang, n_chars // 256 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY CUBE(lang, n_chars // 256)
+      |ORDER BY lang NULLS FIRST, bucket NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .cube(col("lang"), expr("n_chars DIV 256").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("bucket").asc_nulls_first)
+  }
+
+  /** INTERSECT set op (U-family completion next to q09 except / q10
+    * union): doc ids that are BOTH English AND above-median length —
+    * Spark plans `intersect` as a left-semi aggregate join, one shuffle.
+    */
+  val q48IntersectDocs: Q = Q(
+    "q48_intersect_docs",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+      |INTERSECT
+      |SELECT doc_id FROM documents WHERE n_chars > 300
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    docs.filter(col("lang") === "en").select("doc_id")
+      .intersect(docs.filter(col("n_chars") > 300).select("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
-    q28Simhash, q40SaltedSkewJoin, q42RollupCensus)
+    q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
+    q48IntersectDocs)
 }
