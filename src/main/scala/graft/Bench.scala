@@ -65,15 +65,37 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    // Fixed single-thread CPU probe (~20 ms), run before the first query,
+    // after EVERY query, and after the last: if the host degrades
+    // mid-bench (external contention — rounds 2-4 all showed a mid-run
+    // cliff where queries ran 10-50× slower than on an idle host), the
+    // probe timeline exposes it in the artifact instead of silently
+    // inflating the late queries' times.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 20000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42L) System.err.println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrate() // JIT the probe loop itself before measuring
+    val calibStart = calibrate()
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       spark.catalog.clearCache() // per-query caches must not leak across timings
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, sec, calibrate()) // ~20 ms probe: host-health timeline per query
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val calibEnd = calibrate()
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val calibs = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
@@ -85,7 +107,7 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":$wallSec,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_after_query_sec":$calibs}""")
     System.out.flush()
   }
 }

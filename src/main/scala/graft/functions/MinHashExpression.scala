@@ -54,7 +54,7 @@ object MinHashBandImpl {
       }
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val out = new Array[Any](bands)
     val sb = new java.lang.StringBuilder(rowsPerBand * 20)
     var b = 0
@@ -85,6 +85,12 @@ object MinHashBandImpl {
   }
 
   private val Hex: Array[Byte] = "0123456789abcdef".getBytes
+
+  // One digest per executor thread (same pattern as Hash60Impl) — a fresh
+  // MessageDigest.getInstance per row is provider-lookup + allocation on
+  // the hot path.
+  private val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Stand-in for a null shingle array (see null contract above). Accessed
     * from generated Java as `MinHashBandImpl.EmptyArray()` (the static

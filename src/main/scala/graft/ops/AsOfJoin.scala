@@ -39,17 +39,22 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     // side 0 = right sorts BEFORE side 1 = left at equal (ts, …): a right
     // row at exactly left.ts is visible to that left row
+    // The matched row travels as ONE struct (_pack) so its timestamp and
+    // every value column always come from the SAME right row — per-column
+    // carry would backfill a NULL attribute from an older right row.
+    // Tiebreak keeps its native type: any orderable column works, and a
+    // cross-side type mismatch fails loudly in unionByName instead of
+    // degrading to NULL ordering.
     val taggedRight = right.select(
       (Seq(col(key), col(ts).as("_asof_ts"), lit(0).as("_side"),
-        col(tiebreak).cast("long").as("_tb"),
-        col(ts).as("_asof_rts")) ++
-        valueCols.map { case (from, to) => col(from).as(s"_v_$to") }): _*)
+        col(tiebreak).as("_tb"),
+        struct((col(ts).as("_asof_rts") +:
+          valueCols.map { case (from, to) => col(from).as(s"_v_$to") }): _*)
+          .as("_pack"))): _*)
     val taggedLeft = left.select(
       (Seq(col(key), col(ts).as("_asof_ts"), lit(1).as("_side"),
-        col(tiebreak).cast("long").as("_tb"),
-        lit(null).cast(taggedRight.schema("_asof_rts").dataType).as("_asof_rts")) ++
-        valueCols.map { case (_, to) =>
-          lit(null).cast(taggedRight.schema(s"_v_$to").dataType).as(s"_v_$to") } ++
+        col(tiebreak).as("_tb"),
+        lit(null).cast(taggedRight.schema("_pack").dataType).as("_pack")) ++
         leftCols.filterNot(c => c == key).map(c => col(c))): _*)
     val unioned = taggedRight
       .select((taggedRight.columns.map(col) ++
@@ -60,22 +65,20 @@ object AsOfJoin {
       .orderBy(col("_asof_ts"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("_m_ts", last(col("_asof_rts"), ignoreNulls = true).over(w))
-    val withVals = valueCols.foldLeft(carried) { case (df, (_, to)) =>
-      df.withColumn(s"_m_$to", last(col(s"_v_$to"), ignoreNulls = true).over(w))
-    }
+      .withColumn("_m", last(col("_pack"), ignoreNulls = true).over(w))
+    val mTs = col("_m")("_asof_rts")
     val fresh = tolerance match {
-      case Some(tol) => col("_m_ts").isNotNull &&
-        (col("_asof_ts").cast("long") - col("_m_ts").cast("long")) <= tol
-      case None => col("_m_ts").isNotNull
+      case Some(tol) => mTs.isNotNull &&
+        (col("_asof_ts").cast("long") - mTs.cast("long")) <= tol
+      case None => mTs.isNotNull
     }
-    withVals
+    carried
       .filter(col("_side") === 1)
       .select((Seq(col(key)) ++
         leftCols.filterNot(c => c == key).map(c =>
           if (c == ts) col("_asof_ts").as(ts) else col(c)) ++
-        Seq(when(fresh, col("_m_ts")).otherwise(lit(null)).as(s"asof_$ts")) ++
+        Seq(when(fresh, mTs).otherwise(lit(null)).as(s"asof_$ts")) ++
         valueCols.map { case (_, to) =>
-          when(fresh, col(s"_m_$to")).otherwise(lit(null)).as(to) }): _*)
+          when(fresh, col("_m")(s"_v_$to")).otherwise(lit(null)).as(to) }): _*)
   }
 }

@@ -24,18 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param maxBucketsPerInterval replication cap: an interval wider than
+    *        `maxBucketsPerInterval × bucketWidth` fails fast with the
+    *        offending bounds in the message instead of letting `sequence()`
+    *        blow past Spark's array limit (or explode-amplify just below
+    *        it). Raise `bucketWidth` — or, deliberately, this cap.
+    */
   def bucketed(left: DataFrame, xCol: String, right: DataFrame,
-      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+      loCol: String, hiCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
     val w = lit(bucketWidth)
     // [lo, hi) with hi exclusive: the last overlapped bucket is the one
     // containing hi - 1; empty intervals (hi <= lo) overlap none and are
     // dropped by the (ascending) sequence guard
+    val firstBkt = floor(col(loCol).cast("long") / w).cast("long")
+    val lastBkt = floor((col(hiCol).cast("long") - 1) / w).cast("long")
     val rb = right
       .filter(col(hiCol).cast("long") > col(loCol).cast("long"))
-      .withColumn("_bkt", explode(sequence(
-        floor(col(loCol).cast("long") / w).cast("long"),
-        floor((col(hiCol).cast("long") - 1) / w).cast("long"))))
+      .withColumn("_bkt", explode(
+        when(lastBkt - firstBkt < lit(maxBucketsPerInterval),
+          sequence(firstBkt, lastBkt))
+        .otherwise(raise_error(format_string(
+          "graft.RangeJoin: interval [%s, %s) spans %s buckets at " +
+            s"bucketWidth=$bucketWidth (cap $maxBucketsPerInterval); " +
+            "use a larger bucketWidth",
+          col(loCol).cast("long"), col(hiCol).cast("long"),
+          lastBkt - firstBkt + 1)))))
     val lb = left.withColumn("_bkt", floor(col(xCol).cast("long") / w).cast("long"))
     lb.join(rb, Seq("_bkt"))
       .filter(col(xCol).cast("long") >= col(loCol).cast("long") &&

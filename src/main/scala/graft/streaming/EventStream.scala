@@ -87,42 +87,45 @@ object EventStream {
       transform: DataFrame => DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append,
       statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The drain runs in its OWN session (shared SparkContext, isolated
+    // SQLConf): the state-partition override below must never leak into
+    // queries planned concurrently on the caller's session.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // State-store cost (init, per-batch delta commit, snapshot) is paid per
     // STATE PARTITION, and the partition count is frozen into the
     // checkpoint at first start. A one-shot drain of a file keeps state
     // tiny, so a small count wins; a production continuous job sizes this
     // to the cluster instead (state ops parallelize per partition).
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // FileStreamSource requires a directory: stream the parent with a glob
     // filter when handed a single file path.
     val (dir, globFilter) = {
       val p = new org.apache.hadoop.fs.Path(eventsDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
       if (fs.getFileStatus(p).isFile) (p.getParent.toString, Some(p.getName))
       else (eventsDir, None)
     }
-    val reader = spark.readStream
+    val reader = ss.readStream
       .schema(StructType(eventSchema.fields.map(f =>
         if (f.name == "ts") f.copy(dataType = LongType) else f)))
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
     val stream = reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q: StreamingQuery = transform(stream).writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination() // AvailableNow stops itself after the drain
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-    }
+    val q: StreamingQuery = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow stops itself after the drain
     // Tear down the state-store maintenance pool while the RpcEnv is still
     // alive — it otherwise crashes after spark.stop() (see GraftBridge).
     org.apache.spark.sql.graft.GraftBridge.stopStateStore()
-    spark.table(queryName)
+    // The memory sink registered its table in the drain session's catalog;
+    // the returned DataFrame stays valid for the caller (it carries `ss`).
+    ss.table(queryName)
   }
 }

@@ -54,6 +54,30 @@ class AsOfJoinSpec extends SparkSuite {
     assert(run(None).values.flatten.size > got.values.flatten.size)
   }
 
+  test("NULL attribute on the matched right row stays NULL (no backfill)") {
+    // Latest right row (ts=90) has tag = NULL; an older row (ts=80) has a
+    // non-null tag. The output must carry (id=30, tag=NULL) — the whole
+    // matched row — never mix 30 with the older row's tag.
+    val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "id")
+    val r = Seq((1L, 90L, 30L, Option.empty[String]),
+      (1L, 80L, 29L, Some("stale"))).toDF("k", "ts", "id", "tag")
+    val out = AsOfJoin.backward(l, r, "k", "ts", "id",
+      Seq("id" -> "match_id", "tag" -> "match_tag")).collect().head
+    assert(out.getAs[Long]("match_id") === 30L)
+    assert(out.getAs[String]("match_tag") === null)
+  }
+
+  test("non-numeric tiebreak column resolves equal-ts ties deterministically") {
+    // Two right rows at the same ts; the larger STRING tiebreak must win
+    // (pre-fix, the unconditional cast-to-long nulled every string id).
+    val l = Seq((1L, 100L, "L1")).toDF("k", "ts", "rid")
+    val r = Seq((1L, 90L, "a", "first"), (1L, 90L, "b", "second"))
+      .toDF("k", "ts", "rid", "tag")
+    val out = AsOfJoin.backward(l, r, "k", "ts", "rid", Seq("tag" -> "match_tag"))
+      .collect().head
+    assert(out.getAs[String]("match_tag") === "second")
+  }
+
   test("right row exactly at left.ts is visible to that left row") {
     val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "id")
     val r = Seq((1L, 100L, 20L, "exact"), (1L, 99L, 21L, "older")).toDF("k", "ts", "id", "tag")

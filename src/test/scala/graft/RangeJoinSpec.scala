@@ -33,6 +33,26 @@ class RangeJoinSpec extends SparkSuite {
     }
   }
 
+  test("an interval wider than the replication cap fails fast, naming it") {
+    val l = Seq((1L, 5L)).toDF("pid", "x")
+    val r = Seq((1L, 0L, 10_000L)).toDF("iid", "lo", "hi")
+    // 10k buckets at width 1 > cap 100 → actionable error, not an
+    // explode blowup (or, in the extreme, a sequence() array-length throw)
+    val e = intercept[Exception] {
+      RangeJoin.bucketed(l, "x", r, "lo", "hi", 1L,
+        maxBucketsPerInterval = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("graft.RangeJoin"), s"unexpected error: $e")
+    assert(msg.contains("10000") && msg.contains("bucketWidth=1"),
+      s"message should name the offending interval: $msg")
+    // same data under the default cap still works
+    val ok = RangeJoin.bucketed(l, "x", r, "lo", "hi", 1L)
+      .select("pid", "iid").collect()
+    assert(ok.length === 1)
+  }
+
   test("bucketed range join plans as an equi-join, not a nested loop") {
     val l = points.toDF("pid", "x")
     val r = intervals.toDF("iid", "lo", "hi")
