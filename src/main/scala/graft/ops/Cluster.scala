@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over near-duplicate pair sets — the step that turns
+  * pairwise dedup output (Jaccard / MinHash-LSH / SimHash pairs) into
+  * actionable clusters: one canonical document kept per component, the rest
+  * dropped. The reference pipeline stops at pair detection; a training-data
+  * pipeline at 100 TB needs the closure, because near-dup relations chain
+  * (A~B, B~C ⇒ {A,B,C} is one duplicate group even when A~C is below
+  * threshold).
+  *
+  * Two algorithms, identical results (component = minimum member id):
+  *
+  *  - [[labelPropagation]] — each round every node adopts the minimum label
+  *    among itself and its neighbors (one equi-join + one min-aggregation,
+  *    i.e. two shuffles per round). Converges in O(diameter) rounds. This is
+  *    the right default for near-dup graphs: LSH candidate clusters are
+  *    near-cliques, so the diameter is tiny (2-3 rounds end to end).
+  *
+  *  - [[alternatingStar]] — the large-star/small-star algorithm of Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
+  *    each round rewires every node toward its neighborhood minimum,
+  *    halving component height, so it converges in O(log n) rounds even on
+  *    pathological long-chain graphs where propagation would need O(n)
+  *    rounds. Same per-round cost shape (groupBy min + join).
+  *
+  * Both loops truncate lineage with `localCheckpoint` every round —
+  * iterative self-referential plans otherwise grow without bound and
+  * re-analyze cost goes super-linear. A multi-hour production run should
+  * swap in reliable `checkpoint` (HDFS-backed) so executor loss cannot
+  * force a full recompute; the loop structure is unchanged.
+  *
+  * Convergence is detected by the monotone invariant sum(label): every
+  * round can only lower labels, so an unchanged sum (exact, decimal — no
+  * overflow at any scale) is a fixpoint. One tiny aggregation per round.
+  */
+object Cluster {
+
+  private def sumLabels(labels: DataFrame): java.math.BigDecimal = {
+    val r = labels.agg(sum(col("cluster").cast("decimal(38,0)")).as("s")).head()
+    if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+  }
+
+  /** Symmetric, deduplicated, self-loop-free edge list from a pair frame. */
+  private def symmetricEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Rolling checkpoint chain: `next(df)` eagerly localCheckpoints `df`
+    * and THEN frees the blocks of the chain's previous round (safe —
+    * localCheckpoint is eager, so by the time it returns the new round no
+    * longer reads the old blocks). localCheckpoint registers RDD-level
+    * caches that `Dataset.unpersist` does not reach, hence the id
+    * bookkeeping. The chain's final checkpoint is never freed — it backs
+    * the returned DataFrame.
+    */
+  private final class CheckpointChain(spark: SparkSession) {
+    private var liveIds: Set[Int] = Set.empty
+    def next(df: DataFrame): DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager
+      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      release()
+      liveIds = added
+      out
+    }
+    /** Free the current blocks (only call when the chain's latest result
+      * is no longer needed by anything downstream).
+      */
+    def release(): Unit = {
+      liveIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
+      liveIds = Set.empty
+    }
+  }
+
+  /** Min-label propagation: (id, cluster) for every node that appears in
+    * `pairs`, cluster = minimum id in the node's connected component.
+    * O(diameter) rounds, two shuffles per round.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val chain = new CheckpointChain(spark)
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = chain.next(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
+    var prevSum = sumLabels(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      labels = chain.next(
+        labels.unionByName(prop)
+          .groupBy("id").agg(min("cluster").as("cluster")))
+      val s = sumLabels(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"labelPropagation did not converge in $maxIter rounds " +
+      "(high-diameter graph — use alternatingStar)")
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. SoCC'14): same
+    * output contract as [[labelPropagation]], O(log n) rounds on any graph.
+    *
+    * large-star(u): every strictly-larger neighbor of u is rewired to
+    * m(u) = min(Γ(u) ∪ u). small-star(u): u and its smaller neighbors are
+    * rewired to m(u), computed over the smaller neighbors only. Each
+    * half-round is one groupBy-min plus one join on the edge list; both
+    * preserve connectivity, and the fixpoint is a star forest whose
+    * centers are the component minima.
+    */
+  def alternatingStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val chain = new CheckpointChain(spark)
+    val nodesChain = new CheckpointChain(spark)
+    // All nodes ever seen: star rounds can drop a component minimum from
+    // the `src` side once it only appears as a star center's target.
+    val nodes = nodesChain.next(
+      symmetricEdges(pairs, aCol, bCol).select(col("src").as("id")).distinct())
+    var edges = chain.next(symmetricEdges(pairs, aCol, bCol))
+
+    def currentLabels: DataFrame =
+      nodes.join(
+        edges.groupBy("src").agg(least(col("src"), min(col("dst"))).as("c"))
+          .withColumnRenamed("src", "id"),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), col("id")).as("cluster"))
+
+    var prevSum = sumLabels(currentLabels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m = min over the full neighborhood (incl. self);
+      // rewire strictly-larger neighbors to m
+      val mLarge = edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val large = edges.join(mLarge, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as(aCol), col("m").as(bCol))
+      edges = chain.next(symmetricEdges(large, aCol, bCol))
+      // small-star: per node u over its smaller-or-equal neighbors N,
+      // m = min(N); rewire u and N to m
+      val directed = edges.filter(col("dst") < col("src"))
+      val mSmall = directed.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = directed.join(mSmall, "src")
+        .select(col("dst").as(aCol), col("m").as(bCol))
+        .union(mSmall.select(col("src").as(aCol), col("m").as(bCol)))
+      edges = chain.next(symmetricEdges(small, aCol, bCol))
+      val s = sumLabels(currentLabels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"alternatingStar did not converge in $maxIter rounds")
+    val out = chain.next(currentLabels) // frees the final edge round too
+    nodesChain.release()
+    out
+  }
+
+  /** Full dedup clustering: every node of `nodes` labeled with its
+    * component (`cluster_id` = min member id; isolated nodes form their own
+    * cluster), plus `cluster_size` and the keep-one-per-cluster flag
+    * `is_canonical` (true exactly for the minimum member).
+    *
+    * Scale shape: the iterative closure runs on the PAIR set (tiny next to
+    * the corpus — near-dup pairs, not rows); the corpus itself is touched
+    * by exactly one left join + one window.
+    */
+  def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String,
+      algo: (DataFrame, String, String, Int) => DataFrame = labelPropagation(_, _, _, _),
+      maxIter: Int = 50): DataFrame = {
+    val labels = algo(pairs, aCol, bCol, maxIter)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster"), col("id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+}

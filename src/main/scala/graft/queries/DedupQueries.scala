@@ -208,7 +208,54 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup clustering: the q26 near-dup pair set closed into connected
+    * components (near-dup relations CHAIN: A~B, B~C puts A and C in one
+    * duplicate group even when A~C is below threshold), every document
+    * labeled with its cluster (= min member id), cluster size, and the
+    * keep-one-per-cluster `is_canonical` flag. Spark side: iterative
+    * min-label propagation over the pair set (O(diameter) rounds — near-dup
+    * clusters are near-cliques, so 2-3 rounds; `Cluster.alternatingStar` is
+    * the O(log n) twin for adversarial graphs, parity-tested in
+    * ClusterSpec). Oracle: recursive-CTE transitive closure — each step
+    * only propagates labels smaller than the receiving node, which prunes
+    * the closure without losing the minimum.
+    */
+  val q49DedupClusters: Q = Q(
+    "q49_dedup_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) a
+       |  JOIN (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) b
+       |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / len(list_distinct(a.toks || b.toks)) >= 0.6
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id WHERE r.lbl < e.d
+       |), lab AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  (doc_id = cluster_id) AS is_canonical
+       |FROM lab
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+    val pairs = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "_toks",
+      expr("n_chars DIV 64"), 0.6, subBlocks = 0)
+    graft.ops.Cluster.clusters(
+      Tables.documents(s, dir).select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
-    q48IntersectDocs)
+    q48IntersectDocs, q49DedupClusters)
 }

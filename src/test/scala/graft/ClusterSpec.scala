@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Cluster
+
+/** Connected-components clustering: known topologies, isolated nodes,
+  * convergence on chains, and algorithm parity (propagation vs
+  * alternating-star must agree on every graph).
+  */
+class ClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pairsDf(pairs: Seq[(Long, Long)]): DataFrame =
+    pairs.toDF("id_a", "id_b")
+
+  private def labelMap(labels: DataFrame): Map[Long, Long] =
+    labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two components and transitive chaining") {
+    // {1,2,3} via 1-2, 2-3 (no 1-3 edge: chaining) ; {7,9} ; edge dup + reversed
+    val pairs = pairsDf(Seq((1L, 2L), (2L, 3L), (9L, 7L), (2L, 1L)))
+    val got = labelMap(Cluster.labelPropagation(pairs, "id_a", "id_b"))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters() covers isolated nodes and flags canonical members") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = pairsDf(Seq((5L, 2L), (2L, 4L)))
+    val out = Cluster.clusters(nodes, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, true),
+      (2L, 2L, 3L, true),
+      (3L, 3L, 1L, true),
+      (4L, 2L, 3L, false),
+      (5L, 2L, 3L, false),
+      (6L, 6L, 1L, true)))
+  }
+
+  test("alternating-star converges on a long chain in O(log n) rounds") {
+    val n = 64
+    val chain = pairsDf((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)))
+    // maxIter 10 ≈ log2(64) + slack: propagation would need ~63 rounds
+    val got = labelMap(Cluster.alternatingStar(chain, "id_a", "id_b", maxIter = 10))
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
+  test("propagation and alternating-star agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = pairsDf(Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b })
+    val p = labelMap(Cluster.labelPropagation(pairs, "id_a", "id_b"))
+    val s = labelMap(Cluster.alternatingStar(pairs, "id_a", "id_b"))
+    assert(p == s)
+  }
+
+  test("empty pair set leaves every node its own cluster") {
+    val nodes = (1L to 3L).toDF("doc_id")
+    val out = Cluster.clusters(nodes, "doc_id",
+      pairsDf(Seq.empty), "id_a", "id_b")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
+  }
+}
