@@ -155,6 +155,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document (smoothed idf, portable rounding —
+    * see TfIdf scaladoc for the scale shape and why idf is rounded before
+    * scoring).
+    */
+  val q50TfIdfTopTerms: Q = Q(
+    "q50_tfidf_top_terms",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($DuckToks) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT count(*) AS n FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(floor(tf * (CAST(floor((ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    graft.ops.TfIdf.topTerms(Tables.documentsSpread(s, dir), "doc_id",
+      TextAnalysis.tokens(col("text")), 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Exact global heavy hitters: top-20 terms by corpus frequency with
+    * document frequency, ties broken by term (total order).
+    */
+  val q52HeavyHitters: Q = Q(
+    "q52_heavy_hitters",
+    s"""SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest($DuckToks) AS term FROM documents)
+       |GROUP BY term
+       |ORDER BY freq DESC, term
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.ops.TfIdf.heavyHitters(Tables.documentsSpread(s, dir), "doc_id",
+      TextAnalysis.tokens(col("text")), 20)
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
-    q23QualityScore, q24DocFingerprint)
+    q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters)
 }
