@@ -14,7 +14,7 @@ object SparkEntry {
   /** All gate-visible queries, one per implemented operator. */
   private def modules: Seq[Q] =
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -503,11 +503,92 @@ object Relational {
     }
   }
 
+  /** Ranking-window suite (extension surface): rank / dense_rank /
+    * ntile / percent_rank / cume_dist over users ordered by exact total
+    * event value. The global window ranks the AGGREGATED users-sized
+    * table, not the event corpus — the corpus pays one groupBy shuffle
+    * with map-side partial sums, and only the aggregate (|users| rows)
+    * passes through the single-partition global sort. Ordering key
+    * (cents desc, user_id) is total, so every rank function is
+    * deterministic and the percent ranks are exact IEEE divisions.
+    */
+  val q53RankingSuite: Q = Q(
+    "q53_ranking_suite",
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(cents AS DOUBLE) / 100.0 AS total_value,
+      |  rank() OVER o AS rnk,
+      |  dense_rank() OVER o AS dense_rnk,
+      |  ntile(4) OVER o AS quartile,
+      |  CAST(floor(percent_rank() OVER o * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS pct_rank,
+      |  CAST(floor(cume_dist() OVER o * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS cume
+      |FROM t
+      |WINDOW o AS (ORDER BY cents DESC, user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Exact
+    val t = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(Exact.cents(col("value"))).as("cents"))
+    val o = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("user_id"))
+    t.select(
+        col("user_id"),
+        Exact.fromCents(col("cents")).as("total_value"),
+        rank().over(o).as("rnk"),
+        dense_rank().over(o).as("dense_rnk"),
+        ntile(4).over(o).as("quartile"),
+        Exact.roundPortable(percent_rank().over(o), 6).as("pct_rank"),
+        Exact.roundPortable(cume_dist().over(o), 6).as("cume"))
+      .orderBy("user_id")
+  }
+
+  /** Full outer join (completes the join family next to inner / left /
+    * semi / anti): high-balance customers reconciled against
+    * frequent-order customers — both unmatched sides survive with null
+    * fills and a side classification. Spark plans full outer as a
+    * sort-merge join (broadcast is not available for full outer): one
+    * shuffle per side on the key, which is the scale-correct shape.
+    */
+  val q54FullOuterReconcile: Q = Q(
+    "q54_full_outer_reconcile",
+    """WITH a AS (
+      |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+      |), b AS (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders
+      |  GROUP BY o_custkey HAVING count(*) >= 3
+      |)
+      |SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey,
+      |  a.c_acctbal, b.n_orders,
+      |  CASE WHEN a.c_custkey IS NULL THEN 'orders_only'
+      |       WHEN b.o_custkey IS NULL THEN 'balance_only'
+      |       ELSE 'both' END AS side
+      |FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val a = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 7000)
+      .select("c_custkey", "c_acctbal")
+    val b = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+    a.join(b, a("c_custkey") === b("o_custkey"), "full_outer")
+      .select(
+        coalesce(a("c_custkey"), b("o_custkey")).as("custkey"),
+        a("c_acctbal"), b("n_orders"),
+        when(a("c_custkey").isNull, "orders_only")
+          .when(b("o_custkey").isNull, "balance_only")
+          .otherwise("both").as("side"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
-    q46UnpivotUserEvents)
+    q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile)
 }

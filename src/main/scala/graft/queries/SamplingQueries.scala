@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deterministic sampling gates over `documents` (ops/Sampling): the
+  * curation-pipeline counterpart of the reference's hash-based
+  * train/val/test split (F4-F6) — same seeded-hash machinery, applied to
+  * per-stratum corpus downsampling.
+  */
+object SamplingQueries {
+
+  private val Span = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+  private def duckUnit(seed: String, e: String): String =
+    s"(CAST(CAST(('0x' || substring(md5('$seed:' || $e), 1, 15)) AS BIGINT) AS DOUBLE) / $Span)"
+
+  /** Stratified deterministic sample: per-language keep fractions (en
+    * downsampled hardest, the zh stratum exercising the default-fraction
+    * fallback), membership a pure function of doc_id. The oracle states
+    * the same md5-derived unit hash and CASE fractions.
+    */
+  val q51StratifiedSample: Q = {
+    val fracs = Seq("de" -> 0.30, "en" -> 0.15, "es" -> 0.45, "fr" -> 0.60)
+    val default = 0.5
+    val caseSql = fracs.map { case (l, f) => s"WHEN '$l' THEN CAST($f AS DOUBLE)" }
+      .mkString("CASE lang ", " ", s" ELSE CAST($default AS DOUBLE) END")
+    Q(
+      "q51_stratified_sample",
+      s"""SELECT doc_id, lang,
+         |  CAST(floor(h * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS h
+         |FROM (
+         |  SELECT doc_id, lang, ${duckUnit("samp1", "CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |)
+         |WHERE h < $caseSql
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fractions = fracs.toDF("lang", "fraction")
+      graft.ops.Sampling.stratified(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", fractions, col("doc_id"), "samp1", default)
+        .withColumn("h", graft.functions.Exact.roundPortable(
+          Hashing.hashUnit(col("doc_id").cast("string"), "samp1"), 6))
+        .select("doc_id", "lang", "h")
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q51StratifiedSample)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+import graft.functions.Hashing
+
+/** Deterministic sampling: membership is a pure function of the key,
+  * strata get their configured fractions, absent strata fall back.
+  */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+    .toDF("id", "lang")
+
+  test("stratified keeps exactly the rows whose key hash clears the stratum fraction") {
+    val fractions = Seq(("en", 0.2)).toDF("lang", "fraction")
+    val kept = Sampling.stratified(rows, "lang", fractions, col("id"), "s1", 0.7)
+      .select("id").as[Long].collect().toSet
+    val expected = (1L to 400L).filter { i =>
+      val frac = if (i % 2 == 0) 0.2 else 0.7
+      Hashing.hash60Jvm(i.toString, "s1").toDouble / 1152921504606846976.0 < frac
+    }.toSet
+    assert(kept == expected)
+    // and the fractions actually bite: en ≈ 20% of 200, xx ≈ 70% of 200
+    val en = kept.count(_ % 2 == 0)
+    val xx = kept.size - en
+    assert(en > 20 && en < 60, s"en kept $en of 200")
+    assert(xx > 110 && xx < 170, s"xx kept $xx of 200")
+  }
+
+  test("hashSample is repartition-invariant (pure function of the key)") {
+    val a = Sampling.hashSample(rows, col("id"), "s2", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows.repartition(7), col("id"), "s2", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("malformed fractions frame is rejected") {
+    val bad = Seq(("en", 0.2, 1)).toDF("lang", "fraction", "extra")
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(rows, "lang", bad, col("id"), "s1", 0.5)
+    }
+  }
+}
