@@ -212,11 +212,10 @@ object DedupQueries {
     * components (near-dup relations CHAIN: A~B, B~C puts A and C in one
     * duplicate group even when A~C is below threshold), every document
     * labeled with its cluster (= min member id), cluster size, and the
-    * keep-one-per-cluster `is_canonical` flag. Spark side: iterative
-    * min-label propagation over the pair set (O(diameter) rounds — near-dup
-    * clusters are near-cliques, so 2-3 rounds; `Cluster.alternatingStar` is
-    * the O(log n) twin for adversarial graphs, parity-tested in
-    * ClusterSpec). Oracle: recursive-CTE transitive closure — each step
+    * keep-one-per-cluster `is_canonical` flag. Spark side: the alternating
+    * large-star/small-star closure (O(log n) rounds, edge set collapses as
+    * components contract; `Cluster.labelPropagation` is the parity-tested
+    * O(diameter) twin). Oracle: recursive-CTE transitive closure — each step
     * only propagates labels smaller than the receiving node, which prunes
     * the closure without losing the minimum.
     */
