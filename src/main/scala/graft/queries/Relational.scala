@@ -584,11 +584,55 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** CDC latest-wins upsert (ops/Upsert): the customer snapshot with an
+    * order-derived change feed applied — per customer the newest order
+    * (by orderdate, orderkey) overwrites the balance, and a newest order
+    * in status 'F' acts as a tombstone deleting the key. One shuffle
+    * (window on the key); the same MERGE shape as the reference's
+    * manifest CDC (SURVEY T1/T4) without a table format.
+    */
+  val q56CdcUpsert: Q = Q(
+    "q56_cdc_upsert",
+    """WITH all_rows AS (
+      |  SELECT c_custkey AS custkey, c_acctbal AS balance,
+      |    CAST(-1 AS BIGINT) AS ver_ts, CAST(-1 AS BIGINT) AS ver_id,
+      |    false AS deleted
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice,
+      |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)), o_orderkey,
+      |    (o_orderstatus = 'F')
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY custkey
+      |    ORDER BY ver_ts DESC, ver_id DESC) AS rn
+      |  FROM all_rows
+      |)
+      |SELECT custkey, balance, (ver_id >= 0) AS from_change
+      |FROM ranked WHERE rn = 1 AND NOT deleted
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_acctbal").as("balance"),
+      lit(-1L).as("ver_ts"), lit(-1L).as("ver_id"), lit(false).as("deleted"))
+    val changes = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_totalprice").as("balance"),
+      // parquet timestamp[ms] loads as TIMESTAMP_NTZ; session TZ is UTC on
+      // both engines, so the NTZ→TZ cast yields DuckDB's epoch_ms exactly
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ver_ts"),
+      col("o_orderkey").as("ver_id"),
+      (col("o_orderstatus") === "F").as("deleted"))
+    graft.ops.Upsert.latestWins(base, changes, Seq("custkey"),
+      Seq("ver_ts", "ver_id"), "deleted")
+      .select(col("custkey"), col("balance"), (col("ver_id") >= 0).as("from_change"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
     q08SemiJoin, q09AntiJoin, q10UnionByName, q11DistinctPairs,
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
-    q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile)
+    q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
+    q56CdcUpsert)
 }

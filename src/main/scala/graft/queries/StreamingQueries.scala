@@ -94,6 +94,20 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming exact dedup (stateful dropDuplicates): the drained
+    * first-seen distinct key set must equal the batch DISTINCT — the
+    * fourth stateful-streaming operator gated (windows, sessions,
+    * mapGroupsWithState, dedup).
+    */
+  val q55StreamingDedup: Q = Q(
+    "q55_streaming_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.distinctUserEventTypes(df), "q55_mem", OutputMode.Append)
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
-    q35MediaByteStats, q39RunningUserCounts)
+    q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup)
 }

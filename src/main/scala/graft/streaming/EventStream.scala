@@ -78,6 +78,27 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming exact dedup: first-seen distinct (user_id, event_type)
+    * pairs via the stateful dropDuplicates operator. Keys only — the
+    * surviving payload of a duplicate group is arrival-order-dependent, so
+    * a deterministic contract projects to the key columns first. State is
+    * O(distinct keys) and unbounded here (fine for a drain); a continuous
+    * production stream bounds it with `dropDuplicatesWithinWatermark`,
+    * which this operator switches to when `withinWatermark` is set.
+    */
+  def distinctUserEventTypes(events: DataFrame,
+      withinWatermark: Option[String] = None): DataFrame =
+    withinWatermark match {
+      case Some(delay) =>
+        events.withWatermark("ts", delay)
+          .select("user_id", "event_type", "ts")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+      case None =>
+        events.select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+    }
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —
