@@ -627,6 +627,36 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** Semi-structured extraction: the events `props` JSON column parsed
+    * ONCE per row with a declared schema (`from_json` — typed, codegen'd,
+    * no re-parse per field, unlike chained get_json_object calls), then
+    * aggregated by the extracted field. The schema-on-read pattern for
+    * sidecar metadata at scale.
+    */
+  val q58PropsExtract: Q = Q(
+    "q58_props_extract",
+    """SELECT k_bucket, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM (
+      |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket, value
+      |  FROM events
+      |)
+      |GROUP BY k_bucket
+      |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, dir)
+      .withColumn("_p", from_json(col("props"), propsSchema))
+      .select(col("_p.k").as("k"), expr("_p.k DIV 10").as("k_bucket"), col("value"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .orderBy("k_bucket")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -634,5 +664,5 @@ object Relational {
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
-    q56CdcUpsert)
+    q56CdcUpsert, q58PropsExtract)
 }

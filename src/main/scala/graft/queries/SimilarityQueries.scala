@@ -274,6 +274,32 @@ object SimilarityQueries {
     }
   }
 
+  /** Symmetric int8 embedding quantization (ops/Quantize): per-vector
+    * codes + rounded scale, bit-identical across engines via the portable
+    * floor(x+0.5) rounding. Row-local column math only — no shuffle.
+    */
+  val q57EmbedQuantize: Q = Q(
+    "q57_embed_quantize",
+    """SELECT vec_id,
+      |  CAST(floor(mx * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS max_abs,
+      |  CASE WHEN mx > 0
+      |    THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+      |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings
+      |)
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.Exact.roundPortable(
+          graft.ops.Quantize.maxAbs(col("embedding")), 6).as("max_abs"),
+        graft.ops.Quantize.int8Codes(col("embedding")).as("codes"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
-    q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles)
+    q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
+    q57EmbedQuantize)
 }
