@@ -35,9 +35,24 @@ object ScaleProbe {
       println(s"[probe]   pairs: $n")
     }
     val sh = docs.withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
-    t("minhashLsh 50k docs") {
-      val n = Dedup.minhashLshPairs(sh, "doc_id", "_sh", 4, 3, "mh", 0.5).count()
-      println(s"[probe]   pairs: $n")
+    val lshPairs = t("minhashLsh 50k docs") {
+      val p = Dedup.minhashLshPairs(sh, "doc_id", "_sh", 4, 3, "mh", 0.5)
+        .localCheckpoint()
+      println(s"[probe]   pairs: ${p.count()}")
+      p
+    }
+    t("cluster the 50k-doc LSH pair set (alternatingStar)") {
+      val labels = graft.ops.Cluster.alternatingStar(lshPairs, "id_a", "id_b")
+      println(s"[probe]   nodes: ${labels.count()}, components: " +
+        labels.select("cluster").distinct().count())
+    }
+    t("cluster 2M-node / 5M-edge random graph (alternatingStar)") {
+      val e = spark.range(5000000L).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(2000000L)).as("id_a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(2000000L)).as("id_b"))
+      val labels = graft.ops.Cluster.alternatingStar(e, "id_a", "id_b")
+      println(s"[probe]   nodes: ${labels.count()}, components: " +
+        labels.select("cluster").distinct().count())
     }
     val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = (0 until 10).map { r =>
