@@ -28,16 +28,27 @@ object Upsert {
   /** Apply `changes` over `base`, both already aligned to the same schema.
     * Returns the merged snapshot (tombstoned keys removed, `versionCols`
     * and `deleteCol` retained for lineage).
+    *
+    * `dropTombstones = false` keeps the winning tombstone ROW instead of
+    * deleting the key — required when the merge is applied incrementally
+    * (streaming/IncrementalMerge): dropping a tombstone forgets its
+    * version, so a LATE change with an older version would wrongly
+    * resurrect the key in a later batch. With tombstones retained the
+    * merge is associative — incremental application over any batch split
+    * equals one-shot application — and the live view is just
+    * `filter(!deleteCol)` at read time.
     */
   def latestWins(base: DataFrame, changes: DataFrame, keys: Seq[String],
-      versionCols: Seq[String], deleteCol: String): DataFrame = {
+      versionCols: Seq[String], deleteCol: String,
+      dropTombstones: Boolean = true): DataFrame = {
     require(base.columns.sorted.sameElements(changes.columns.sorted),
       s"base/changes schemas differ: ${base.columns.mkString(",")} vs ${changes.columns.mkString(",")}")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(versionCols.map(c => col(c).desc): _*)
-    base.unionByName(changes)
+    val merged = base.unionByName(changes)
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col(deleteCol))
+      .filter(col("_rn") === 1)
       .drop("_rn")
+    if (dropTombstones) merged.filter(!col(deleteCol)) else merged
   }
 }

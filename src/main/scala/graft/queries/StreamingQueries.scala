@@ -108,6 +108,32 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Streaming SLIDING windows (1 h size / 30 min slide) in Complete mode:
+    * each event lands in exactly two overlapping windows. The oracle
+    * replays the window assignment arithmetic in integer micros — window
+    * starts floor(ts/slide)·slide − k·slide for k ∈ {0,1}.
+    */
+  val q59SlidingWindows: Q = Q(
+    "q59_sliding_windows",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+      |  FROM events
+      |), w AS (
+      |  SELECT (ts_us // 1800000000) * 1800000000 - k * 1800000000 AS w_us,
+      |    event_type, value
+      |  FROM e, generate_series(0, 1) t(k)
+      |)
+      |SELECT w_us // 1000 AS window_start_ms, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.slidingAgg, "q59_mem", OutputMode.Complete)
+      .orderBy("window_start_ms", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
-    q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup)
+    q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
+    q59SlidingWindows)
 }

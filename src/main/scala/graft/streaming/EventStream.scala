@@ -40,6 +40,21 @@ object EventStream {
         unix_millis(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value_cents"))
 
+  /** Sliding hourly windows every 30 minutes: each event lands in exactly
+    * size/slide = 2 overlapping windows. State is O(active windows ×
+    * groups) like the tumbling form — the slide multiplies row fan-out
+    * (an Expand, map-side), not state residency.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+
   /** Session windows (30-minute gap) per user via the built-in
     * session_window — the streaming twin of ops.Sessionize.
     */
