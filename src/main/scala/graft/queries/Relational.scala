@@ -657,6 +657,36 @@ object Relational {
       .orderBy("k_bucket")
   }
 
+  /** Ordered sequence extraction (array agg): each user's first 20 event
+    * types in time order — the behavioral-sequence shape a training
+    * pipeline feeds to sequence models. `collect_list` alone is
+    * partition-order-nondeterministic, so the events are collected as
+    * (ts, id, type) structs and sorted IN the array (sort_array on the
+    * struct = lexicographic on the total-order key), then projected and
+    * sliced — deterministic under any shuffle topology.
+    */
+  val q60UserJourneys: Q = Q(
+    "q60_user_journeys",
+    """SELECT user_id, count(*) AS n_events,
+      |  (array_agg(event_type ORDER BY ts_us, event_id))[1:20] AS journey
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")).as("_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        slice(transform(sort_array(collect_list(col("_e"))),
+          e => e.getField("event_type")), 1, 20).as("journey"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -664,5 +694,5 @@ object Relational {
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
-    q56CdcUpsert, q58PropsExtract)
+    q56CdcUpsert, q58PropsExtract, q60UserJourneys)
 }

@@ -199,6 +199,52 @@ object TextQueries {
       TextAnalysis.tokens(col("text")), 20)
   }
 
+  /** Count-min sketch estimates for the exact top-20 terms, hash-gated:
+    * the sketch's bucket hash is the portable md5 form, so the oracle
+    * replays sketch construction cell by cell and the min-across-rows
+    * estimates bit-for-bit. At width 8192 ≫ distinct terms the estimates
+    * equal the true counts here; CountMinSpec covers the collision regime.
+    */
+  val q61CountMinEstimates: Q = {
+    val depth = 4; val width = 8192; val seed = "cms2"
+    def duckBucket(r: String, term: String): String =
+      s"CAST(('0x' || substring(md5('$seed:' || $r || ':' || $term), 1, 15)) AS BIGINT) % $width"
+    Q(
+      "q61_countmin_estimates",
+      s"""WITH toks AS (
+         |  SELECT unnest($DuckToks) AS term FROM documents
+         |), cells AS (
+         |  SELECT r, ${duckBucket("CAST(r AS VARCHAR)", "term")} AS b,
+         |    count(*) AS cell_count
+         |  FROM toks, generate_series(0, ${depth - 1}) t(r)
+         |  GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT term, count(*) AS true_count FROM toks GROUP BY term
+         |  ORDER BY true_count DESC, term LIMIT 20
+         |), est AS (
+         |  SELECT e.term, min(c.cell_count) AS est_count
+         |  FROM exact e
+         |  CROSS JOIN generate_series(0, ${depth - 1}) t(r)
+         |  JOIN cells c ON c.r = t.r
+         |    AND c.b = ${duckBucket("CAST(t.r AS VARCHAR)", "e.term")}
+         |  GROUP BY e.term
+         |)
+         |SELECT term, est_count, true_count FROM est JOIN exact USING (term)
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      val toks = Tables.documentsSpread(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sk = graft.ops.CountMin.sketch(toks, "term", depth, width, seed)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("term")).limit(20)
+      graft.ops.CountMin.estimate(sk, exact.select("term"), "term", depth, width, seed)
+        .join(exact, "term")
+        .select("term", "est_count", "true_count")
+        .orderBy("term")
+    }
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
-    q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters)
+    q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
+    q61CountMinEstimates)
 }
