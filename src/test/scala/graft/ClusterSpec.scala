@@ -56,6 +56,33 @@ class ClusterSpec extends SparkSuite {
     assert(p == s)
   }
 
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("both algorithms match a brute-force union-find across densities") {
+    val rnd = new scala.util.Random(1234)
+    // sparse chains, mid-density, near-clique — plus self-loops and dups
+    for (m <- Seq(15, 80, 300)) {
+      val pairs = Seq.fill(m)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val df = pairsDf(pairs)
+      val expected = unionFind(pairs.filter { case (a, b) => a != b })
+      assert(labelMap(Cluster.labelPropagation(df, "id_a", "id_b")) == expected,
+        s"propagation diverged at m=$m")
+      assert(labelMap(Cluster.alternatingStar(df, "id_a", "id_b")) == expected,
+        s"star diverged at m=$m")
+    }
+  }
+
   test("empty pair set leaves every node its own cluster") {
     val nodes = (1L to 3L).toDF("doc_id")
     val out = Cluster.clusters(nodes, "doc_id",
