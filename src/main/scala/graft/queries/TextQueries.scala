@@ -244,7 +244,39 @@ object TextQueries {
     }
   }
 
+  /** Passage-level boilerplate removal (ops/Boilerplate): 8-token
+    * passages recurring in ≥3 distinct docs are template text; each doc
+    * reports its passage census and the cleaned text rebuilt in order
+    * (null when everything was boilerplate — the oracle's null-skipping
+    * string_agg states the same).
+    */
+  val q62Boilerplate: Q = Q(
+    "q62_boilerplate",
+    s"""WITH d AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM documents
+       |), si AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, (len(toks) + 7) // 8 - 1)) AS seg_idx
+       |  FROM d WHERE len(toks) > 0
+       |), segs AS (
+       |  SELECT doc_id, seg_idx,
+       |    array_to_string(toks[seg_idx * 8 + 1 : seg_idx * 8 + 8], ' ') AS seg
+       |  FROM si
+       |), bp AS (
+       |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+       |)
+       |SELECT s.doc_id, count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       |  string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx) AS clean_text
+       |FROM segs s LEFT JOIN bp b USING (seg)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Boilerplate.clean(Tables.documentsSpread(s, dir), "doc_id",
+      TextAnalysis.tokens(col("text")), width = 8, minDocs = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
-    q61CountMinEstimates)
+    q61CountMinEstimates, q62Boilerplate)
 }
