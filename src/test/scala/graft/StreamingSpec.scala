@@ -48,6 +48,22 @@ class StreamingSpec extends SparkSuite {
     assert(total === Tables.events(spark, sfDir).count())
   }
 
+  test("streaming dedup (both flavors) equals batch DISTINCT") {
+    val batch = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+    val unbounded = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      df => EventStream.distinctUserEventTypes(df), "t_dedup", OutputMode.Append)
+    assert(unbounded.count() === batch.count())
+    assert(unbounded.except(batch).isEmpty)
+    // watermark-bounded flavor: all events fit inside the bound here, so
+    // the result must still be the exact distinct set
+    val bounded = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      df => EventStream.distinctUserEventTypes(df, Some("100 days")),
+      "t_dedup_wm", OutputMode.Append)
+    assert(bounded.count() === batch.count())
+    assert(bounded.except(batch).isEmpty)
+  }
+
   test("multimodal: synthetic media bytes are 128B, decode features deterministic") {
     val media = Media.syntheticMediaFromDocs(Tables.documents(spark, sfDir))
     val stats = Media.byteStats(media)
