@@ -64,23 +64,24 @@ object Cluster {
     * the returned DataFrame.
     */
   private final class CheckpointChain(spark: SparkSession) {
-    private var liveIds: Set[Int] = Set.empty
+    private var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     def next(df: DataFrame): DataFrame = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint() // eager
-      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      // Track EXACTLY the checkpoint RDD backing `out` (via its LogicalRDD
+      // plan) — never a getPersistentRDDs diff, which would mis-claim any
+      // unrelated cache (a caller's persisted edge list, an op's internal
+      // cache) that happens to first materialize during this action.
+      val rdd = org.apache.spark.sql.graft.GraftBridge.checkpointRdd(out)
       release()
-      liveIds = added
+      liveRdd = rdd
       out
     }
     /** Free the current blocks (only call when the chain's latest result
       * is no longer needed by anything downstream).
       */
     def release(): Unit = {
-      liveIds.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(blocking = false)))
-      liveIds = Set.empty
+      liveRdd.foreach(_.unpersist(blocking = false))
+      liveRdd = None
     }
   }
 
@@ -203,6 +204,11 @@ object Cluster {
       .select(col("id").as(idCol),
         coalesce(col("cluster"), col("id")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+      // canonical = min PRESENT member, not cluster_id itself: when `nodes`
+      // is a subset of the pair universe, the component minimum may be
+      // absent — comparing against cluster_id would then leave the whole
+      // cluster with NO canonical row, and a keep-one-per-cluster consumer
+      // would drop the entire duplicate group.
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 }

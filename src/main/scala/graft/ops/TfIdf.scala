@@ -36,8 +36,13 @@ object TfIdf {
     * (score desc, term) — a total order, so results are deterministic.
     */
   def topTerms(docs: DataFrame, idCol: String, tokens: Column, k: Int): DataFrame = {
+    // Shared by the scoring and document-frequency branches; stays
+    // persisted for the life of the returned (lazy) plan. Long-lived
+    // sessions issuing many such queries should clear via
+    // spark.catalog.clearCache() between them — the engine-wide contract
+    // for every op-internal barrier cache (see Dedup/Boilerplate too).
     val tf = termFrequencies(docs, idCol, tokens)
-      .persist(StorageLevel.MEMORY_AND_DISK) // shared by scoring + df branch
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val idf = graft.functions.Exact.roundPortable(

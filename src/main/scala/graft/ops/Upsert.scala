@@ -49,6 +49,9 @@ object Upsert {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    if (dropTombstones) merged.filter(!col(deleteCol)) else merged
+    // NULL in the tombstone column means "not a delete", not "delete":
+    // under three-valued logic a bare !col would silently drop the key.
+    if (dropTombstones) merged.filter(!coalesce(col(deleteCol), lit(false)))
+    else merged
   }
 }

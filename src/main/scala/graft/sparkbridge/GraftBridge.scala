@@ -12,6 +12,18 @@ object GraftBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** The checkpoint RDD backing a `localCheckpoint()`ed DataFrame, if any —
+    * the analyzed plan of such a frame is a LogicalRDD wrapping the cached
+    * RDD. Lets callers free exactly that RDD's blocks (RDD-level caches
+    * are invisible to `Dataset.unpersist`), without guessing from
+    * `getPersistentRDDs` diffs, which would mis-claim any UNRELATED cache
+    * that happens to first materialize during the checkpoint action.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Stop the streaming state-store maintenance pool. Must run after the
     * last streaming query stops and BEFORE `spark.stop()`: the maintenance
     * thread otherwise outlives the session's RpcEnv and dies loudly with

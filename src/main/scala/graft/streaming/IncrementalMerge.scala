@@ -42,7 +42,11 @@ object IncrementalMerge {
       }
       .start()
 
-  /** The queryable state of a merged base: tombstones filtered out. */
+  /** The queryable state of a merged base: tombstones filtered out (NULL
+    * in the tombstone column is "not deleted", not a delete).
+    */
   def liveView(spark: SparkSession, basePath: String, deleteCol: String): DataFrame =
-    spark.read.parquet(basePath).filter(!col(deleteCol))
+    spark.read.parquet(basePath)
+      .filter(!org.apache.spark.sql.functions.coalesce(col(deleteCol),
+        org.apache.spark.sql.functions.lit(false)))
 }

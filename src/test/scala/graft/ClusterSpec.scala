@@ -56,6 +56,22 @@ class ClusterSpec extends SparkSuite {
     assert(p == s)
   }
 
+  test("clusters() still elects a canonical when the component min is absent from nodes") {
+    // component {2,4,5} has min 2, but nodes only carries 4 and 5:
+    // the min PRESENT member (4) must be canonical, or a keep-one
+    // consumer would drop the whole group
+    val nodes = Seq(4L, 5L, 6L).toDF("doc_id")
+    val pairs = pairsDf(Seq((2L, 4L), (2L, 5L)))
+    val out = Cluster.clusters(nodes, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (4L, 2L, 2L, true),
+      (5L, 2L, 2L, false),
+      (6L, 6L, 1L, true)))
+  }
+
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

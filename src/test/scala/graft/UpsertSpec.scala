@@ -42,6 +42,15 @@ class UpsertSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "v3")))
   }
 
+  test("NULL tombstone means keep, not delete") {
+    val base = Seq((1L, "base", -1L, Some(false))).toDF("k", "payload", "ver", "deleted")
+    val changes = Seq((1L, "upd", 10L, Option.empty[Boolean]))
+      .toDF("k", "payload", "ver", "deleted")
+    val out = Upsert.latestWins(base, changes, Seq("k"), Seq("ver"), "deleted")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "upd")))
+  }
+
   test("schema mismatch is rejected") {
     val base = frame(Seq((1L, "b", -1L, false)))
     val bad = Seq((1L, 9L, false)).toDF("k", "ver", "deleted")
