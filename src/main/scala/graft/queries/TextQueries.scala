@@ -276,7 +276,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** GPT-style sequence packing: documents concatenated in doc_id order
+    * and cut into fixed 512-token training chunks — each doc's global
+    * start offset comes from the DISTRIBUTED two-pass prefix sum
+    * (ops/PrefixSum), not a global window (which would move the whole
+    * corpus to one reducer). The oracle states the same offsets with a
+    * windowed running sum.
+    */
+  val q63SequencePacking: Q = Q(
+    "q63_sequence_packing",
+    s"""WITH d AS (
+       |  SELECT doc_id, len($DuckToks) AS n_tok FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tok, start_offset,
+       |  start_offset // 512 AS first_chunk,
+       |  (start_offset + n_tok - 1) // 512 AS last_chunk,
+       |  (start_offset + n_tok - 1) // 512 - start_offset // 512 + 1 AS n_chunks
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.ops.PrefixSum.exclusive(d, "doc_id", "n_tok", "start_offset")
+      .withColumn("first_chunk", expr("start_offset DIV 512"))
+      .withColumn("last_chunk", expr("(start_offset + n_tok - 1) DIV 512"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
-    q61CountMinEstimates, q62Boilerplate)
+    q61CountMinEstimates, q62Boilerplate, q63SequencePacking)
 }
