@@ -54,6 +54,12 @@ object ScaleProbe {
       println(s"[probe]   nodes: ${labels.count()}, components: " +
         labels.select("cluster").distinct().count())
     }
+    t("prefix sum over 50M rows") {
+      val df = spark.range(50000000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+      val n = graft.ops.PrefixSum.exclusive(df, "k", "v", "off").count()
+      println(s"[probe]   rows: $n")
+    }
     val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = (0 until 10).map { r =>
       emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
