@@ -14,7 +14,8 @@ object SparkEntry {
   /** All gate-visible queries, one per implemented operator. */
   private def modules: Seq[Q] =
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
+      CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

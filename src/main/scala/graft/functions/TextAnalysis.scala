@@ -98,4 +98,31 @@ object TextAnalysis {
     */
   def docFingerprint(shingles: Column, seed: String): Column =
     array_min(transform(shingles, s => Hashing.hash60(s, seed)))
+
+  /** Adjacent word bigrams in document order (NOT distinct — repetition
+    * analysis needs the multiset). Empty for docs under 2 tokens.
+    */
+  def bigrams(toks: Column): Column = {
+    val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(typedLit(Seq.empty[Int]))
+    transform(idx, i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+  }
+
+  /** Count of the most frequent element (the mode's multiplicity) — a
+    * per-row O(n log n) sort + one linear fold, NO explode/groupBy shuffle.
+    * At 100 TB this is the difference between an embarrassingly parallel
+    * map stage and a (doc_id, token)-keyed shuffle of the whole corpus.
+    * Empty arrays → 0.
+    */
+  def modeCount(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val folded = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      })
+    folded.getField("best")
+  }
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-level text operators for training-data curation: inverted index
+  * construction, PMI collocation mining, and per-source distribution drift.
+  *
+  * Scale design (100 TB):
+  *  - every operator shuffles the corpus AT MOST ONCE, on the token — all
+  *    downstream joins/aggregations run on vocabulary-sized tables (the
+  *    distinct-token count, orders of magnitude below the corpus size) and
+  *    broadcast;
+  *  - drift and PMI scores are computed from EXACT integer counts with a
+  *    single final IEEE division, so results are bit-identical under any
+  *    partial-aggregation tree or cluster size (see graft.functions.Exact);
+  *  - no log-space math in comparable outputs: libm `ln` differs across
+  *    engines in the last ulp, which breaks oracle hash-matching. Ranking
+  *    uses the exact likelihood RATIO instead (PMI is its monotone log).
+  */
+object Corpus {
+
+  /** Token → (document frequency, sorted posting list). One explode of the
+    * per-document DISTINCT token set — the shuffle carries each (doc, term)
+    * pair once, not one record per occurrence — then one groupBy(term).
+    *
+    * At 100 TB posting lists for stopword-class terms exceed single-row
+    * limits — production would shard postings per (term, doc_id range);
+    * `maxPostings` caps the materialized list here (df stays exact) so no
+    * row is unbounded.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxPostings: Int = 10000): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings).as("postings"))
+      .where(col("df") >= minDf)
+  }
+
+  /** Top collocations (adjacent word pairs) by pointwise mutual information,
+    * ranked via the exact likelihood ratio
+    * `r = (c_xy / M) / ((c_x / N) · (c_y / N)) = c_xy·N² / (M·c_x·c_y)`
+    * (PMI = ln r; same ordering, no libm). Numerator and denominator are
+    * exact Longs below 2⁵³, so the one double division is bit-portable.
+    *
+    * Plan: one corpus pass for bigram counts, one for unigram counts (both
+    * single-shuffle), then vocabulary-sized broadcast joins and a top-k.
+    * Long-range guard: c_xy·N² needs log-space ranking past N ≈ 2M tokens
+    * per Long budget — at that scale rank by `ln` (ordering only needs
+    * engine-internal consistency, not cross-engine bit equality).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bi = toks.select(explode(TextAnalysis.bigrams(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(sum("c_w").as("n_uni")).crossJoin(
+      bi.agg(sum("c_xy").as("m_bi")))
+
+    bi.where(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("m_bi") * col("c_x") * col("c_y")).cast("double"))
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(topK)
+      .select("bigram", "c_xy", "c_x", "c_y", "score")
+  }
+
+  /** Per-group total variation distance between the group's unigram
+    * distribution and the corpus distribution:
+    * `TVD_g = ½ Σ_t |c_tg/N_g − c_t/N| = numer_g / (2·N_g·N)` with
+    * `numer_g = Σ_{t∈g} |c_tg·N − c_t·N_g| + (N − S_g)·N_g` where
+    * `S_g = Σ_{t∈g} c_t` folds in every token ABSENT from the group
+    * without materializing the group×vocab cross product. The numerator is
+    * exact integer arithmetic — order-independent and engine-portable —
+    * with one final double division.
+    *
+    * One corpus shuffle on (group, token); corpus marginals are derived by
+    * re-aggregating that (|groups|·|vocab|)-sized table, never rescanning
+    * the corpus. The per-token join broadcasts the vocabulary.
+    */
+  def groupDriftTvd(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = docs
+      .select(col(groupCol).as("grp"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c_tg"))
+    val tokTotals = gt.groupBy("tok").agg(sum("c_tg").as("c_t"))
+    val grpTotals = gt.groupBy("grp").agg(sum("c_tg").as("n_g"))
+    val nTotal = tokTotals.agg(sum("c_t").as("n"))
+
+    gt.join(broadcast(tokTotals), "tok")
+      .join(broadcast(grpTotals), "grp")
+      .crossJoin(broadcast(nTotal))
+      .groupBy("grp")
+      .agg(
+        first(col("n_g")).as("n_g"),
+        first(col("n")).as("n"),
+        sum(abs(col("c_tg") * col("n") - col("c_t") * col("n_g"))).as("present_abs"),
+        sum(col("c_t")).as("s_g"))
+      .withColumn("numer", col("present_abs") + (col("n") - col("s_g")) * col("n_g"))
+      .withColumn("tvd", col("numer").cast("double") / (lit(2L) * col("n_g") * col("n")).cast("double"))
+      .select(col("grp"), col("n_g").as("group_tokens"), col("tvd"))
+  }
+}

@@ -131,6 +131,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Blocked edit-distance near-dup: pairs within the same `blockKey` whose
+    * Levenshtein distance ≤ `maxDist`. The same equi-join blocking shape as
+    * [[jaccardPairs]] (never all-pairs), with two per-pair cost bounds:
+    *  - a length prefilter — `|len(a) − len(b)| ≤ maxDist` is a lower bound
+    *    on edit distance, and lengths are computed once per ROW;
+    *  - the THRESHOLDED `levenshtein(a, b, k)`: Spark's banded
+    *    implementation does O(len·k) work and bails at k+1, vs O(len²) for
+    *    the unbounded distance — the difference between feasible and not
+    *    when block sizes grow at corpus scale.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val prepared = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(textCol), blockKey.as("blk"))
+      .withColumn("_len", length(col(textCol)))
+    val a = prepared.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+      col("_len").as("_la"), col("blk"))
+    val b = prepared.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+      col("_len").as("_lb"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** MinHash signature: `numHashes` seeded min-hashes over the shingle set,
     * as one array column. O(#shingles × numHashes) codegen'd work per row.
     */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Exact, TextAnalysis}
+import graft.ops.{Corpus, Dedup}
+
+/** Corpus-curation gates: Gopher-style repetition signals, inverted index,
+  * PMI collocations, blocked edit-distance near-dup, per-source drift.
+  */
+object CorpusQueries {
+
+  /** DuckDB token list matching TextAnalysis.tokens on this corpus. */
+  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+
+  /** DuckDB adjacent-bigram list from a token list `l`. */
+  private val DuckBigrams =
+    "list_transform(list_zip(l[1:-2], l[2:-1]), x -> x[1] || ' ' || x[2])"
+
+  /** Per-document repetition signals (Gopher-style quality rules):
+    * duplicate-token ratio, top-token fraction, top-bigram fraction.
+    * Spark computes the mode counts with a per-row sorted fold
+    * (TextAnalysis.modeCount) — no shuffle; the oracle does the equivalent
+    * explode + two-level groupBy.
+    */
+  val q64Repetition: Q = Q(
+    "q64_repetition",
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS l FROM documents),
+       |u AS (SELECT doc_id, unnest(l) AS tok FROM t),
+       |uc AS (SELECT doc_id, max(c) AS top_tok FROM (
+       |  SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok) GROUP BY doc_id),
+       |bu AS (SELECT doc_id, unnest($DuckBigrams) AS big FROM t),
+       |bc AS (SELECT doc_id, max(c) AS top_big FROM (
+       |  SELECT doc_id, big, count(*) AS c FROM bu GROUP BY doc_id, big) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  len(l) AS n_tokens,
+       |  len(list_distinct(l)) AS n_distinct,
+       |  ${Exact.roundPortableSql(
+             "CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1)", 4)} AS dup_ratio,
+       |  uc.top_tok AS top_token_count,
+       |  ${Exact.roundPortableSql(
+             "CAST(uc.top_tok AS DOUBLE) / greatest(len(l), 1)", 4)} AS top_token_frac,
+       |  bc.top_big AS top_bigram_count,
+       |  ${Exact.roundPortableSql(
+             "CAST(bc.top_big AS DOUBLE) / greatest(len(l) - 1, 1)", 4)} AS top_bigram_frac
+       |FROM t JOIN uc USING (doc_id) JOIN bc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("top_token_count", TextAnalysis.modeCount(col("toks")))
+      .withColumn("top_bigram_count", TextAnalysis.modeCount(TextAnalysis.bigrams(col("toks"))))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        Exact.roundPortable((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 4).as("dup_ratio"),
+        col("top_token_count"),
+        Exact.roundPortable(col("top_token_count").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 4).as("top_token_frac"),
+        col("top_bigram_count"),
+        Exact.roundPortable(col("top_bigram_count").cast("double") /
+          greatest(col("n_tokens") - 1, lit(1)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Inverted index: term → (df, sorted posting list), df ≥ 5. */
+  val q65InvertedIndex: Q = Q(
+    "q65_inverted_index",
+    s"""WITH u AS (SELECT doc_id, unnest(list_distinct($DuckToks)) AS term FROM documents)
+       |SELECT term, count(*) AS df, list_sort(list(doc_id))[1:10000] AS postings
+       |FROM u GROUP BY term HAVING count(*) >= 5
+       |ORDER BY term""".stripMargin) { (s, dir) =>
+    Corpus.invertedIndex(Tables.documentsSpread(s, dir), "doc_id", "text", minDf = 5L)
+      .orderBy("term")
+  }
+
+  /** Top-20 collocations by PMI, ranked via the exact likelihood ratio
+    * (both engines compute the same two exact integers and divide once, so
+    * the ordering doubles are bit-identical).
+    */
+  val q66Collocations: Q = {
+    val scoreSql = "CAST(b.c_xy * t.n_uni * t.n_uni AS DOUBLE) / " +
+      "CAST(t.m_bi * u1.c_w * u2.c_w AS DOUBLE)"
+    Q(
+      "q66_collocations",
+      s"""WITH toks AS (SELECT $DuckToks AS l FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+         |bi AS (SELECT big, count(*) AS c_xy FROM (
+         |  SELECT unnest($DuckBigrams) AS big FROM toks) GROUP BY big),
+         |t AS (SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS n_uni,
+         |             (SELECT CAST(sum(c_xy) AS BIGINT) FROM bi) AS m_bi)
+         |SELECT b.big AS bigram, b.c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+         |  ${Exact.roundPortableSql(scoreSql, 6)} AS score
+         |FROM bi b CROSS JOIN t
+         |  JOIN uni u1 ON u1.w = string_split(b.big, ' ')[1]
+         |  JOIN uni u2 ON u2.w = string_split(b.big, ' ')[2]
+         |WHERE b.c_xy >= 5
+         |ORDER BY $scoreSql DESC, b.big
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      Corpus.pmiCollocations(Tables.documentsSpread(s, dir), "text", minCount = 5L, topK = 20)
+        .withColumn("score", Exact.roundPortable(col("score"), 6))
+    }
+  }
+
+  /** Blocked Levenshtein near-dup: 40-char-prefix blocks, distance ≤ 16,
+    * thresholded banded levenshtein on the Spark side.
+    */
+  val q67EditDistance: Q = Q(
+    "q67_edit_distance",
+    """WITH t AS (SELECT doc_id, text, substr(text, 1, 40) AS blk, len(text) AS l FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text) AS dist
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.l - b.l) <= 16
+      |WHERE levenshtein(a.text, b.text) <= 16
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.editDistancePairs(Tables.documentsSpread(s, dir), "doc_id", "text",
+        substring(col("text"), 1, 40), maxDist = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-source total variation distance from the corpus unigram
+    * distribution — exact integer numerators, one final division.
+    */
+  val q68SourceDrift: Q = Q(
+    "q68_source_drift",
+    s"""WITH u AS (SELECT source, unnest($DuckToks) AS tok FROM documents),
+       |gt AS (SELECT source, tok, count(*) AS c_tg FROM u GROUP BY source, tok),
+       |tt AS (SELECT tok, CAST(sum(c_tg) AS BIGINT) AS c_t FROM gt GROUP BY tok),
+       |gtot AS (SELECT source, CAST(sum(c_tg) AS BIGINT) AS n_g FROM gt GROUP BY source),
+       |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM tt),
+       |pres AS (SELECT g.source,
+       |    CAST(sum(abs(g.c_tg * n.n - t.c_t * gt2.n_g)) AS BIGINT) AS present_abs,
+       |    CAST(sum(t.c_t) AS BIGINT) AS s_g
+       |  FROM gt g JOIN tt t USING (tok) JOIN gtot gt2 USING (source) CROSS JOIN n
+       |  GROUP BY g.source)
+       |SELECT p.source, g.n_g AS group_tokens,
+       |  ${Exact.roundPortableSql(
+           "CAST(p.present_abs + (n.n - p.s_g) * g.n_g AS DOUBLE) / CAST(2 * g.n_g * n.n AS DOUBLE)", 6)} AS tvd
+       |FROM pres p JOIN gtot g USING (source) CROSS JOIN n
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    Corpus.groupDriftTvd(Tables.documentsSpread(s, dir), "source", "text")
+      .select(col("grp").as("source"), col("group_tokens"),
+        Exact.roundPortable(col("tvd"), 6).as("tvd"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q64Repetition, q65InvertedIndex, q66Collocations,
+    q67EditDistance, q68SourceDrift)
+}

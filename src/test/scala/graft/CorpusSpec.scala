@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.ops.{Corpus, Dedup}
+
+/** Tests for corpus-curation operators: repetition signals, inverted index,
+  * PMI collocations, edit-distance pairs, distribution drift.
+  */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "a", "the cat sat on the mat the cat"),
+    (1L, "a", "dogs bark dogs bark dogs bark"),
+    (2L, "b", "entirely unique words everywhere here today"),
+    (3L, "b", "the cat sat on the mat the cat"),
+    (4L, "b", "the cat sat on the mat the rat")
+  ).toDF("doc_id", "source", "text")
+
+  test("modeCount equals brute-force mode multiplicity; empty array is 0") {
+    val rows = Seq(
+      Seq("a", "b", "a", "c", "a"),
+      Seq("x"),
+      Seq.empty[String],
+      Seq("z", "z", "y", "y")
+    ).toDF("arr")
+      .select(TextAnalysis.modeCount(col("arr")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(3L, 1L, 0L, 2L))
+  }
+
+  test("bigrams are adjacent in-order pairs; short docs yield empty") {
+    val out = Seq(Seq("a", "b", "c"), Seq("solo"), Seq.empty[String])
+      .toDF("toks")
+      .select(TextAnalysis.bigrams(col("toks")).as("b"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b", "b c"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("inverted index: df and sorted postings match a brute-force build") {
+    val idx = Corpus.invertedIndex(docs, "doc_id", "text", minDf = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // "the" appears in docs 0, 3, 4; "cat" in 0, 3, 4; "bark" only doc 1 (df 1, filtered)
+    assert(idx("the") === ((3L, Seq(0L, 3L, 4L))))
+    assert(idx("cat") === ((3L, Seq(0L, 3L, 4L))))
+    assert(!idx.contains("bark"))
+    assert(!idx.contains("unique"))
+    // df counts DOCUMENTS, not occurrences: "the" occurs 3x in doc 0 but df is 3 not 9
+  }
+
+  test("inverted index caps postings at maxPostings but keeps df exact") {
+    val many = (0L until 20L).map(i => (i, s"common word$i")).toDF("doc_id", "text")
+    val idx = Corpus.invertedIndex(many, "doc_id", "text", minDf = 1L, maxPostings = 5)
+      .where(col("term") === "common").head()
+    assert(idx.getLong(1) === 20L)
+    assert(idx.getSeq[Long](2) === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("PMI collocations rank the always-adjacent pair highest") {
+    val c = Corpus.pmiCollocations(docs, "text", minCount = 2L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    // "dogs bark" occurs 3x and the two words occur ONLY together (plus one
+    // "bark dogs" back-pair) — maximal association, must rank first
+    assert(c.head._1 === "dogs bark")
+    assert(c.head._2 === 3L)
+    // scores are positive and non-increasing
+    assert(c.map(_._3).toSeq === c.map(_._3).sortBy(-_).toSeq)
+    assert(c.forall(_._3 > 0.0))
+  }
+
+  test("edit-distance pairs match a brute-force threshold join") {
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      substring(col("text"), 1, 10), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force within the same 10-char-prefix blocks
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && ta.take(10) == tb.take(10)
+      d = levenshteinRef(ta, tb) if d <= 8
+    } yield (ia, ib, d)).toSet
+    assert(pairs === brute)
+    assert(pairs.contains((0L, 3L, 0)))       // exact dup
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L)) // mat/rat edit
+  }
+
+  test("drift TVD: identical-source corpus has 0; disjoint vocab source is high") {
+    val same = Seq((0L, "a", "x y z"), (1L, "b", "x y z")).toDF("doc_id", "source", "text")
+    val tvdSame = Corpus.groupDriftTvd(same, "source", "text")
+      .collect().map(_.getDouble(2))
+    assert(tvdSame.forall(math.abs(_) < 1e-12))
+
+    val split = Seq((0L, "a", "x x x"), (1L, "b", "y y y")).toDF("doc_id", "source", "text")
+    val tvdSplit = Corpus.groupDriftTvd(split, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source holds half the corpus with disjoint vocab: TVD = 1/2
+    assert(math.abs(tvdSplit("a") - 0.5) < 1e-12)
+    assert(math.abs(tvdSplit("b") - 0.5) < 1e-12)
+  }
+
+  test("drift TVD is within [0, 1] and deterministic across repartitioning") {
+    val t1 = Corpus.groupDriftTvd(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val t2 = Corpus.groupDriftTvd(docs.repartition(7), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t1 === t2)
+    assert(t1.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  /** Classic DP edit distance, the test oracle. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+    }
+    d(a.length)(b.length)
+  }
+}
