@@ -133,7 +133,33 @@ object StreamingQueries {
       .orderBy("window_start_ms", "event_type")
   }
 
+  /** Stream-stream interval join in Append mode: clicks joined to the same
+    * user's views within the preceding 30 minutes, drained over the static
+    * events file — must equal the batch theta-join. The oracle compares in
+    * integer micros (the Spark side reads ns-as-long and truncates to µs,
+    * so the time-window predicate must be evaluated at µs precision on
+    * both engines).
+    */
+  val q69StreamJoin: Q = Q(
+    "q69_stream_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |  c.ts_us AS click_us, v.ts_us AS view_us
+      |FROM e c JOIN e v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      |  AND c.user_id = v.user_id
+      |  AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - 1800000000
+      |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.clickAttribution, "q69_mem", OutputMode.Append)
+      .orderBy("click_id", "view_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
-    q59SlidingWindows)
+    q59SlidingWindows, q69StreamJoin)
 }

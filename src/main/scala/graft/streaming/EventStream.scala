@@ -114,6 +114,34 @@ object EventStream {
           .dropDuplicates("user_id", "event_type")
     }
 
+  /** Stream-stream interval join (click attribution): each `click` event
+    * joins the same user's `view` events from the preceding 30 minutes.
+    * Both sides carry watermarks and the join predicate bounds event time
+    * in BOTH directions, so Spark can evict join state: a view is dropped
+    * once the click-side watermark passes `view ts + 30 min`, a click once
+    * the view-side watermark passes its timestamp. Without the time bounds
+    * the join would buffer both streams forever — the difference between
+    * O(30-minute window) and O(stream history) state at production rates.
+    * Inner stream-stream joins emit in Append mode only.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("v_ts")).as("view_us"))
+  }
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —

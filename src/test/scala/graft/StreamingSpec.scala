@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSuite {
     assert(bounded.except(batch).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch theta-join") {
+    val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      EventStream.clickAttribution, "t_ssjoin", OutputMode.Append)
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val batch = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+      .join(e.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_us")),
+        Seq("user_id"))
+      .where(col("view_us") <= col("click_us") &&
+        col("view_us") >= col("click_us") - 1800000000L)
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.select(batch.columns.map(col): _*).except(batch).isEmpty &&
+      batch.except(streamed.select(batch.columns.map(col): _*)).isEmpty)
+  }
+
   test("multimodal: synthetic media bytes are 128B, decode features deterministic") {
     val media = Media.syntheticMediaFromDocs(Tables.documents(spark, sfDir))
     val stats = Media.byteStats(media)
