@@ -77,21 +77,37 @@ object IvfIndex {
       s => s.getField("cid")), 1, nProbe)
   }
 
+  /** Assign every row to its nearest centroid from a caller-supplied list
+    * (hash-sampled, KMeans-trained — any source): adds `_centroid`.
+    */
+  def assignWith(df: DataFrame, vecCol: String,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread.withColumn("_centroid",
+      nearestCentroid(col(vecCol).cast("array<double>"), cents))
+  }
+
   /** Build the index: adds `_centroid` to every row. */
   def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: String): (DataFrame, Array[(Long, Seq[Double])]) = {
     val cents = pickCentroids(df, idCol, vecCol, k, seed)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val assigned = spread.withColumn("_centroid",
-      nearestCentroid(col(vecCol).cast("array<double>"), cents))
-    (assigned, cents)
+    (assignWith(df, vecCol, cents), cents)
   }
 
   /** ANN search: probe `nProbe` inverted lists, exact re-rank, top-k. */
   def searchTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCentroids: Int, nProbe: Int,
-      seed: String): DataFrame = {
-    val (assigned, cents) = assign(df, idCol, vecCol, nCentroids, seed)
+      seed: String): DataFrame =
+    searchTopKWith(df, idCol, vecCol, queryPred, k,
+      pickCentroids(df, idCol, vecCol, nCentroids, seed), nProbe)
+
+  /** ANN search against caller-supplied centroids (e.g. MLlib KMeans —
+    * see graft.ml.MlBridge): probe, exact re-rank, top-k.
+    */
+  def searchTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, cents: Array[(Long, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val assigned = assignWith(df, vecCol, cents)
     // no persist: the corpus feeds exactly one join, so a materialization
     // barrier would only add a pass (nearestCentroid evaluates each
     // centroid cosine once — see its scaladoc — so there is no

@@ -234,6 +234,19 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN with MLlib-KMeans-trained centroids (the BASELINE "DataFrame
+    * + MLlib" approach): the learned-centroid variant of q37. KMeans
+    * output depends on MLlib internals (init sampling, float reduction
+    * order), so this gate is rows-only (no SQL oracle); recall vs exact
+    * brute force is proven in MlBridgeSpec.
+    */
+  val q70MllibIvf: Q = Q.noOracle("q70_mllib_ivf") { (s, dir) =>
+    graft.ml.MlBridge.ivfTopKKMeans(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") % 25 === 0, k = 5, nCentroids = 8,
+        nProbe = 2, seed = 42L)
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact linear-interpolation per-dimension quantiles (numpy `quantile`
     * semantics) — the exact twin of the percentile_approx sketch in Stats,
     * gated bit-for-bit: both engines pick the two bracketing order
@@ -301,5 +314,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
-    q57EmbedQuantize)
+    q57EmbedQuantize, q70MllibIvf)
 }

@@ -72,6 +72,35 @@ class AdaptiveSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val dir = tmpDir("bloom_join")
+    (0L until 200000L).map(i => (i % 100000L, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 100000L).map(i => (i, i % 1000L)).toDF("k", "cat")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1", // keep SMJ
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // test-sized thresholds: production defaults (10 MB creation /
+      // 10 GB application) gate the same rewrite at cluster scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    {
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 7) // selective
+      val joined = spark.read.parquet(s"$dir/fact").join(dim, "k")
+      assert(joined.collect().length === 2 * 100) // 100 dim keys × 2 fact rows
+      val plan = finalPlan(joined)
+      val hasBloom = deepCollect(plan) {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+      }.nonEmpty
+      assert(hasBloom,
+        s"expected a BloomFilterMightContain runtime filter on the fact side:\n$plan")
+    }
+  }
+
   test("AQE splits a skewed merge-join partition (isSkewJoin)") {
     val dir = tmpDir("aqe_skew")
     // key 0 is ~97% of the left side: unsalted, one reducer gets it all.
