@@ -687,6 +687,41 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Z-order (Morton) values over (l_partkey, l_suppkey) — the layout key
+    * for two-dimensional data skipping (ops.ZOrder.layoutByZ sorts by it;
+    * ZOrderSpec proves the balanced-pruning property). The bit interleave
+    * is pure integer ops, replayed exactly by the oracle.
+    */
+  val q71ZOrder: Q = Q(
+    "q71_zorder",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(list_aggregate(list_transform(range(0, 31), i ->
+      |    (((l_partkey >> i) & 1) << (2 * i)) | (((l_suppkey >> i) & 1) << (2 * i + 1))),
+      |    'sum') AS BIGINT) AS z
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.ops.ZOrder.zValue2(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Data-quality counters via Dataset.observe (CollectMetrics): computed
+    * during the pass that materializes the frame — no second scan. The
+    * oracle recomputes the same exact-integer counters declaratively.
+    */
+  val q72ObservedQuality: Q = Q(
+    "q72_observed_quality",
+    """SELECT count(*) AS n_rows,
+      |  count(*) FILTER (WHERE l_shipdate IS NULL) AS n_null_ship,
+      |  count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS n_bad_discount,
+      |  count(*) FILTER (WHERE l_quantity <= 0) AS n_nonpos_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    val (observed, obs) = graft.ops.QualityMetrics.lineitemQuality(Tables.lineitem(s, dir))
+    graft.ops.QualityMetrics.collect(s, observed, obs)(df => { df.count(); () })
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -694,5 +729,6 @@ object Relational {
     q12OrderFingerprint, q13FilterPushdown, q14EventsHourly,
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
-    q56CdcUpsert, q58PropsExtract, q60UserJourneys)
+    q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
+    q72ObservedQuality)
 }
