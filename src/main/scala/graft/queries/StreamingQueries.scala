@@ -159,7 +159,26 @@ object StreamingQueries {
       .orderBy("click_id", "view_id")
   }
 
+  /** Stream-static broadcast join + aggregation in Complete mode: the
+    * drained result must equal the batch join/groupBy. The static side is
+    * read from the drain session (stateless broadcast — only the final
+    * aggregation is stateful).
+    */
+  val q73StreamStaticJoin: Q = Q(
+    "q73_stream_static_join",
+    """SELECT n.n_name, count(*) AS n,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.staticEnrichedCounts(df,
+        df.sparkSession.read.parquet(s"$dir/nation.parquet")),
+      "q73_mem", OutputMode.Complete)
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
-    q59SlidingWindows, q69StreamJoin)
+    q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin)
 }

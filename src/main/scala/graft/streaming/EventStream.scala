@@ -142,6 +142,21 @@ object EventStream {
         unix_micros(col("v_ts")).as("view_us"))
   }
 
+  /** Stream-static enrichment join + aggregation: the streaming events
+    * joined to a STATIC dimension (broadcast — stateless, re-read per
+    * micro-batch at most, no join state at all), then aggregated per
+    * dimension attribute. The standard "enrich the firehose with reference
+    * data" shape: only the aggregation carries state.
+    */
+  def staticEnrichedCounts(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .withColumn("nkey", col("user_id") % 25)
+      .join(broadcast(nation.select(col("n_nationkey").as("nkey"),
+        col("n_name"))), "nkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —
