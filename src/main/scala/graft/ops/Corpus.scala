@@ -57,10 +57,15 @@ object Corpus {
   def pmiCollocations(docs: DataFrame, textCol: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+    // both count tables are vocabulary-sized and each feeds TWO consumers
+    // (the join and its own total) — persist so the corpus explode+shuffle
+    // runs once per table, not once per consumer
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = toks.select(explode(TextAnalysis.bigrams(col("toks"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = uni.agg(sum("c_w").as("n_uni")).crossJoin(
       bi.agg(sum("c_xy").as("m_bi")))
 
@@ -92,9 +97,12 @@ object Corpus {
     * the corpus. The per-token join broadcasts the vocabulary.
     */
   def groupDriftTvd(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // (|groups|·|vocab|)-sized and feeds FOUR consumers (itself + three
+    // marginals): persist, or every marginal re-shuffles the whole corpus
     val gt = docs
       .select(col(groupCol).as("grp"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("grp", "tok").agg(count(lit(1)).as("c_tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokTotals = gt.groupBy("tok").agg(sum("c_tg").as("c_t"))
     val grpTotals = gt.groupBy("grp").agg(sum("c_tg").as("n_g"))
     val nTotal = tokTotals.agg(sum("c_t").as("n"))

@@ -60,6 +60,30 @@ object ScaleProbe {
       val n = graft.ops.PrefixSum.exclusive(df, "k", "v", "off").count()
       println(s"[probe]   rows: $n")
     }
+    t("corpus ops on 50k docs: inverted index / PMI / TVD drift") {
+      val idx = graft.ops.Corpus.invertedIndex(docs, "doc_id", "text", minDf = 5L)
+      println(s"[probe]   index terms: ${idx.count()}")
+      val pmi = graft.ops.Corpus.pmiCollocations(docs, "text", minCount = 5L, topK = 20)
+      println(s"[probe]   collocations: ${pmi.count()}")
+      val tvd = graft.ops.Corpus.groupDriftTvd(docs, "lang", "text")
+      println(s"[probe]   drift groups: ${tvd.count()}")
+    }
+    t("editDistancePairs 50k docs (prefix blocks)") {
+      val n = Dedup.editDistancePairs(docs, "doc_id", "text",
+        substring(col("text"), 1, 40), maxDist = 16).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("repetition signals (modeCount fold) over 50k docs") {
+      val n = docs.select(TextAnalysis.modeCount(
+        TextAnalysis.tokens(col("text"))).as("m")).agg(max("m")).head().getLong(0)
+      println(s"[probe]   max mode: $n")
+    }
+    t("z-order 50M rows (interleave + range layout)") {
+      val df = spark.range(50000000L).select(
+        (col("id") % 65536L).as("x"), ((col("id") * 31L) % 65536L).as("y"))
+      val n = graft.ops.ZOrder.layoutByZ(df, "x", "y", numFiles = 64).count()
+      println(s"[probe]   rows: $n")
+    }
     val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = (0 until 10).map { r =>
       emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
