@@ -722,6 +722,26 @@ object Relational {
     graft.ops.QualityMetrics.collect(s, observed, obs)(df => { df.count(); () })
   }
 
+  /** Fixed-width histogram per event type (10 buckets of 50): the binned
+    * aggregation every profiling pass needs; bucket arithmetic is one
+    * division + floor, portable bit-for-bit.
+    */
+  val q74ValueHistogram: Q = Q(
+    "q74_value_histogram",
+    """SELECT event_type, CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / 50), lit(9L)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -730,5 +750,5 @@ object Relational {
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
-    q72ObservedQuality)
+    q72ObservedQuality, q74ValueHistogram)
 }
