@@ -131,6 +131,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Blocked containment near-dup: pairs where the SMALLER token set is
+    * mostly inside the larger — `|A∩B| / min(|A|,|B|) ≥ threshold`. Catches
+    * quote/excerpt/superset relationships that symmetric Jaccard misses
+    * (a 50-token quote inside a 500-token doc has jac ≤ 0.1 but
+    * containment 1.0). Same blocked equi-join + per-row sorted-distinct +
+    * per-pair merge-scan shape as [[jaccardPairs]]; no size-ratio
+    * prefilter (size MISMATCH is the signal here).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, tokensCol: String,
+      blockKey: Column, threshold: Double): DataFrame = {
+    val prepared = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        sort_array(array_distinct(col(tokensCol))).as(tokensCol), blockKey.as("blk"))
+      .withColumn("_nt", size(col(tokensCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = prepared.select(col(idCol).as("id_a"), col(tokensCol).as("toks_a"),
+      col("_nt").as("_na"), col("blk"))
+    val b = prepared.select(col(idCol).as("id_b"), col(tokensCol).as("toks_b"),
+      col("_nt").as("_nb"), col("blk"))
+    val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
+      .cast("double")
+    val denom = least(col("_na"), col("_nb")).cast("double")
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") && least(col("_na"), col("_nb")) > 0)
+      .withColumn("containment", inter / denom)
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Blocked edit-distance near-dup: pairs within the same `blockKey` whose
     * Levenshtein distance ≤ `maxDist`. The same equi-join blocking shape as
     * [[jaccardPairs]] (never all-pairs), with two per-pair cost bounds:

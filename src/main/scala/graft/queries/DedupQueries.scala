@@ -56,6 +56,35 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment near-dup (one-directional Jaccard): |A∩B|/min(|A|,|B|)
+    * ≥ 0.9 within (lang, first-token) blocks — catches excerpt/superset
+    * relations symmetric Jaccard misses.
+    */
+  val q75Containment: Q = Q(
+    "q75_containment",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_sort(list_distinct($DuckToks)) AS toks,
+       |    ($DuckToks)[1] AS tok1
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / least(len(a.toks), len(b.toks))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS containment
+       |FROM t a JOIN t b
+       |  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+       |WHERE least(len(a.toks), len(b.toks)) > 0
+       |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / least(len(a.toks), len(b.toks)) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+      .withColumn("_tok1", element_at(TextAnalysis.tokens(col("text")), 1))
+    Dedup.containmentPairs(docs, "doc_id", "_toks",
+        concat_ws("|", col("lang"), col("_tok1")), 0.9)
+      .withColumn("containment", graft.functions.Exact.roundPortable(col("containment"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash(12) + LSH(4 bands × 3 rows) candidate generation over word
     * 2-gram shingles, verified with exact Jaccard ≥ 0.5.
     */
@@ -256,5 +285,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
-    q48IntersectDocs, q49DedupClusters)
+    q48IntersectDocs, q49DedupClusters, q75Containment)
 }

@@ -70,6 +70,24 @@ class CorpusSpec extends SparkSuite {
     assert(c.forall(_._3 > 0.0))
   }
 
+  test("containment pairs: excerpt inside superset found at 1.0, jaccard would miss it") {
+    import org.apache.spark.sql.functions.{array_distinct, lit}
+    val data = Seq(
+      (0L, "the cat sat on the mat"),                        // 5 distinct tokens
+      (1L, "the cat sat on the mat and then a dog came by to watch it all day"), // superset
+      (2L, "entirely different words here")
+    ).toDF("doc_id", "text")
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+    val pairs = Dedup.containmentPairs(data, "doc_id", "_toks", lit(1), 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet === Set((0L, 1L)))
+    assert(pairs((0L, 1L)) === 1.0)
+    // symmetric jaccard on the same pair is far below 0.9
+    val jac = Dedup.jaccardPairs(data, "doc_id", "_toks", lit(1), 0.9)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+
   test("edit-distance pairs match a brute-force threshold join") {
     val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
       substring(col("text"), 1, 10), maxDist = 8)
