@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic PageRank in exact integer arithmetic — the iterative
+  * join+aggregate workload (the pattern behind label propagation, embedding
+  * propagation, influence scoring) made bit-portable:
+  *
+  *  - ranks live in integer mass units (scale 1e12), so partial-aggregation
+  *    sums are exact and order-independent — the same result on any cluster
+  *    topology, and replayable by any engine with integer division;
+  *  - each edge carries `floor(rank(src) / outdeg(src))`; the damping is
+  *    `base + (17 · Σ) div 20` (0.85 as a ratio of integers);
+  *  - iteration count is FIXED (a contract, not a convergence test), so
+  *    the oracle can unroll the same number of steps.
+  *
+  * Scale design: the edge list is shuffled ONCE onto its join key and
+  * persisted; each iteration is one shuffle (groupBy dst) + one broadcast-
+  * or sort-merge join against the (nodes-sized) rank table. Lineage is cut
+  * with localCheckpoint every few rounds (same rolling-chain pattern as
+  * ops.Cluster) so the plan does not grow with iterations.
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e12 mass units
+
+  /** Run `iters` fixed iterations over a directed edge list (srcCol,
+    * dstCol). Every node must have out-degree ≥ 1 (symmetrize bipartite
+    * inputs first); dangling-node mass handling is deliberately out of
+    * contract. Returns (node_id, rank_scaled).
+    */
+  def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    val edges = edgesDf
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // one prepared, co-partitioned edge table reused by every iteration
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesD.count()
+
+    val nodes = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val init = Scale / n
+    val base = (Scale * 3L / 20L) / n
+
+    var pr = nodes.withColumn("r", lit(init))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    var chain = List(pr)
+    for (i <- 1 to iters) {
+      // integer division (DIV), NOT `/`: Spark's `/` is double division,
+      // whose truncation can land one off when the rounded quotient
+      // crosses an integer boundary
+      val next0 = edgesD.join(pr, edgesD("src") === pr("v"))
+        .select(col("dst").as("v"), expr("r DIV d").as("c"))
+        .groupBy("v")
+        .agg(sum("c").as("s"))
+        .select(col("v"), (lit(base) + expr("(17 * s) DIV 20")).as("r"))
+      // cut lineage every 4 rounds; otherwise persist is enough
+      val next =
+        (if (i % 4 == 0) next0.localCheckpoint(false) else next0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      chain.foreach(_.unpersist(false))
+      chain = List(next)
+      pr = next
+    }
+    pr.select(col("v").as("node_id"), col("r").as("rank_scaled"))
+  }
+
+  /** In-memory reference for tests (same integer arithmetic). */
+  def runRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val deg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val nodes = es.map(_._1).distinct
+    val n = nodes.size.toLong
+    val init = Scale / n
+    val base = (Scale * 3L / 20L) / n
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val contribs = es.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (base + 17L * contribs.getOrElse(v, 0L) / 20L)).toMap
+    }
+    pr
+  }
+}
