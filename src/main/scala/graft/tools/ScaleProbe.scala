@@ -78,6 +78,14 @@ object ScaleProbe {
         TextAnalysis.tokens(col("text"))).as("m")).agg(max("m")).head().getLong(0)
       println(s"[probe]   max mode: $n")
     }
+    t("pagerank 6 iters on 2M-node / 5M-edge graph") {
+      val e = spark.range(5000000L).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(2000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(2000000L)).as("dst"))
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val pr = graft.ops.PageRank.run(sym, "src", "dst", 6)
+      println(s"[probe]   nodes ranked: ${pr.count()}")
+    }
     t("z-order 50M rows (interleave + range layout)") {
       val df = spark.range(50000000L).select(
         (col("id") % 65536L).as("x"), ((col("id") * 31L) % 65536L).as("y"))
