@@ -178,7 +178,36 @@ object StreamingQueries {
       .orderBy("n_name")
   }
 
+  /** flatMapGroupsWithState sessionization (one group invocation → many
+    * session rows), same oracle contract as q34 — the third arbitrary-
+    * stateful surface gated (mapGroupsWithState, dropDuplicates, FMGWS).
+    */
+  val q77FmgwsSessions: Q = Q(
+    "q77_fmgws_sessions",
+    """SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM (
+      |  SELECT user_id, ts_us, value,
+      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    EventStream.sessionsViaFMGWS(s, Tables.events(s, dir))
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
-    q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin)
+    q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
+    q77FmgwsSessions)
 }

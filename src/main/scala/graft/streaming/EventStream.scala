@@ -93,6 +93,46 @@ object EventStream {
       }.toDF()
   }
 
+  /** Sessionization via flatMapGroupsWithState — the arbitrary-stateful
+    * surface where one group invocation EMITS MANY rows (mapGroupsWithState
+    * is limited to one). Runs on batch Datasets too (each group invoked
+    * once with all its rows); the per-group sort is in-memory, so this
+    * form assumes bounded per-key cardinality — unbounded keys belong on
+    * the `session_window` form (q34), which never materializes a group.
+    * Output matches q34's session contract exactly: (user, start, end =
+    * last + gap, count, exact cents sum).
+    */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, sum_value_cents: Long)
+
+  def sessionsViaFMGWS(spark: SparkSession, events: DataFrame,
+      gapMicros: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "CAST(round(coalesce(value, 0.0) * 100) AS LONG) AS cents")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, _: GroupState[Long]) =>
+          // deterministic order: (ts, event_id) is a total order per user
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var start, last, n, cents = 0L
+          var open = false
+          sorted.foreach { case (_, ts, _, c) =>
+            if (!open) { start = ts; last = ts; n = 1; cents = c; open = true }
+            else if (ts - last > gapMicros) {
+              sessions += SessionOut(uid, start, last + gapMicros, n, cents)
+              start = ts; last = ts; n = 1; cents = c
+            } else { last = ts; n += 1; cents += c }
+          }
+          if (open) sessions += SessionOut(uid, start, last + gapMicros, n, cents)
+          sessions.iterator
+      }.toDF()
+  }
+
   /** Streaming exact dedup: first-seen distinct (user_id, event_type)
     * pairs via the stateful dropDuplicates operator. Keys only — the
     * surviving payload of a duplicate group is arrival-order-dependent, so

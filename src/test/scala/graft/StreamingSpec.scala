@@ -64,6 +64,17 @@ class StreamingSpec extends SparkSuite {
     assert(bounded.except(batch).isEmpty)
   }
 
+  test("flatMapGroupsWithState sessions equal session_window sessions") {
+    val viaFmgws = EventStream.sessionsViaFMGWS(spark, Tables.events(spark, sfDir))
+    val viaWindow = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      EventStream.sessionAgg, "t_fmgws_ref", OutputMode.Complete)
+    assert(viaFmgws.count() > 0)
+    assert(viaFmgws.count() === viaWindow.count())
+    val cols = viaFmgws.columns.map(col)
+    assert(viaFmgws.except(viaWindow.select(cols: _*)).isEmpty &&
+      viaWindow.select(cols: _*).except(viaFmgws).isEmpty)
+  }
+
   test("stream-stream interval join equals the batch theta-join") {
     val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
       EventStream.clickAttribution, "t_ssjoin", OutputMode.Append)
