@@ -742,6 +742,59 @@ object Relational {
       .orderBy("event_type", "bucket")
   }
 
+  /** Running per-user cumulative sum — the ROWS UNBOUNDED PRECEDING frame
+    * over a (ts, event_id) total order, exact cents.
+    */
+  val q78RunningSum: Q = Q(
+    "q78_running_sum",
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      |FROM events
+      |ORDER BY user_id, running_cents, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(graft.functions.Exact.cents(col("value"))).over(w).as("running_cents"))
+      .orderBy("user_id", "running_cents", "event_id")
+  }
+
+  /** Percent-of-total (whole-partition window): each nation's share of
+    * global revenue — exact cents ratio, one division, portable rounding.
+    */
+  val q79RevenueShare: Q = Q(
+    "q79_revenue_share",
+    """WITH rev AS (
+      |  SELECT n.n_name,
+      |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  GROUP BY n.n_name
+      |)
+      |SELECT n_name, cents,
+      |  CAST(floor((CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS share
+      |FROM rev
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = sum(graft.functions.Exact.cents(
+      col("l_extendedprice") * (lit(1) - col("l_discount")))).as("cents")
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
+      .groupBy("n_name").agg(cents)
+    rev.select(col("n_name"), col("cents"),
+        graft.functions.Exact.roundPortable(
+          col("cents").cast("double") /
+            sum(col("cents")).over(Window.partitionBy()).cast("double"), 6).as("share"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -750,5 +803,6 @@ object Relational {
     q41DistinctUsers, q43PivotUserEvents, q44AsofClicks, q45RangeBands,
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
-    q72ObservedQuality, q74ValueHistogram)
+    q72ObservedQuality, q74ValueHistogram, q78RunningSum,
+    q79RevenueShare)
 }
