@@ -55,6 +55,27 @@ object MlBridge {
     graft.ops.IvfIndex.searchTopKWith(df, idCol, vecCol, queryPred, k, cents, nProbe)
   }
 
+  /** Euclidean ANN candidates via ml.feature BucketedRandomProjectionLSH
+    * (SURVEY §7.1.9): random-projection bucketing, approxSimilarityJoin at
+    * `maxL2Dist`. Seed-deterministic; the native sign-LSH / IVF paths stay
+    * the oracle-checked surfaces.
+    */
+  def brpNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      bucketLength: Double, numHashTables: Int, maxL2Dist: Double,
+      seed: Long): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val brp = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = brp.fit(spread)
+    model.approxSimilarityJoin(spread, spread, maxL2Dist, "l2_dist")
+      .where(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        col("l2_dist"))
+  }
+
   /** Near-dup candidate pairs via the ml.feature MinHashLSH pipeline:
     * whitespace tokens → binary HashingTF (2^18 features) → MinHash
     * signatures → approxSimilarityJoin at `maxJaccardDist` (MLlib's

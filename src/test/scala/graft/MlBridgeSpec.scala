@@ -36,6 +36,28 @@ class MlBridgeSpec extends SparkSuite {
     assert(agree * 2 >= topExact.size, s"KMeans-IVF recall too low: $agree/${topExact.size}")
   }
 
+  test("BucketedRandomProjectionLSH finds the truly-close embedding pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // ground truth: the 20 closest pairs by exact L2 (200 vectors → 19,900 pairs)
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield ((vecs(i)._1.min(vecs(j)._1), vecs(i)._1.max(vecs(j)._1)),
+        l2(vecs(i)._2, vecs(j)._2)))
+      .sortBy(_._2).take(20)
+    val maxDist = exact.last._2
+    val cand = MlBridge.brpNeighbors(emb, "vec_id", "embedding",
+      bucketLength = maxDist, numHashTables = 6, maxL2Dist = maxDist * 1.001,
+      seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = exact.count(p => cand.contains(p._1))
+    assert(recalled * 5 >= exact.size * 4,
+      s"BRP-LSH recall too low: $recalled/${exact.size}")
+  }
+
   test("MLlib MinHashLSH finds the exact near-dup pairs (high recall)") {
     val docs = Tables.documents(spark, sfDir)
     // ground truth: exact token-set Jaccard >= 0.8 among same-lang docs
