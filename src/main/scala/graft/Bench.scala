@@ -93,11 +93,32 @@ object Bench {
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val calibs = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
+    // The driver keeps only the LAST 2000 BYTES of stdout — the round-5
+    // metric line (74 full query names + a per-query calib timeline ≈ 4 KB)
+    // overflowed it and the round recorded no perf artifact. Keep the
+    // stdout line compact: short "qNN" keys (the unique gate prefix),
+    // ms-precision timings, calib timeline collapsed to min/max/argmax.
+    // The full-name map and full calib timeline go to stderr.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    val keys = results.map(r => shortKey(r._1))
+    require(keys.distinct.size == keys.size,
+      s"short gate keys collide: ${keys.diff(keys.distinct).mkString(",")}")
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val calibs = results.map { case (k, _, c) => (k, c) }
+    val calibMin = calibs.map(_._2).min
+    val calibMax = calibs.map(_._2).max
+    val calibArgmax = shortKey(calibs.maxBy(_._2)._1)
+    System.err.println("[bench] query name map: " +
+      results.map(r => shortKey(r._1) + "=" + r._1).mkString(" "))
+    System.err.println("[bench] calib timeline: " +
+      calibs.map { case (k, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
     // query that is still registered, then the state-store maintenance pool,
     // then the session — so no late thread can spew errors after (or into)
@@ -107,7 +128,10 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":$wallSec,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_after_query_sec":$calibs}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},"calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax"}"""
+    if (line.length > 1900) // headroom under the driver's 2000-byte tail
+      System.err.println(s"[bench] WARNING metric line ${line.length} bytes")
+    println(line)
     System.out.flush()
   }
 }

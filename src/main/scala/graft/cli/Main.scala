@@ -12,11 +12,17 @@ import graft.stages._
   *
   * Usage:
   *   discover        <dataRoot> <manifestOut> [--full-hash] [--only-chunks c1,c2] [--since ISO8601]
-  *   validate        <manifest> <metaDir> <outDir> [--tolerance N] [--fps F]
-  *   stats           <statsJsonl> <outJson> [--valid-ids path]
+  *   validate        <manifest> <metaDir> <outDir> [--tolerance N] [--fps F] [--skip-video]
+  *   stats           <statsJsonl> <outJson> [--valid-ids path] [--features f1,f2]
   *   align-transform <dataDir> <outDir> [--stats path] [--no-normalize]
-  *   materialize     <normDir> <outDir> [--seed s] [--videos-root p] [--link mode]
-  *   pipeline        <dataRoot> <outRoot>
+  *   materialize     <normDir> <outDir> [--seed s] [--train F] [--val F] [--test F]
+  *                   [--videos-root p] [--link mode]
+  *   pipeline        <dataRoot> <outRoot> [--skip-video] [--copy-videos]
+  *
+  * Defaults mirror the reference CLI (scripts/neura.py): video checks are
+  * ON unless `--skip-video` (neura.py:89), split fractions 0.8/0.1/0.1
+  * (neura.py:169-171), stats features `action,observation.state`
+  * (neura.py:118).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -62,13 +68,18 @@ object Main {
     case "validate" :: manifest :: metaDir :: outDir :: rest =>
       val cfg = Validate.Config(
         fpsExpected = flag(rest, "--fps").map(_.toDouble).getOrElse(30.0),
-        frameTolerance = flag(rest, "--tolerance").map(_.toInt).getOrElse(2))
+        frameTolerance = flag(rest, "--tolerance").map(_.toInt).getOrElse(2),
+        // reference CLI default is video checks ON (neura.py:89)
+        skipVideo = rest.contains("--skip-video"))
       val (total, ok, fail) = Validate.run(spark, manifest, metaDir, outDir, cfg)
       println(s"validate: total=$total ok=$ok fail=$fail → $outDir")
 
     case "stats" :: statsJsonl :: outJson :: rest =>
-      val gs = Stats.run(spark, statsJsonl, outJson,
-        Seq("action", Schemas.ObsStateStorage), flag(rest, "--valid-ids"))
+      val features = flag(rest, "--features")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq("action", Schemas.ObsStateStorage))
+      val gs = Stats.run(spark, statsJsonl, outJson, features,
+        flag(rest, "--valid-ids"))
       println(s"stats: episodes_used=${gs.episodesUsed} total_frames=${gs.totalFrames} → $outJson")
 
     case "align-transform" :: dataDir :: outDir :: rest =>
@@ -79,6 +90,9 @@ object Main {
     case "materialize" :: normDir :: outDir :: rest =>
       val cfg = Materialize.Config(
         seed = flag(rest, "--seed").getOrElse("42"),
+        train = flag(rest, "--train").map(_.toDouble).getOrElse(0.8),
+        validation = flag(rest, "--val").map(_.toDouble).getOrElse(0.1),
+        test = flag(rest, "--test").map(_.toDouble).getOrElse(0.1),
         videosRoot = flag(rest, "--videos-root"),
         linkVideos = flag(rest, "--link").getOrElse("symlink"))
       val index = Materialize.run(spark, normDir, outDir, cfg)
@@ -91,7 +105,8 @@ object Main {
       val normDir = s"$outRoot/normalized"
       val matDir = s"$outRoot/dataset"
       run(spark, List("discover", dataRoot, manifest))
-      run(spark, List("validate", manifest, s"$dataRoot/meta", validateOut))
+      run(spark, List("validate", manifest, s"$dataRoot/meta", validateOut) ++
+        (if (rest.contains("--skip-video")) List("--skip-video") else Nil))
       // stats from per-episode stats JSONL when present, else recompute
       val statsJsonl = s"$dataRoot/meta/episodes_stats.jsonl"
       val fs = new org.apache.hadoop.fs.Path(statsJsonl)

@@ -55,36 +55,6 @@ object Cluster {
       .distinct()
   }
 
-  /** Rolling checkpoint chain: `next(df)` eagerly localCheckpoints `df`
-    * and THEN frees the blocks of the chain's previous round (safe —
-    * localCheckpoint is eager, so by the time it returns the new round no
-    * longer reads the old blocks). localCheckpoint registers RDD-level
-    * caches that `Dataset.unpersist` does not reach, hence the id
-    * bookkeeping. The chain's final checkpoint is never freed — it backs
-    * the returned DataFrame.
-    */
-  private final class CheckpointChain(spark: SparkSession) {
-    private var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    def next(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint() // eager
-      // Track EXACTLY the checkpoint RDD backing `out` (via its LogicalRDD
-      // plan) — never a getPersistentRDDs diff, which would mis-claim any
-      // unrelated cache (a caller's persisted edge list, an op's internal
-      // cache) that happens to first materialize during this action.
-      val rdd = org.apache.spark.sql.graft.GraftBridge.checkpointRdd(out)
-      release()
-      liveRdd = rdd
-      out
-    }
-    /** Free the current blocks (only call when the chain's latest result
-      * is no longer needed by anything downstream).
-      */
-    def release(): Unit = {
-      liveRdd.foreach(_.unpersist(blocking = false))
-      liveRdd = None
-    }
-  }
-
   /** Min-label propagation: (id, cluster) for every node that appears in
     * `pairs`, cluster = minimum id in the node's connected component.
     * O(diameter) rounds, two shuffles per round.
@@ -142,9 +112,6 @@ object Cluster {
     // the `src` side once it only appears as a star center's target.
     val nodes = nodesChain.next(edges.select(col("src").as("id")).distinct())
 
-    // convergence probe: sum of per-src minima over the edge set alone —
-    // nodes absent from the edges contribute a constant, so the full
-    // node-join is only needed for the final result, not per round
     def edgeLabels: DataFrame =
       edges.groupBy("src").agg(least(col("src"), min(col("dst"))).as("cluster"))
         .withColumnRenamed("src", "id")
@@ -153,8 +120,23 @@ object Cluster {
       nodes.join(edgeLabels.withColumnRenamed("cluster", "c"), Seq("id"), "left")
         .select(col("id"), coalesce(col("c"), col("id")).as("cluster"))
 
-    var prevSum = sumLabels(edgeLabels)
-    var converged = false
+    // Convergence probe: the star fixpoint is literally an UNCHANGED edge
+    // set, so probe the edge set itself — (count, Σ xxhash64(src,dst)) in
+    // exact decimal. Unchanged fingerprint on a changed set is a ~2^-64
+    // hash-sum collision; this replaces the round-5 per-src label sum,
+    // whose equality over a set whose src population itself shifts between
+    // rounds was not a fixpoint certificate (a coincidental equal sum
+    // could exit early with wrong labels). One edge-sized aggregation per
+    // round, no join.
+    def edgeFingerprint(): (Long, java.math.BigDecimal) = {
+      val r = edges.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var prevFp = edgeFingerprint()
+    var converged = prevFp._1 == 0L // no edges at all = already a fixpoint
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: m = min over the full neighborhood (incl. self);
@@ -173,9 +155,9 @@ object Cluster {
         .select(col("dst").as(aCol), col("m").as(bCol))
         .union(mSmall.select(col("src").as(aCol), col("m").as(bCol)))
       edges = chain.next(symmetricEdges(small, aCol, bCol))
-      val s = sumLabels(edgeLabels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val fp = edgeFingerprint()
+      converged = fp._1 == prevFp._1 && fp._2.compareTo(prevFp._2) == 0
+      prevFp = fp
       i += 1
     }
     require(converged, s"alternatingStar did not converge in $maxIter rounds")

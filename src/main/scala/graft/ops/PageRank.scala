@@ -27,9 +27,11 @@ object PageRank {
   val Scale: Long = 1000000000000L // 1e12 mass units
 
   /** Run `iters` fixed iterations over a directed edge list (srcCol,
-    * dstCol). Every node must have out-degree ≥ 1 (symmetrize bipartite
-    * inputs first); dangling-node mass handling is deliberately out of
-    * contract. Returns (node_id, rank_scaled).
+    * dstCol). The node universe is the SOURCE side: every node must have
+    * out-degree ≥ 1, and a destination that never appears as a source (a
+    * dangling sink — it would silently absorb mass the integer contract
+    * cannot redistribute) fails loudly up front; symmetrize bipartite or
+    * sink-bearing inputs first. Returns (node_id, rank_scaled).
     */
   def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
@@ -50,6 +52,14 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // Dangling guard (one anti-join, once, on the already-persisted edge
+    // list): a violating edge list would otherwise silently leak rank mass
+    // into nodes the iteration never ranks.
+    val nDangling = edges.select(col("dst").as("v")).distinct()
+      .join(nodes, Seq("v"), "left_anti").count()
+    require(nDangling == 0L, s"$nDangling node(s) have in-edges but no " +
+      "out-edges — PageRank's contract requires out-degree >= 1 for every " +
+      "node; symmetrize the edge list (or drop edges into sinks) first")
     val init = Scale / n
     val base = (Scale * 3L / 20L) / n
 
@@ -57,22 +67,31 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     pr.count()
     var chain = List(pr)
+    val ckpt = new CheckpointChain(spark)
     for (i <- 1 to iters) {
       // integer division (DIV), NOT `/`: Spark's `/` is double division,
       // whose truncation can land one off when the rounded quotient
       // crosses an integer boundary
-      val next0 = edgesD.join(pr, edgesD("src") === pr("v"))
+      val contrib = edgesD.join(pr, edgesD("src") === pr("v"))
         .select(col("dst").as("v"), expr("r DIV d").as("c"))
         .groupBy("v")
         .agg(sum("c").as("s"))
-        .select(col("v"), (lit(base) + expr("(17 * s) DIV 20")).as("r"))
-      // cut lineage every 4 rounds; otherwise persist is enough
+      // LEFT join back onto the full node set: the aggregation only yields
+      // nodes with in-edges, so a zero-in-degree node would vanish from
+      // the rank table after round 1 (and stop contributing from round 2).
+      // runRef keeps it at `base`; coalesce(s, 0) matches that exactly.
+      val next0 = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+      // cut lineage every 4 rounds (CheckpointChain frees the superseded
+      // checkpoint's RDD blocks, which Dataset.unpersist cannot reach);
+      // otherwise persist is enough
       val next =
-        (if (i % 4 == 0) next0.localCheckpoint(false) else next0)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (i % 4 == 0) ckpt.next(next0)
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       chain.foreach(_.unpersist(false))
-      chain = List(next)
+      chain = if (i % 4 == 0) Nil else List(next)
       pr = next
     }
     pr.select(col("v").as("node_id"), col("r").as("rank_scaled"))

@@ -64,14 +64,23 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
-  /** Inverted index: term → (df, sorted posting list), df ≥ 5. */
+  /** Inverted index: term → (df, sorted posting list), df ≥ 5.
+    *
+    * Gate boundary: the posting ARRAY is comma-joined to one string per
+    * term — the driver's pandas hasher cannot sort array cells (round-5
+    * q65 crash); [[Corpus.invertedIndex]] itself stays array-native for
+    * downstream consumers.
+    */
   val q65InvertedIndex: Q = Q(
     "q65_inverted_index",
     s"""WITH u AS (SELECT doc_id, unnest(list_distinct($DuckToks)) AS term FROM documents)
-       |SELECT term, count(*) AS df, list_sort(list(doc_id))[1:10000] AS postings
+       |SELECT term, count(*) AS df,
+       |  array_to_string(list_transform(list_sort(list(doc_id))[1:10000],
+       |    x -> CAST(x AS VARCHAR)), ',') AS postings
        |FROM u GROUP BY term HAVING count(*) >= 5
        |ORDER BY term""".stripMargin) { (s, dir) =>
     Corpus.invertedIndex(Tables.documentsSpread(s, dir), "doc_id", "text", minDf = 5L)
+      .withColumn("postings", array_join(col("postings").cast("array<string>"), ","))
       .orderBy("term")
   }
 

@@ -649,7 +649,11 @@ object Relational {
     val propsSchema = StructType(Seq(StructField("k", LongType)))
     Tables.events(s, dir)
       .withColumn("_p", from_json(col("props"), propsSchema))
-      .select(col("_p.k").as("k"), expr("_p.k DIV 10").as("k_bucket"), col("value"))
+      // FLOOR division to match DuckDB's `//` (Spark DIV truncates toward
+      // zero — differs on negative k): subtract the positive modulus first,
+      // so the quotient is exact at any BIGINT magnitude (no double round-trip)
+      .select(col("_p.k").as("k"),
+        expr("(_p.k - pmod(_p.k, 10)) DIV 10").as("k_bucket"), col("value"))
       .groupBy("k_bucket")
       .agg(count(lit(1)).as("n"),
         sum("k").as("sum_k"),
@@ -664,11 +668,16 @@ object Relational {
     * (ts, id, type) structs and sorted IN the array (sort_array on the
     * struct = lexicographic on the total-order key), then projected and
     * sliced — deterministic under any shuffle topology.
+    *
+    * Gate boundary: the journey ARRAY is comma-joined to one string per
+    * user — the driver's pandas hasher cannot sort array cells (round-5
+    * q60 crash); sequence consumers use the array form upstream of this
+    * final projection.
     */
   val q60UserJourneys: Q = Q(
     "q60_user_journeys",
     """SELECT user_id, count(*) AS n_events,
-      |  (array_agg(event_type ORDER BY ts_us, event_id))[1:20] AS journey
+      |  array_to_string((array_agg(event_type ORDER BY ts_us, event_id))[1:20], ',') AS journey
       |FROM (
       |  SELECT user_id, event_id, event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
@@ -682,8 +691,8 @@ object Relational {
           col("event_type")).as("_e"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        slice(transform(sort_array(collect_list(col("_e"))),
-          e => e.getField("event_type")), 1, 20).as("journey"))
+        array_join(slice(transform(sort_array(collect_list(col("_e"))),
+          e => e.getField("event_type")), 1, 20), ",").as("journey"))
       .orderBy("user_id")
   }
 

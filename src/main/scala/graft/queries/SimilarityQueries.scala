@@ -237,14 +237,50 @@ object SimilarityQueries {
   /** IVF ANN with MLlib-KMeans-trained centroids (the BASELINE "DataFrame
     * + MLlib" approach): the learned-centroid variant of q37. KMeans
     * output depends on MLlib internals (init sampling, float reduction
-    * order), so this gate is rows-only (no SQL oracle); recall vs exact
-    * brute force is proven in MlBridgeSpec.
+    * order), so the approximate top-k rows themselves are not
+    * oracle-checkable; what IS checkable is the invariant the operator
+    * exists to provide — recall against exact brute force. The gate emits
+    * ONE row: the exact-side query and neighbor counts (SQL-expressible —
+    * the oracle recomputes them) and `recall_ok` = the MLlib-IVF top-k's
+    * AGGREGATE overlap with the exact top-k is ≥ 30% of all exact
+    * neighbors. Aggregate, not per-query: with nProbe=2 of 8 lists an
+    * individual query can legitimately land 0 overlaps (measured per-query
+    * min 0 at sf0.01/sf0.1), while the aggregate recall measured
+    * 0.49–0.62 across sf0.001/0.01/0.1 — the 0.30 floor has ~1.6×
+    * margin yet a wrong centroid bridge, broken probe list, or broken
+    * re-rank drops it to ~0 and flips the column FALSE → hash mismatch.
     */
-  val q70MllibIvf: Q = Q.noOracle("q70_mllib_ivf") { (s, dir) =>
-    graft.ml.MlBridge.ivfTopKKMeans(Tables.embeddings(s, dir), "vec_id",
-        "embedding", col("vec_id") % 25 === 0, k = 5, nCentroids = 8,
-        nProbe = 2, seed = 42L)
-      .orderBy("query_id", "rank")
+  val q70MllibIvf: Q = Q(
+    "q70_mllib_ivf",
+    s"""WITH sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+       |  FROM sv q JOIN sv c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact,
+       |  TRUE AS recall_ok
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, 5).select("query_id", "neighbor_id")
+    val approx = graft.ml.MlBridge.ivfTopKKMeans(emb, "vec_id",
+      "embedding", col("vec_id") % 25 === 0, k = 5, nCentroids = 8,
+      nProbe = 2, seed = 42L).select("query_id", "neighbor_id")
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("_overlap"))
+    exact.agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(overlap) // both sides are single rows
+      .select(col("n_queries"), col("n_exact"),
+        (col("_overlap") * 10 >= col("n_exact") * 3).as("recall_ok"))
   }
 
   /** Exact linear-interpolation per-dimension quantiles (numpy `quantile`
@@ -290,14 +326,19 @@ object SimilarityQueries {
   /** Symmetric int8 embedding quantization (ops/Quantize): per-vector
     * codes + rounded scale, bit-identical across engines via the portable
     * floor(x+0.5) rounding. Row-local column math only — no shuffle.
+    *
+    * Gate boundary: the int8 code VECTOR is projected to a comma-joined
+    * string — the driver's pandas-based hasher cannot sort array cells
+    * (round-5 q57 `unhashable type: numpy.ndarray` crash); the operator
+    * itself ([[graft.ops.Quantize.int8Codes]]) stays array-native.
     */
   val q57EmbedQuantize: Q = Q(
     "q57_embed_quantize",
     """SELECT vec_id,
       |  CAST(floor(mx * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS max_abs,
-      |  CASE WHEN mx > 0
-      |    THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
-      |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+      |  array_to_string(CASE WHEN mx > 0
+      |    THEN list_transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT) AS VARCHAR))
+      |    ELSE list_transform(embedding, x -> '0') END, ',') AS codes
       |FROM (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -308,7 +349,8 @@ object SimilarityQueries {
       .select(col("vec_id"),
         graft.functions.Exact.roundPortable(
           graft.ops.Quantize.maxAbs(col("embedding")), 6).as("max_abs"),
-        graft.ops.Quantize.int8Codes(col("embedding")).as("codes"))
+        array_join(graft.ops.Quantize.int8Codes(col("embedding"))
+          .cast("array<string>"), ",").as("codes"))
       .orderBy("vec_id")
   }
 

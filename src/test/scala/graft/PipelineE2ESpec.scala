@@ -31,7 +31,10 @@ class PipelineE2ESpec extends SparkSuite {
     Files.write(Paths.get(s"$root/meta/episodes_stats.jsonl"),
       statsJsonl(episodes).getBytes)
 
-    cli.Main.run(spark, List("pipeline", root, outRoot))
+    // --skip-video: the CLI default (reference parity) probes videos, but
+    // the test container has no ffprobe — every episode would degrade to
+    // <cam>_video_missing and fail validation
+    cli.Main.run(spark, List("pipeline", root, outRoot, "--skip-video"))
 
     // --- manifest statuses
     val manifest = spark.read.parquet(s"$outRoot/manifest/episodes.parquet")

@@ -64,6 +64,20 @@ def main(sf_dir, out_dir):
             duck_rel = con.sql(sql)
             dcols = [c.lower() for c in duck_rel.columns]
             drows = fetch_pandas(duck_rel)
+            # The DRIVER's harness sorts rows with pandas sort_values, which
+            # crashes on array-typed cells (round-5 q57/q60/q65:
+            # "unhashable type: numpy.ndarray"). Fail here too so the
+            # divergence is caught at dev time: no array columns may reach
+            # the gate boundary.
+            arr_cols = [c for r, cols in ((srows, scols), (drows, dcols)) if r
+                        for c, v in zip(cols, r[0])
+                        if isinstance(v, (np.ndarray, list, tuple))]
+            if arr_cols:
+                print(f"FAIL {name}: array-typed gate column(s) "
+                      f"{sorted(set(arr_cols))} — driver's pandas hasher "
+                      "cannot sort these; project through array_join/to_json")
+                n_fail += 1
+                continue
             if sorted(scols) != sorted(dcols):
                 print(f"FAIL {name}: schema spark={sorted(scols)} duck={sorted(dcols)}")
                 n_fail += 1; continue
