@@ -21,9 +21,21 @@ object ScaleProbe {
         concat(col("text"), lit(s" v$r")).as("text"), col("n_chars"), col("lang"))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"[probe] docs: ${docs.count()} (from $n0)")
+    // same fixed single-thread CPU probe as Bench: a degraded host shows up
+    // as a calib cliff next to the step timing instead of silently
+    // inflating it (rounds 2-4 lesson)
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 20000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrate() // JIT the probe loop
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(calib ${calibrate()}%.3f s)"); r
     }
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {
@@ -45,6 +57,11 @@ object ScaleProbe {
       val labels = graft.ops.Cluster.alternatingStar(lshPairs, "id_a", "id_b")
       println(s"[probe]   nodes: ${labels.count()}, components: " +
         labels.select("cluster").distinct().count())
+    }
+    t("q49 gate shape at 10x: Cluster.clusters over all 50k docs") {
+      val c = graft.ops.Cluster.clusters(docs, "doc_id", lshPairs, "id_a", "id_b")
+      println(s"[probe]   rows: ${c.count()}, canonical: " +
+        c.filter(col("is_canonical")).count())
     }
     t("cluster 2M-node / 5M-edge random graph (alternatingStar)") {
       val e = spark.range(5000000L).select(
