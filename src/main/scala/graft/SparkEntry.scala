@@ -15,7 +15,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
-      CorpusQueries.all ++ GraphQueries.all
+      CorpusQueries.all ++ GraphQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{Exact, Hashing, TextAnalysis}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of dedup: benchmark decontamination, duplicated-span detection,
+  * token-budget selection, domain-mixture weights, per-domain quality
+  * banding, and sliding-window chunking.
+  *
+  * All of these are pure DataFrame plans over `documents`-shaped input —
+  * Catalyst sees the whole tree, so pushdown/pruning/AQE apply. Every
+  * pairwise or corpus-wide step is keyed (n-gram hash, group, range) so the
+  * work distributes; there is no all-pairs or driver-side loop anywhere.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training docs sharing at least one
+    * word `n`-gram with any document of the (small) benchmark/eval set —
+    * the n-gram-overlap rule used by public LLM training pipelines to
+    * scrub eval leakage.
+    *
+    * Input: `isBench` marks benchmark members. Output: one row per
+    * CONTAMINATED training doc — (id, n_shared) where n_shared counts the
+    * distinct shared n-grams.
+    *
+    * Scale shape: the benchmark n-gram set is small by construction (eval
+    * suites are thousands of docs, not billions), so it broadcasts and the
+    * training side is a map-side hash join on the exploded n-grams — one
+    * shuffle total (the per-doc count). If the "benchmark" ever outgrows
+    * broadcast, swap the broadcast join for a bloom-filter prefilter plus
+    * shuffle equi-join on the n-gram hash; the plan shape is otherwise
+    * unchanged.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, toks: Column,
+      isBench: Column, n: Int): DataFrame = {
+    val base = docs.select(col(idCol), isBench.as("_bench"),
+      TextAnalysis.wordShingles(toks, n).as("_sh"))
+    // hash the grams: joins/aggregates move 8-byte longs, not strings
+    val bench = base.filter(col("_bench"))
+      .select(explode(col("_sh")).as("_g"))
+      .select(Hashing.hash60(col("_g"), "decon").as("g"))
+      .distinct()
+    base.filter(!col("_bench"))
+      .select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), Hashing.hash60(col("_g"), "decon").as("g"))
+      .join(broadcast(bench), "g")
+      // wordShingles is distinct per doc, so count(*) = distinct shared grams
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Duplicated-span detection (the distributable approximation of
+    * suffix-array substring dedup): an `n`-token span is "duplicated" when
+    * it occurs in more than one document. Per doc: total spans, duplicated
+    * spans, duplicated fraction.
+    *
+    * Scale shape: spans are 60-bit hashes; one groupBy(g) with map-side
+    * combine builds the span→doc-count table, then the join back is on the
+    * same key — the exploded span table is persisted and both sides arrive
+    * hash-partitioned on `g`, so AQE reuses the exchange. Cost is
+    * O(total tokens), never quadratic.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, toks: Column,
+      n: Int): DataFrame = {
+    val spans = docs
+      .select(col(idCol), explode(TextAnalysis.wordShingles(toks, n)).as("_g"))
+      .select(col(idCol), Hashing.hash60(col("_g"), "span").as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docFreq = spans.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    // spans are distinct within a doc, so count(*) per g = #docs containing it
+    spans.join(docFreq, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        Exact.roundPortable(col("n_dup").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Greedy token-budget selection: order docs by (score desc, id) and
+    * select while the running token total stays under `budget` — the
+    * "take the best B tokens" step of corpus curation.
+    *
+    * A global ordered running sum is exactly what `Window.orderBy` without
+    * a partition key CANNOT do at scale (single reducer); this rides the
+    * two-pass distributed [[PrefixSum]] instead: range-partition by the
+    * (total) order key, per-partition partials, O(partitions) driver
+    * state. Output: (id, score, tokens, cum_before, selected).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, score: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    val base = docs.select(col(idCol), score.as("score"),
+        tokens.cast("long").as("tokens"))
+      // struct ordering is field-wise, so this single column is the total
+      // order (score desc via negation, id tiebreak) PrefixSum requires
+      .withColumn("_ord",
+        struct((lit(0.0) - col("score")).as("s"), col(idCol).as("i")))
+    PrefixSum.exclusive(base, "_ord", "tokens", "cum_before")
+      .withColumn("selected", col("cum_before") < lit(budget))
+      .drop("_ord")
+  }
+
+  /** Temperature-scaled domain-mixture weights: per group, token share
+    * p_g = toks_g / total and sampling weight w_g ∝ sqrt(p_g) (the
+    * alpha = 0.5 temperature used to up-weight small domains), normalized
+    * to sum to 1.
+    *
+    * Exactness: shares are IEEE divisions (bit-identical everywhere);
+    * sqrt is the one correctly-rounded transcendental, so it is portable
+    * too; the normalization sums MICRO-scaled longs, not doubles, so the
+    * result is independent of aggregation order. One partial+final
+    * aggregate over the corpus; the per-group table is tiny and the window
+    * over it is a single light stage.
+    */
+  def domainMixture(docs: DataFrame, groupCol: String,
+      tokens: Column): DataFrame = {
+    val per = docs.groupBy(groupCol).agg(sum(tokens.cast("long")).as("toks"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("_total", sum("toks").over(w))
+      .withColumn("share", col("toks").cast("double") / col("_total"))
+      .withColumn("_wm",
+        floor(sqrt(col("share")) * 1000000 + 0.5).cast("long"))
+      .withColumn("weight",
+        Exact.roundPortable(
+          col("_wm").cast("double") / sum("_wm").over(w).cast("double"), 6))
+      .select(col(groupCol), col("toks"),
+        Exact.roundPortable(col("share"), 6).as("share"), col("weight"))
+  }
+
+  /** Per-group quality banding: percent_rank of `score` within each group
+    * plus the derived decile band — the "top X% per domain" filter.
+    *
+    * percent_rank depends only on the rank of the ordering key, so ties on
+    * `score` are deterministic without a tiebreak. The window partitions
+    * by group: with many groups this scales as an ordinary keyed sort;
+    * with FEW huge groups, compute per-group decile boundaries with
+    * [[Quantiles]] and assign by broadcast range lookup instead — same
+    * output, no giant partition.
+    */
+  def qualityBands(docs: DataFrame, idCol: String, groupCol: String,
+      score: Column): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("score")
+    docs.select(col(idCol), col(groupCol), score.as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("band", least(floor(col("pr") * 10), lit(9L)).cast("long"))
+      .withColumn("pr", Exact.roundPortable(col("pr"), 6))
+  }
+
+  /** Sliding-window chunking: split each doc's token stream into windows
+    * of `maxLen` tokens advancing by `stride` (overlap = maxLen - stride),
+    * the standard pre-tokenization step for fixed-context training.
+    * Output: (id, chunk_idx, n_toks, fp) with fp = md5 of the
+    * space-joined window (portable across engines).
+    *
+    * Per-row generate+posexplode — embarrassingly parallel, no shuffle;
+    * output size is ~len/stride rows per doc, linear in the corpus.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, toks: Column,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && maxLen >= stride,
+      s"need 0 < stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    val len = size(toks)
+    val nChunks = when(len <= 0, lit(0L)).otherwise(
+      when(len <= maxLen, lit(1L)).otherwise(
+        floor((len - maxLen + stride - 1).cast("double") / stride).cast("long") + 1))
+    docs
+      .select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .filter(col("_nc") > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("_nc") - 1),
+          i => slice(col("_toks"), (i * stride + 1).cast("int"), lit(maxLen)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("col"))).as("fp"))
+  }
+}

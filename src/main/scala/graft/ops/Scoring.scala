@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Exact
+
+/** Corpus-statistics document scoring: BM25 ranked retrieval and a
+  * unigram-LM log-probability quality filter (the "perplexity filter" of
+  * public web-corpus pipelines, with the corpus itself as the LM).
+  *
+  * Portability pattern (shared with [[TfIdf]]): the only non-IEEE-exact
+  * scalar op is ln/pow — it is applied to FEW distinct values (one per
+  * term, not per occurrence) and immediately rounded to 6 decimals; all
+  * per-occurrence combination then happens in micro-scaled LONGS, so sums
+  * are associative-exact and independent of shuffle/aggregation order.
+  */
+object Scoring {
+
+  /** Okapi BM25 scores for a fixed bag of query terms, top `k` docs by
+    * (score desc, id).
+    *
+    *   idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)      [rounded 6dp]
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: the explode is filtered to the query terms BEFORE the
+    * aggregate, so the shuffled (doc, term) table is |terms|-bounded per
+    * doc; df and the corpus constants (N, Σdl) are broadcast scalars; the
+    * final top-k is TakeOrderedAndProject (per-partition heads, no global
+    * sort).
+    */
+  def bm25(docs: DataFrame, idCol: String, toks: Column,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 50): DataFrame = {
+    val base = docs.select(col(idCol), toks.as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("_n"), sum("dl").as("_sumdl"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = Exact.roundPortable(
+      log((col("_n").cast("double") - col("df").cast("double") + 0.5)
+        / (col("df").cast("double") + 0.5) + 1.0), 6)
+    // built to mirror the oracle SQL op-for-op: every step is an IEEE-exact
+    // double op on both engines once idf is rounded
+    val denom = col("tf").cast("double") +
+      (lit(1.0) - b + (col("dl").cast("double") / avgdl) * b) * k1
+    val partMicros = floor(
+      idf * (col("tf").cast("double") * (k1 + 1.0)) / denom
+        * 1000000.0 + 0.5).cast("long")
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_pm", partMicros)
+      .groupBy(idCol)
+      .agg(sum("_pm").as("_sm"))
+      .select(col(idCol), Exact.fromMicros(col("_sm")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-doc mean unigram log-probability under the corpus's own unigram
+    * distribution — low values mark gibberish/outlier docs (the cheap
+    * stand-in for a perplexity filter when no external LM is available).
+    *
+    *   lp(t)  = ln(cnt(t) / total)                        [micros, rounded]
+    *   doc d  → (n_toks, avg_lp = Σ lp(t_i) / 1e6 / n)
+    *
+    * Scale shape: one (term) aggregate with map-side combine builds the
+    * LM; scoring joins the exploded corpus back on the SAME key, so the
+    * persisted explode's exchange is reused; the per-doc aggregate sums
+    * longs. Everything is O(total tokens) with two keyed shuffles.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      toks: Column): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(toks).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lm = tokens.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum("cnt").as("_tot"))
+    val lpMicros = floor(
+      log(col("cnt").cast("double") / col("_tot").cast("double"))
+        * 1000000 + 0.5).cast("long")
+    val scoredTerms = lm.crossJoin(broadcast(total))
+      .select(col("term"), lpMicros.as("_lp"))
+    tokens.join(scoredTerms, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum("_lp").as("_lps"))
+      .select(col(idCol), col("n_toks"),
+        Exact.roundPortable(
+          col("_lps").cast("double") / 1000000.0 / col("n_toks").cast("double"),
+          6).as("avg_lp"))
+  }
+}

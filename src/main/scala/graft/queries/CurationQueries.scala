@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Exact, Hashing, TextAnalysis}
+import graft.ops.{Curation, Scoring}
+
+/** Corpus-curation gates: decontamination, token-budget selection,
+  * duplicated spans, domain mixture, quality bands, approx-distinct,
+  * chunking, BM25, unigram-LM scoring. Every float that crosses the gate
+  * boundary is either portably rounded or an exact micro-scaled sum (see
+  * [[graft.ops.Scoring]] scaladoc for the pattern).
+  */
+object CurationQueries {
+
+  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  /** DuckDB 60-bit portable hash of expression `e` under `seed` — the SQL
+    * twin of [[Hashing.hash60]].
+    */
+  private def duckHash(seed: String, e: String): String =
+    s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB word `n`-gram shingles (distinct) over a `toks` list column —
+    * the SQL twin of [[TextAnalysis.wordShingles]].
+    */
+  private def duckShingles(n: Int): String =
+    s"""list_distinct(list_transform(
+       |      generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+       |      i -> array_to_string(toks[i:i+${n - 1}], ' ')))""".stripMargin
+
+  /** Shared CTE body: (doc_id, source, score, tokens) with the q23 quality
+    * formula rounded to 4 decimals — the SQL twin of
+    * [[TextAnalysis.qualityScore]] + roundPortable(4).
+    */
+  private def qualityDocsSql: String = {
+    val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    val stopList = allStop.map(w => s"'$w'").mkString(",")
+    s"""SELECT doc_id, source,
+       |    CAST(floor(
+       |      ((least(CAST(2.0 AS DOUBLE) * len(list_filter(toks, t -> t IN ($stopList))) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+       |        + length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+       |        + CASE WHEN mtl >= 3 AND mtl <= 12 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       |        + least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) / CAST(4.0 AS DOUBLE))
+       |      * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS score,
+       |    CAST(len(toks) AS BIGINT) AS tokens
+       |  FROM (
+       |    SELECT doc_id, source, text, toks,
+       |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mtl
+       |    FROM (SELECT doc_id, source, text, $DuckToks AS toks FROM documents)
+       |  )""".stripMargin
+  }
+
+  /** Spark twin of [[qualityDocsSql]]. */
+  private def qualityDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documentsSpread(s, dir).select(col("doc_id"), col("source"),
+      Exact.roundPortable(TextAnalysis.qualityScore(col("text")), 4).as("score"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+
+  /** Benchmark decontamination: 5-gram overlap between the (hash-selected
+    * ~2.7%) "benchmark" slice and the rest of the corpus.
+    */
+  val q80Decontaminate: Q = Q(
+    "q80_decontaminate",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ${duckHash("bench", "CAST(doc_id AS VARCHAR)")} % 37 = 0 AS bench,
+       |    ${duckShingles(5)} AS sh
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |), bg AS (
+       |  SELECT DISTINCT ${duckHash("decon", "g")} AS g
+       |  FROM (SELECT unnest(sh) AS g FROM t WHERE bench)
+       |), tg AS (
+       |  SELECT doc_id, ${duckHash("decon", "g")} AS g
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM t WHERE NOT bench)
+       |)
+       |SELECT tg.doc_id AS doc_id, count(*) AS n_shared
+       |FROM tg JOIN bg USING (g)
+       |GROUP BY tg.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.decontaminate(
+        Tables.documentsSpread(s, dir), "doc_id",
+        TextAnalysis.tokens(col("text")),
+        Hashing.hash60(col("doc_id").cast("string"), "bench") % 37 === 0, 5)
+      .orderBy("doc_id")
+  }
+
+  /** Greedy token-budget selection via the distributed prefix sum. */
+  val q81TokenBudget: Q = Q(
+    "q81_token_budget",
+    s"""WITH q AS (
+       |  $qualityDocsSql
+       |)
+       |SELECT doc_id, score, tokens,
+       |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) < 10000 AS selected
+       |FROM q
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.tokenBudgetSelect(qualityDocs(s, dir).drop("source"),
+        "doc_id", col("score"), col("tokens"), 10000L)
+      .select("doc_id", "score", "tokens", "cum_before", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated 8-token spans across documents (substring-dedup signal). */
+  val q82DupSpans: Q = Q(
+    "q82_dup_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${duckShingles(8)} AS sh
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |), sp AS (
+       |  SELECT doc_id, ${duckHash("span", "g")} AS g
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM t)
+       |), df AS (
+       |  SELECT g, count(*) AS ndocs FROM sp GROUP BY g
+       |)
+       |SELECT doc_id, n_spans, n_dup,
+       |  ${Exact.roundPortableSql("CAST(n_dup AS DOUBLE) / n_spans", 6)} AS dup_frac
+       |FROM (
+       |  SELECT sp.doc_id AS doc_id, count(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM sp JOIN df USING (g)
+       |  GROUP BY sp.doc_id
+       |)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.duplicateSpans(Tables.documentsSpread(s, dir), "doc_id",
+        TextAnalysis.tokens(col("text")), 8)
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-scaled (alpha = 0.5) domain-mixture weights by source. */
+  val q83DomainMixture: Q = Q(
+    "q83_domain_mixture",
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS toks
+       |  FROM (SELECT source, $DuckToks AS toks FROM documents)
+       |  GROUP BY source
+       |), w AS (
+       |  SELECT source, toks,
+       |    CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS BIGINT) AS share_raw
+       |  FROM per
+       |), m AS (
+       |  SELECT source, toks, share_raw,
+       |    CAST(floor(sqrt(share_raw) * 1000000 + 0.5) AS BIGINT) AS wm
+       |  FROM w
+       |)
+       |SELECT source, toks,
+       |  ${Exact.roundPortableSql("share_raw", 6)} AS share,
+       |  ${Exact.roundPortableSql(
+             "CAST(wm AS DOUBLE) / CAST(CAST(SUM(wm) OVER () AS BIGINT) AS DOUBLE)", 6)} AS weight
+       |FROM m
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    Curation.domainMixture(
+        Tables.documentsSpread(s, dir)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("_t")),
+        "source", size(col("_t")))
+      .orderBy("source")
+  }
+
+  /** Per-source percent_rank quality banding. */
+  val q84QualityBands: Q = Q(
+    "q84_quality_bands",
+    s"""WITH q AS (
+       |  $qualityDocsSql
+       |)
+       |SELECT doc_id, source, score,
+       |  ${Exact.roundPortableSql("pr", 6)} AS pr,
+       |  least(CAST(floor(pr * 10) AS BIGINT), 9) AS band
+       |FROM (
+       |  SELECT doc_id, source, score,
+       |    percent_rank() OVER (PARTITION BY source ORDER BY score) AS pr
+       |  FROM q
+       |)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.qualityBands(qualityDocs(s, dir), "doc_id", "source", col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** HyperLogLog approx-distinct with a verified error bound: the oracle
+    * checks the exact side and that the sketch landed within 5% (or ±5 at
+    * tiny cardinalities) — rsd 0.01 makes the bound safe.
+    */
+  val q85ApproxDistinct: Q = Q(
+    "q85_approx_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("_approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("_approx") - col("exact_users")).cast("double")
+          <= greatest(col("exact_users").cast("double") * 0.05, lit(5.0)))
+          .as("approx_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Sliding-window chunking: 32-token windows, stride 24. */
+  val q86DocChunks: Q = Q(
+    "q86_doc_chunks",
+    s"""WITH t AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= 0 THEN 0
+       |         WHEN len(toks) <= 32 THEN 1
+       |         ELSE CAST(floor(CAST(len(toks) - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1
+       |    END AS nc
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |)
+       |SELECT doc_id, i AS chunk_idx,
+       |  CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_toks,
+       |  md5(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS fp
+       |FROM (
+       |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i
+       |  FROM t WHERE nc > 0
+       |)
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    Curation.slidingChunks(
+        Tables.documentsSpread(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokens(col("text")), 32, 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Okapi BM25 top-50 for a fixed query-term bag. */
+  val q87Bm25: Q = {
+    val terms = Seq("hash", "scan", "merge")
+    val (k1, b, k) = (1.2, 0.75, 50)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val avgdlSql = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val idfSql = Exact.roundPortableSql(
+      "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 6)
+    Q(
+      "q87_bm25",
+      s"""WITH base AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+         |  WHERE term IN ($termList)
+         |  GROUP BY doc_id, dl, term
+         |), dft AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(floor($idfSql * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + (1.0 - $b + (CAST(dl AS DOUBLE) / $avgdlSql) * $b) * $k1)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS pm
+         |  FROM tf JOIN dft USING (term), stats
+         |)
+         |SELECT doc_id, CAST(CAST(SUM(pm) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin) { (s, dir) =>
+      Scoring.bm25(Tables.documentsSpread(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokens(col("text")), terms, k1, b, k)
+    }
+  }
+
+  /** Unigram-LM mean log-probability (perplexity-filter stand-in). */
+  val q88UnigramLogprob: Q = Q(
+    "q88_unigram_logprob",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |), lm AS (
+       |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM lm
+       |), lp AS (
+       |  SELECT term,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lpm
+       |  FROM lm, tot
+       |)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  ${Exact.roundPortableSql(
+            "CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)} AS avg_lp
+       |FROM tok JOIN lp USING (term)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Scoring.unigramLogProb(Tables.documentsSpread(s, dir), "doc_id",
+        TextAnalysis.tokens(col("text")))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
+    q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
+    q87Bm25, q88UnigramLogprob)
+}
