@@ -35,11 +35,17 @@ object Curation {
     * broadcast, swap the broadcast join for a bloom-filter prefilter plus
     * shuffle equi-join on the n-gram hash; the plan shape is otherwise
     * unchanged.
+    *
+    * `shingles` should be the native [[graft.functions.WordShinglesExpr]]
+    * kernel (one pass per row); the composed
+    * `TextAnalysis.wordShingles(tokens(text), n)` form re-tokenizes the
+    * document once PER GRAM under interpreted higher-order eval (the q37
+    * no-CSE lesson — measured 10× slower on this op).
     */
-  def decontaminate(docs: DataFrame, idCol: String, toks: Column,
-      isBench: Column, n: Int): DataFrame = {
+  def decontaminate(docs: DataFrame, idCol: String, shingles: Column,
+      isBench: Column): DataFrame = {
     val base = docs.select(col(idCol), isBench.as("_bench"),
-      TextAnalysis.wordShingles(toks, n).as("_sh"))
+      shingles.as("_sh"))
     // hash the grams: joins/aggregates move 8-byte longs, not strings
     val bench = base.filter(col("_bench"))
       .select(explode(col("_sh")).as("_g"))
@@ -64,10 +70,10 @@ object Curation {
     * hash-partitioned on `g`, so AQE reuses the exchange. Cost is
     * O(total tokens), never quadratic.
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, toks: Column,
-      n: Int): DataFrame = {
+  def duplicateSpans(docs: DataFrame, idCol: String,
+      shingles: Column): DataFrame = {
     val spans = docs
-      .select(col(idCol), explode(TextAnalysis.wordShingles(toks, n)).as("_g"))
+      .select(col(idCol), explode(shingles).as("_g"))
       .select(col(idCol), Hashing.hash60(col("_g"), "span").as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docFreq = spans.groupBy("g").agg(count(lit(1)).as("ndocs"))
@@ -163,12 +169,17 @@ object Curation {
       maxLen: Int, stride: Int): DataFrame = {
     require(stride > 0 && maxLen >= stride,
       s"need 0 < stride <= maxLen, got stride=$stride maxLen=$maxLen")
-    val len = size(toks)
+    // materialize the token array FIRST: `size(toks)` appears three times
+    // in the chunk-count expression, and tokenization is interpreted
+    // (higher-order filter) so Catalyst cannot CSE it — referencing the
+    // materialized attribute keeps it one evaluation per row
+    val withToks = docs.select(col(idCol), toks.as("_toks"))
+    val len = size(col("_toks"))
     val nChunks = when(len <= 0, lit(0L)).otherwise(
       when(len <= maxLen, lit(1L)).otherwise(
         floor((len - maxLen + stride - 1).cast("double") / stride).cast("long") + 1))
-    docs
-      .select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+    withToks
+      .select(col(idCol), col("_toks"), nChunks.as("_nc"))
       .filter(col("_nc") > 0)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0L), col("_nc") - 1),

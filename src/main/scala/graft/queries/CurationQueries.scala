@@ -79,8 +79,8 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Curation.decontaminate(
         Tables.documentsSpread(s, dir), "doc_id",
-        TextAnalysis.tokens(col("text")),
-        Hashing.hash60(col("doc_id").cast("string"), "bench") % 37 === 0, 5)
+        graft.functions.WordShinglesExpr(col("text"), 5),
+        Hashing.hash60(col("doc_id").cast("string"), "bench") % 37 === 0)
       .orderBy("doc_id")
   }
 
@@ -125,7 +125,7 @@ object CurationQueries {
        |)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Curation.duplicateSpans(Tables.documentsSpread(s, dir), "doc_id",
-        TextAnalysis.tokens(col("text")), 8)
+        graft.functions.WordShinglesExpr(col("text"), 8))
       .orderBy("doc_id")
   }
 

@@ -109,6 +109,33 @@ object ScaleProbe {
       val n = graft.ops.ZOrder.layoutByZ(df, "x", "y", numFiles = 64).count()
       println(s"[probe]   rows: $n")
     }
+    t("decontaminate 50k docs vs ~2.7% benchmark (5-grams)") {
+      val n = graft.ops.Curation.decontaminate(docs, "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 5),
+        graft.functions.Hashing.hash60(col("doc_id").cast("string"), "bench") % 37 === 0)
+        .count()
+      println(s"[probe]   contaminated: $n")
+    }
+    t("duplicateSpans 50k docs (8-token spans)") {
+      val n = graft.ops.Curation.duplicateSpans(docs, "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 8)).count()
+      println(s"[probe]   docs: $n")
+    }
+    t("tokenBudgetSelect over 5M synthetic docs (distributed prefix sum)") {
+      val df = spark.range(5000000L).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 1000.0).as("score"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(900L)) + 100L).as("tokens"))
+      val sel = graft.ops.Curation.tokenBudgetSelect(df, "doc_id",
+        col("score"), col("tokens"), 500000000L)
+      println(s"[probe]   selected: ${sel.filter(col("selected")).count()} of ${sel.count()}")
+    }
+    t("bm25 + unigramLogProb over 50k docs") {
+      val b = graft.ops.Scoring.bm25(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), Seq("hash", "scan", "merge")).count()
+      val u = graft.ops.Scoring.unigramLogProb(docs, "doc_id",
+        TextAnalysis.tokens(col("text"))).count()
+      println(s"[probe]   bm25 rows: $b, lm-scored docs: $u")
+    }
     val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = (0 until 10).map { r =>
       emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),

@@ -17,7 +17,8 @@ class CurationSpec extends SparkSuite {
       (3L, "totally different words here", false),
       (4L, "the quick brown dog", false))  // shares "the quick brown"
       .toDF("doc_id", "text", "bench")
-    val out = Curation.decontaminate(docs, "doc_id", toks, col("bench"), 3)
+    val out = Curation.decontaminate(docs, "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 3), col("bench"))
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // doc 2 shares {quick brown fox}; doc 4 shares {the quick brown};
@@ -31,7 +32,8 @@ class CurationSpec extends SparkSuite {
       (2L, "b c d e"),   // spans(2): {b c, c d, d e}
       (3L, "x y z w"))   // disjoint
       .toDF("doc_id", "text")
-    val out = Curation.duplicateSpans(docs, "doc_id", toks, 2)
+    val out = Curation.duplicateSpans(docs, "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 2))
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(
