@@ -82,6 +82,30 @@ object TextAnalysis {
     (least(stopRatio * 2.0, lit(1.0)) + alphaFrac + lenOk + lenFactor) / 4.0
   }
 
+  /** C4-style text normalization: ASCII-lower, map characters outside the
+    * kept set (lowercase ASCII letters, digits, space, basic punctuation)
+    * to spaces, collapse space runs, trim. Pure per-row string work —
+    * embarrassingly parallel, engine-portable (mirrored 1:1 in oracle
+    * SQL via lower + regexp_replace 'g').
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(asciiLower(c), "[^a-z0-9 .,!?']", " "), " +", " "))
+
+  /** PII-style masking: email-shaped tokens → `<email>`, digit runs of
+    * `minDigits`+ → `<num>`. Pure per-row regexp work, engine-portable
+    * (the patterns use only the regex subset Java and RE2 agree on).
+    */
+  def redact(c: Column, minDigits: Int = 4): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+      s"[0-9]{$minDigits,}", "<num>")
+
+  /** Count of matches [[redact]] would mask (emails + long digit runs). */
+  def redactionCount(c: Column, minDigits: Int = 4): Column =
+    size(regexp_extract_all(c,
+      lit(s"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{$minDigits,}"), lit(0)))
+
   /** Word n-gram shingles (distinct), the MinHash input unit.
     * Note: `sequence(0, -1)` in Spark yields a DESCENDING array, not an
     * empty one — short docs must short-circuit to an empty shingle set.

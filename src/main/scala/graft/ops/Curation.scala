@@ -137,6 +137,64 @@ object Curation {
         Exact.roundPortable(col("share"), 6).as("share"), col("weight"))
   }
 
+  /** Materialize a [[domainMixture]]: deterministic per-domain sampling.
+    * Rates are the mixture weights scaled so the most up-weighted domain
+    * keeps everything (rate 1.0); a doc survives iff
+    * hashUnit(id, seed) < rate(group) — reproducible on any topology, and
+    * an engine-portable decision (the hash and both divisions are exact).
+    *
+    * One corpus aggregate for the weights (tiny result), then a broadcast
+    * join of the rate table onto the corpus and a stateless filter — the
+    * corpus itself never shuffles.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+      tokens: Column, seed: String): DataFrame = {
+    val rates = domainMixture(docs.select(col(groupCol), tokens.as("_tk")),
+        groupCol, col("_tk"))
+      .withColumn("rate", col("weight") / max("weight").over(Window.partitionBy()))
+      .select(col(groupCol), col("rate"))
+    docs.select(col(idCol), col(groupCol))
+      .join(broadcast(rates), groupCol)
+      .filter(Hashing.hashUnit(col(idCol).cast("string"), seed) < col("rate"))
+      .select(col(idCol), col(groupCol), Exact.roundPortable(col("rate"), 6).as("rate"))
+  }
+
+  /** Per-group IQR outlier flagging on a numeric column: type-7 linearly
+    * interpolated p25/p75 within each group, Tukey fences at 1.5·IQR,
+    * every row flagged. The quantile rank pass is one keyed sort (same
+    * shape as [[Quantiles.perDimension]], partitioned by group); the
+    * fence table is group-sized and joins back by group key.
+    */
+  def iqrOutliers(docs: DataFrame, idCol: String, groupCol: String,
+      value: Column): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol), value.cast("double").as("v"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("v")
+    val wAll = Window.partitionBy(groupCol)
+    val r = base
+      .withColumn("rn", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def lo(p: Double) = max(when(col("rn") === floor(lit(p) * (col("n") - 1)), col("v")))
+    def hi(p: Double) = max(when(col("rn") === ceil(lit(p) * (col("n") - 1)), col("v")))
+    def interp(p: Double, loC: Column, hiC: Column) = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      loC + (pos - floor(pos)) * (hiC - loC)
+    }
+    val fences = r
+      .groupBy(groupCol)
+      .agg(max("n").as("n"), lo(0.25).as("_l25"), hi(0.25).as("_h25"),
+        lo(0.75).as("_l75"), hi(0.75).as("_h75"))
+      .withColumn("_q25", interp(0.25, col("_l25"), col("_h25")))
+      .withColumn("_q75", interp(0.75, col("_l75"), col("_h75")))
+      .withColumn("lo", col("_q25") - (col("_q75") - col("_q25")) * 1.5)
+      .withColumn("hi", col("_q75") + (col("_q75") - col("_q25")) * 1.5)
+      .select(col(groupCol), col("lo"), col("hi"))
+    base.join(fences, groupCol)
+      .withColumn("is_outlier", col("v") < col("lo") || col("v") > col("hi"))
+      .select(col(idCol), col(groupCol), col("v"),
+        Exact.roundPortable(col("lo"), 6).as("lo"),
+        Exact.roundPortable(col("hi"), 6).as("hi"), col("is_outlier"))
+  }
+
   /** Per-group quality banding: percent_rank of `score` within each group
     * plus the derived decile band — the "top X% per domain" filter.
     *
@@ -154,6 +212,40 @@ object Curation {
       .withColumn("pr", percent_rank().over(w))
       .withColumn("band", least(floor(col("pr") * 10), lit(9L)).cast("long"))
       .withColumn("pr", Exact.roundPortable(col("pr"), 6))
+  }
+
+  /** Per-source data-card profile: doc/token counts, mean tokens, distinct
+    * and modal language (deterministic (count desc, lang) tiebreak), mean
+    * quality — the summary table a corpus release ships with.
+    *
+    * Two keyed aggregates (source; source×lang) + a group-sized join.
+    * Mean quality sums MICRO-scaled longs so the result is independent of
+    * aggregation order.
+    */
+  def sourceProfile(docs: DataFrame, groupCol: String, langCol: String,
+      tokens: Column, quality: Column): DataFrame = {
+    val base = docs.select(col(groupCol), col(langCol),
+      tokens.cast("long").as("_tk"),
+      floor(quality * 1000000 + 0.5).cast("long").as("_qm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val per = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"), sum("_tk").as("n_tokens"),
+      count_distinct(col(langCol)).as("n_langs"), sum("_qm").as("_qs"))
+    val topLang = base.groupBy(col(groupCol), col(langCol))
+      .agg(count(lit(1)).as("_lc"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("_lc").desc, col(langCol))))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col(langCol).as("top_lang"))
+    per.join(topLang, groupCol)
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        Exact.roundPortable(
+          col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"),
+        col("n_langs"), col("top_lang"),
+        Exact.roundPortable(
+          col("_qs").cast("double") / 1000000.0 / col("n_docs").cast("double"), 6)
+          .as("mean_quality"))
   }
 
   /** Sliding-window chunking: split each doc's token stream into windows

@@ -215,13 +215,66 @@ object Dedup {
     * Σ bucket² — tuned by (bands × rowsPerBand) against the target
     * similarity threshold.
     */
+  /** Shared prep for the LSH joins: shingle-sorted base + exploded
+    * (band, bucket) rows, both persisted (see the barrier notes in
+    * [[minhashLshPairs]]).
+    */
+  private def bandedShingles(df: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int, rowsPerBand: Int, seed: String,
+      portable: Boolean): DataFrame = {
+    val base = df
+      .filter(size(col(shinglesCol)) > 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), sort_array(array_distinct(col(shinglesCol))).as(shinglesCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeysCol =
+      if (portable) graft.functions.MinHashBandKeys(col(shinglesCol), bands, rowsPerBand, seed)
+      else lshBandKeys(minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable),
+        bands, rowsPerBand)
+    base
+      .select(col(idCol), col(shinglesCol), posexplode(bandKeysCol).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup: (left_id, right_id, jac) pairs
+    * BETWEEN two document sets — the incremental-dedup primitive (screen a
+    * new batch against the existing corpus without re-pairing the corpus
+    * with itself).
+    *
+    * Scale shape: identical to [[minhashLshPairs]] except the bucket join
+    * is left×right instead of a self-join — with a small new batch the
+    * right side's band table broadcasts and the corpus is one scan; the
+    * candidate term is Σ |bucket_L|·|bucket_R|, which an incremental batch
+    * keeps tiny. Both sides use the SAME seed so signatures are
+    * join-compatible across runs.
+    */
+  def crossMinhashLshPairs(left: DataFrame, right: DataFrame, idCol: String,
+      shinglesCol: String, bands: Int, rowsPerBand: Int, seed: String,
+      threshold: Double, portable: Boolean = true): DataFrame = {
+    val ls = bandedShingles(left, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
+      .select(col("band"), col("bucket"), col(idCol).as("id_left"),
+        col(shinglesCol).as("toks_a"))
+    val rs = bandedShingles(right, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
+      .select(col("band"), col("bucket"), col(idCol).as("id_right"),
+        col(shinglesCol).as("toks_b"))
+    val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
+      .cast("double")
+    val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
+    ls.join(rs, Seq("band", "bucket"))
+      .select("id_left", "id_right", "toks_a", "toks_b")
+      .dropDuplicates("id_left", "id_right")
+      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jac") >= threshold)
+      .select(col("id_left"), col("id_right"), col("jac"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
       bands: Int, rowsPerBand: Int, seed: String, threshold: Double,
       portable: Boolean = true): DataFrame = {
-    // TWO materialization barriers, both load-bearing (explicit
-    // MEMORY_AND_DISK — the Dataset default, spelled out because the
-    // barrier surviving memory pressure is what the correctness of the
-    // cost model here relies on):
+    // bandedShingles carries TWO materialization barriers, both
+    // load-bearing (explicit MEMORY_AND_DISK — the Dataset default,
+    // spelled out because the barrier surviving memory pressure is what
+    // the correctness of the cost model here relies on):
     // 1. `base` caches the shingle arrays. Without it, CollapseProject
     //    re-inlines the shingle expression into EVERY one of the
     //    bands x rows min-hash transforms (there is no common-subexpression
@@ -232,22 +285,12 @@ object Dedup {
     //    reuse one materialization.
     // sorted-distinct shingles: min-hashing is order- and dup-independent,
     // and the sorted form lets the final verify run the merge-scan
-    // intersect instead of per-candidate hash sets (identical Jaccard)
-    val base = df
-      .filter(size(col(shinglesCol)) > 0)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), sort_array(array_distinct(col(shinglesCol))).as(shinglesCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // portable flavor: fused one-pass native kernel (bit-identical to the
-    // composed signature → band-keys pipeline — see MinHashBandKeys
-    // scaladoc for why the composed form is pathological)
-    val bandKeysCol =
-      if (portable) graft.functions.MinHashBandKeys(col(shinglesCol), bands, rowsPerBand, seed)
-      else lshBandKeys(minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable),
-        bands, rowsPerBand)
-    val sigs = base
-      .select(col(idCol), col(shinglesCol), posexplode(bandKeysCol).as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // intersect instead of per-candidate hash sets (identical Jaccard).
+    // The portable flavor inside is the fused one-pass MinHashBandKeys
+    // kernel (bit-identical to the composed signature → band-keys
+    // pipeline — see its scaladoc for why the composed form is
+    // pathological).
+    val sigs = bandedShingles(df, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
     val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(shinglesCol).as("toks_a"))
     val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),

@@ -35,7 +35,7 @@ object CurationQueries {
   private def qualityDocsSql: String = {
     val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
     val stopList = allStop.map(w => s"'$w'").mkString(",")
-    s"""SELECT doc_id, source,
+    s"""SELECT doc_id, source, lang,
        |    CAST(floor(
        |      ((least(CAST(2.0 AS DOUBLE) * len(list_filter(toks, t -> t IN ($stopList))) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
        |        + length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
@@ -44,15 +44,15 @@ object CurationQueries {
        |      * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS score,
        |    CAST(len(toks) AS BIGINT) AS tokens
        |  FROM (
-       |    SELECT doc_id, source, text, toks,
+       |    SELECT doc_id, source, lang, text, toks,
        |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mtl
-       |    FROM (SELECT doc_id, source, text, $DuckToks AS toks FROM documents)
+       |    FROM (SELECT doc_id, source, lang, text, $DuckToks AS toks FROM documents)
        |  )""".stripMargin
   }
 
   /** Spark twin of [[qualityDocsSql]]. */
   private def qualityDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documentsSpread(s, dir).select(col("doc_id"), col("source"),
+    Tables.documentsSpread(s, dir).select(col("doc_id"), col("source"), col("lang"),
       Exact.roundPortable(TextAnalysis.qualityScore(col("text")), 4).as("score"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
 
@@ -286,7 +286,215 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: LSH near-dup pairs between the ~20% "new batch"
+    * slice and the existing corpus (MinHash 4×3 over word 2-grams, exact
+    * Jaccard ≥ 0.5 verify) — the screen-new-data-without-re-pairing-the-
+    * corpus primitive.
+    */
+  val q89IncrementalDedup: Q = {
+    val (bands, rows, seed) = (4, 3, "inc")
+    Q(
+      "q89_incremental_dedup",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    ${duckHash("newbatch", "CAST(doc_id AS VARCHAR)")} % 5 = 0 AS newb,
+         |    ${duckShingles(2)} AS sh
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), sigs AS (
+         |  SELECT doc_id, newb, sh,
+         |    list_transform(generate_series(0, ${bands * rows - 1}),
+         |      h -> list_min(list_transform(sh,
+         |        s -> CAST(('0x' || substring(md5('$seed:' || CAST(h AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM docs WHERE len(sh) > 0
+         |), bands AS (
+         |  SELECT doc_id, newb, sh, b,
+         |    md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+         |  FROM sigs, generate_series(0, ${bands - 1}) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_left, b.doc_id AS id_right,
+         |    a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+         |  WHERE NOT a.newb AND b.newb
+         |)
+         |SELECT id_left, id_right,
+         |  ${Exact.roundPortableSql("jac", 6)} AS jac
+         |FROM (
+         |  SELECT id_left, id_right,
+         |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / len(list_distinct(sh_a || sh_b)) AS jac
+         |  FROM cand
+         |)
+         |WHERE jac >= 0.5
+         |ORDER BY id_left, id_right""".stripMargin) { (s, dir) =>
+      import graft.ops.Dedup
+      val docs = Tables.documents(s, dir)
+        .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+        .withColumn("_newb",
+          Hashing.hash60(col("doc_id").cast("string"), "newbatch") % 5 === 0)
+      Dedup.crossMinhashLshPairs(docs.filter(!col("_newb")),
+          docs.filter(col("_newb")), "doc_id", "_sh", bands, rows, seed, 0.5)
+        .withColumn("jac", Exact.roundPortable(col("jac"), 6))
+        .orderBy("id_left", "id_right")
+    }
+  }
+
+  /** Mixture-weight sampling: keep docs at the domain's temperature-scaled
+    * rate (rate 1.0 for the most up-weighted domain), decided by the
+    * portable unit-interval hash.
+    */
+  val q90MixtureSample: Q = Q(
+    "q90_mixture_sample",
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS toks
+       |  FROM (SELECT source, $DuckToks AS toks FROM documents)
+       |  GROUP BY source
+       |), w AS (
+       |  SELECT source,
+       |    CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS BIGINT) AS share_raw
+       |  FROM per
+       |), m AS (
+       |  SELECT source, CAST(floor(sqrt(share_raw) * 1000000 + 0.5) AS BIGINT) AS wm
+       |  FROM w
+       |), r AS (
+       |  SELECT source,
+       |    ${Exact.roundPortableSql(
+              "CAST(wm AS DOUBLE) / CAST(CAST(SUM(wm) OVER () AS BIGINT) AS DOUBLE)", 6)} AS w6
+       |  FROM m
+       |), rate AS (
+       |  SELECT source, w6 / max(w6) OVER () AS rate FROM r
+       |)
+       |SELECT d.doc_id, d.source, ${Exact.roundPortableSql("rate", 6)} AS rate
+       |FROM documents d JOIN rate USING (source)
+       |WHERE CAST(${duckHash("mix", "CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+       |      / 1152921504606846976.0 < rate
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.mixtureSample(Tables.documentsSpread(s, dir), "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))), "mix")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source Tukey-fence outliers on token count (type-7 p25/p75). */
+  val q91IqrOutliers: Q = Q(
+    "q91_iqr_outliers",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS v
+       |  FROM (SELECT doc_id, source, $DuckToks AS toks FROM documents)
+       |), r AS (
+       |  SELECT doc_id, source, v,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY v) - 1 AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM base
+       |), g AS (
+       |  SELECT source, max(n) AS n,
+       |    max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN v END) AS l25,
+       |    max(CASE WHEN rn = CAST(ceil(0.25 * (n - 1)) AS BIGINT) THEN v END) AS h25,
+       |    max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN v END) AS l75,
+       |    max(CASE WHEN rn = CAST(ceil(0.75 * (n - 1)) AS BIGINT) THEN v END) AS h75
+       |  FROM r GROUP BY source
+       |), f AS (
+       |  SELECT source,
+       |    (l25 + (0.25 * (n - 1) - floor(0.25 * (n - 1))) * (h25 - l25)) AS q25,
+       |    (l75 + (0.75 * (n - 1) - floor(0.75 * (n - 1))) * (h75 - l75)) AS q75
+       |  FROM g
+       |), fence AS (
+       |  SELECT source, q25 - (q75 - q25) * 1.5 AS lo, q75 + (q75 - q25) * 1.5 AS hi
+       |  FROM f
+       |)
+       |SELECT b.doc_id, b.source, b.v,
+       |  ${Exact.roundPortableSql("lo", 6)} AS lo,
+       |  ${Exact.roundPortableSql("hi", 6)} AS hi,
+       |  (b.v < lo OR b.v > hi) AS is_outlier
+       |FROM base b JOIN fence USING (source)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.iqrOutliers(Tables.documentsSpread(s, dir), "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style normalization fingerprint (lower, strip, collapse, trim). */
+  val q92Normalize: Q = Q(
+    "q92_normalize",
+    """SELECT doc_id, md5(norm) AS norm_fp, CAST(length(norm) AS BIGINT) AS norm_len
+      |FROM (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("_norm"))
+      .select(col("doc_id"), md5(col("_norm")).as("norm_fp"),
+        length(col("_norm")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source data-card profile (counts, mean tokens, modal lang, mean
+    * quality) — quality folded in as exact micros of the 4dp-rounded
+    * score.
+    */
+  val q93SourceProfile: Q = Q(
+    "q93_source_profile",
+    s"""WITH q AS (
+       |  $qualityDocsSql
+       |), base AS (
+       |  SELECT source, lang, tokens AS tk,
+       |    CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS qm
+       |  FROM q
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT lang) AS n_langs, CAST(SUM(qm) AS BIGINT) AS qs
+       |  FROM base GROUP BY source
+       |), tl AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang,
+       |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+       |    FROM base GROUP BY source, lang
+       |  ) WHERE rn = 1
+       |)
+       |SELECT p.source, n_docs, n_tokens,
+       |  ${Exact.roundPortableSql("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS mean_tokens,
+       |  n_langs, top_lang,
+       |  ${Exact.roundPortableSql("CAST(qs AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)", 6)} AS mean_quality
+       |FROM per p JOIN tl USING (source)
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    Curation.sourceProfile(qualityDocs(s, dir), "source", "lang",
+        col("tokens"), col("score"))
+      .orderBy("source")
+  }
+
+  /** PII-style redaction over deterministically augmented text (the raw
+    * corpus has nothing to mask): email + long-digit-run masking with a
+    * mask count per doc.
+    */
+  val q94Redact: Q = Q(
+    "q94_redact",
+    """SELECT doc_id,
+      |  md5(regexp_replace(
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+      |    '[0-9]{4,}', '<num>', 'g')) AS red_fp,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{4,}')) AS BIGINT) AS n_redacted
+      |FROM (
+      |  SELECT doc_id,
+      |    text || ' ref ' || CAST(doc_id * 31 + 1000000 AS VARCHAR)
+      |         || ' user' || CAST(doc_id AS VARCHAR) || '@example.com' AS t
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" ref "),
+          (col("doc_id") * 31 + 1000000).cast("string"),
+          lit(" user"), col("doc_id").cast("string"),
+          lit("@example.com")).as("_t"))
+      .select(col("doc_id"),
+        md5(TextAnalysis.redact(col("_t"))).as("red_fp"),
+        TextAnalysis.redactionCount(col("_t")).cast("long").as("n_redacted"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
-    q87Bm25, q88UnigramLogprob)
+    q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
+    q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact)
 }

@@ -112,6 +112,93 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, md5hex("a b c")), (1L, md5hex("c d e"))))
   }
 
+  test("crossMinhashLshPairs finds near-dups BETWEEN corpora only") {
+    import graft.ops.Dedup
+    val mk = (id: Long, t: String) => (id, t)
+    val existing = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta"),
+      mk(2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+      .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+    val fresh = Seq(
+      mk(10L, "alpha beta gamma delta epsilon eta"), // near-dup of 1
+      mk(11L, "totally unrelated content right here"),
+      mk(12L, "one two three four five six"))        // exact dup of 2
+      .toDF("doc_id", "text")
+      .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+    val out = Dedup.crossMinhashLshPairs(existing, fresh, "doc_id", "_sh",
+        4, 2, "t", 0.5)
+      .orderBy("id_left", "id_right")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 2↔12 identical (jac 1.0) must appear; 1↔10 shares 4 of 6 bigrams
+    // (jac 4/7 ≈ 0.57 ≥ 0.5) appears if any band collides; 11 never pairs
+    assert(out.contains((2L, 12L)))
+    assert(!out.exists(p => p._1 == 11L || p._2 == 11L))
+    assert(out.forall(p => p._1 < 10L && p._2 >= 10L)) // left×right only
+  }
+
+  test("mixtureSample keeps everything in the top domain, is deterministic") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 90) "big" else "small", 10L)).toDF("doc_id", "src", "tk")
+    val out = Curation.mixtureSample(docs, "doc_id", "src", col("tk"), "s1")
+    val out2 = Curation.mixtureSample(docs, "doc_id", "src", col("tk"), "s1")
+    assert(out.collect().map(_.toSeq).toSet == out2.collect().map(_.toSeq).toSet)
+    // big: share 0.9 → wm 948683; small: 0.1 → wm 316228; rate(big)=1.0
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") == 90L) // rate 1.0 keeps all
+    assert(bySrc.getOrElse("small", 0L) <= 10L)
+  }
+
+  test("iqrOutliers: Tukey fences per group flag the extreme row") {
+    // group g: values 1..9 plus an outlier 100
+    val docs = ((1 to 9).map(i => (i.toLong, "g", i.toLong)) :+ (10L, "g", 100L))
+      .toDF("doc_id", "grp", "v_in")
+    val out = Curation.iqrOutliers(docs, "doc_id", "grp", col("v_in"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(5)))
+    // n=10: p25 = 3.25, p75 = 7.75, iqr = 4.5 → fences [-3.5, 14.5]
+    assert(out.count(_._2) == 1 && out.last == ((10L, true)))
+  }
+
+  test("normalizeText lowers, strips, collapses and trims") {
+    val out = Seq(Tuple1("  Hello,   WORLD!!  #x  ")).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).head().getString(0)
+    assert(out == "hello, world!! x")
+  }
+
+  test("sourceProfile aggregates counts, modal lang and mean quality") {
+    val docs = Seq(
+      (1L, "s1", "en", 10L, 0.5), (2L, "s1", "en", 20L, 0.7),
+      (3L, "s1", "de", 30L, 0.9), (4L, "s2", "fr", 40L, 0.25))
+      .toDF("doc_id", "src", "lang", "tk", "q")
+    val out = Curation.sourceProfile(docs, "src", "lang", col("tk"), col("q"))
+      .orderBy("src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 60L, 20.0, 2L, "en", 0.7),
+      ("s2", 1L, 40L, 40.0, 1L, "fr", 0.25)))
+  }
+
+  test("sourceProfile modal-lang tie breaks to the smaller lang") {
+    val docs = Seq(
+      (1L, "s", "en", 1L, 0.5), (2L, "s", "de", 1L, 0.5))
+      .toDF("doc_id", "src", "lang", "tk", "q")
+    val top = Curation.sourceProfile(docs, "src", "lang", col("tk"), col("q"))
+      .head().getString(5)
+    assert(top == "de")
+  }
+
+  test("redact masks emails and digit runs; count matches") {
+    val df = Seq(Tuple1("mail me at a.b+c@ex-ample.org ref 123456 ok 123"))
+      .toDF("t")
+    val red = df.select(TextAnalysis.redact(col("t"))).head().getString(0)
+    assert(red == "mail me at <email> ref <num> ok 123")
+    val n = df.select(TextAnalysis.redactionCount(col("t"))).head().getInt(0)
+    assert(n == 2)
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
