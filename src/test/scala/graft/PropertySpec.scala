@@ -75,6 +75,31 @@ class PropertySpec extends SparkSuite {
     buckets.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"bucket skew: $buckets"))
   }
 
+  test("tokenBudgetSelect == single-reducer window prefix sum (random corpora)") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(1L, 500L)))
+    check("budget", Prop.forAll(docGen, Gen.chooseNum(0L, 20000L)) { (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((sc, tk), i) => (i.toLong, sc, tk) }
+        .toDF("doc_id", "score", "tokens")
+        .repartition(7) // force multi-partition range path
+      val got = graft.ops.Curation
+        .tokenBudgetSelect(df, "doc_id", col("score"), col("tokens"), budget)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      // oracle: sequential scan in (score desc, id) order
+      var cum = 0L
+      val expect = rows.zipWithIndex
+        .map { case ((sc, tk), i) => (i.toLong, sc, tk) }
+        .sortBy { case (id, sc, _) => (-sc, id) }
+        .map { case (id, _, tk) =>
+          val r = id -> ((cum, cum < budget)); cum += tk; r
+        }.toMap
+      got == expect
+    }, n = 20)
+  }
+
   test("approx_count_distinct tracks the exact distinct aggregate within rsd") {
     // the 100 TB twin of q41's exact count(DISTINCT): HLL++ sketch values
     // are engine-specific (not oracle-hashable), so the accuracy contract
