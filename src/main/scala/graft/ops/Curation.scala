@@ -248,6 +248,29 @@ object Curation {
           .as("mean_quality"))
   }
 
+  /** End-to-end curation: normalize → exact-dedup on the normalized text
+    * (keep smallest id) → quality floor → greedy token-budget selection.
+    * The standard "raw crawl in, training corpus out" composition, wired
+    * from the individual operators so every stage keeps its own scale
+    * shape (per-row normalize, one dedup shuffle, stateless filter,
+    * distributed prefix sum).
+    *
+    * Output: (id, score, tokens, cum_before, selected) for every doc that
+    * survives dedup + the quality floor.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      quality: Column, tokens: Column, minQuality: Double,
+      budget: Long): DataFrame = {
+    val normed = docs.withColumn("_norm",
+      TextAnalysis.normalizeText(col(textCol)))
+    val deduped = Dedup.exactDedup(normed, "_norm", idCol)
+      .filter(col("is_keeper"))
+    val scored = deduped.select(col(idCol), quality.as("score"),
+        tokens.cast("long").as("tokens"))
+      .filter(col("score") >= minQuality)
+    tokenBudgetSelect(scored, idCol, col("score"), col("tokens"), budget)
+  }
+
   /** Sliding-window chunking: split each doc's token stream into windows
     * of `maxLen` tokens advancing by `stride` (overlap = maxLen - stride),
     * the standard pre-tokenization step for fixed-context training.

@@ -493,8 +493,46 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation pipeline: normalize → exact-dedup → quality
+    * floor 0.5 → 8k-token greedy budget. The whole chain is mirrored in
+    * one oracle query.
+    */
+  val q95CurationPipeline: Q = Q(
+    "q95_curation_pipeline",
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      (doc_id = min(doc_id) OVER (PARTITION BY md5(norm))) AS is_keeper
+       |    FROM n
+       |  ) WHERE is_keeper
+       |), q AS (
+       |  $qualityDocsSql
+       |), f AS (
+       |  SELECT q.doc_id AS doc_id, q.score AS score, q.tokens AS tokens
+       |  FROM q JOIN k USING (doc_id)
+       |  WHERE q.score >= 0.5
+       |)
+       |SELECT doc_id, score, tokens,
+       |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) < 8000 AS selected
+       |FROM f
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.curate(Tables.documentsSpread(s, dir), "doc_id", "text",
+        Exact.roundPortable(TextAnalysis.qualityScore(col("text")), 4),
+        size(TextAnalysis.tokens(col("text"))), 0.5, 8000L)
+      .select("doc_id", "score", "tokens", "cum_before", "selected")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
-    q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact)
+    q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
+    q95CurationPipeline)
 }

@@ -199,6 +199,22 @@ class CurationSpec extends SparkSuite {
     assert(n == 2)
   }
 
+  test("curate: dedup keeps first, quality floor applies, budget selects") {
+    val docs = Seq(
+      (1L, "Good Doc here", 0.9, 10L),
+      (2L, "good   doc HERE", 0.9, 10L),  // normalizes to doc 1 → dropped
+      (3L, "junk", 0.2, 10L),             // below quality floor
+      (4L, "other text", 0.8, 10L),
+      (5L, "more text", 0.7, 10L))
+      .toDF("doc_id", "text", "q", "tk")
+    val out = Curation.curate(docs, "doc_id", "text", col("q"), col("tk"),
+        0.5, 15L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    // survivors 1, 4, 5 in score order (0.9, 0.8, 0.7): cum 0, 10, 20
+    assert(out.toSeq == Seq((1L, 0L, true), (4L, 10L, true), (5L, 20L, false)))
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
