@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Per-GROUP exact quantiles of a numeric column: (group, n, <p>...).
+    * Same rank-window + bracketing-agg shape as [[perDimension]], keyed by
+    * an arbitrary group column — each group's sort distributes
+    * independently.
+    */
+  def perGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val wOrd = Window.partitionBy(groupCol).orderBy("v")
+    val wAll = Window.partitionBy(groupCol)
+    val r = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
+      .withColumn("rn", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("n_w", count(lit(1)).over(wAll))
+    val aggs = ps.flatMap { case (name, p) => Seq(
+      max(when(col("rn") === floor(lit(p) * (col("n_w") - 1)), col("v")))
+        .as(s"_lo_$name"),
+      max(when(col("rn") === ceil(lit(p) * (col("n_w") - 1)), col("v")))
+        .as(s"_hi_$name")) }
+    val g = r.groupBy(groupCol).agg(count(lit(1)).as("n"), aggs: _*)
+    ps.foldLeft(g) { case (acc, (name, p)) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      acc.withColumn(name, graft.functions.Exact.roundPortable(
+        col(s"_lo_$name") + (pos - floor(pos)) * (col(s"_hi_$name") - col(s"_lo_$name")), 6))
+    }.select(col(groupCol) +: col("n") +: ps.map(p => col(p._1)): _*)
+  }
+
   /** Per-dimension exact quantiles of an `array<float/double>` column.
     * Returns (dim, n, q_<p> ...) with one column per requested quantile.
     */

@@ -530,9 +530,59 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-group exact quantiles next to the GK `percentile_approx` sketch:
+    * the oracle checks the exact side; the sketch is checked by EXACT rank
+    * bounds (approx p50 must land between exact p45 and p55 — GK with
+    * accuracy 10000 guarantees rank error « n/10000).
+    */
+  val q96ApproxQuantiles: Q = {
+    val ps = Seq("p45" -> 0.45, "p50" -> 0.5, "p55" -> 0.55,
+      "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99)
+    val caseCols = ps.map { case (name, p) =>
+      s"""    max(CASE WHEN rn = CAST(floor($p * (n_w - 1)) AS BIGINT) THEN v END) AS _lo_$name,
+         |    max(CASE WHEN rn = CAST(ceil($p * (n_w - 1)) AS BIGINT) THEN v END) AS _hi_$name""".stripMargin
+    }.mkString(",\n")
+    val outCols = ps.map { case (name, p) =>
+      s"  ${Exact.roundPortableSql(
+        s"_lo_$name + ($p * (n - 1) - floor($p * (n - 1))) * (_hi_$name - _lo_$name)", 6)} AS $name"
+    }.mkString(",\n")
+    Q(
+      "q96_approx_quantiles",
+      s"""WITH r AS (
+         |  SELECT event_type, value AS v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_w
+         |  FROM events WHERE NOT isnan(value)
+         |), g AS (
+         |  SELECT event_type, count(*) AS n,
+         |$caseCols
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |$outCols,
+         |  TRUE AS ok50, TRUE AS ok95
+         |FROM g
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.ops.Quantiles
+      val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+      val exact = Quantiles.perGroup(ev, "event_type", "value", ps)
+      val approx = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("_ap"))
+      exact.join(approx, "event_type")
+        .select(col("event_type"), col("n"),
+          col("p45"), col("p50"), col("p55"), col("p90"), col("p95"), col("p99"),
+          (element_at(col("_ap"), 1) >= col("p45")
+            && element_at(col("_ap"), 1) <= col("p55")).as("ok50"),
+          (element_at(col("_ap"), 2) >= col("p90")
+            && element_at(col("_ap"), 2) <= col("p99")).as("ok95"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
-    q95CurationPipeline)
+    q95CurationPipeline, q96ApproxQuantiles)
 }

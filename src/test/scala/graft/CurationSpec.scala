@@ -215,6 +215,17 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 0L, true), (4L, 10L, true), (5L, 20L, false)))
   }
 
+  test("Quantiles.perGroup interpolates type-7 order statistics per group") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("h", 10.0))
+      .toDF("grp", "v")
+    val out = graft.ops.Quantiles.perGroup(df, "grp", "v",
+        Seq("p50" -> 0.5, "p75" -> 0.75))
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // g: p50 pos 1.5 → 2.5; p75 pos 2.25 → 3.25. h: single value.
+    assert(out.toSeq == Seq(("g", 4L, 2.5, 3.25), ("h", 1L, 10.0, 10.0)))
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
