@@ -261,13 +261,21 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       quality: Column, tokens: Column, minQuality: Double,
       budget: Long): DataFrame = {
-    val normed = docs.withColumn("_norm",
-      TextAnalysis.normalizeText(col(textCol)))
-    val deduped = Dedup.exactDedup(normed, "_norm", idCol)
-      .filter(col("is_keeper"))
-    val scored = deduped.select(col(idCol), quality.as("score"),
-        tokens.cast("long").as("tokens"))
+    // dedup on a SLIM (id, fingerprint) frame — the keeper window then
+    // shuffles 40 bytes/row instead of dragging the document text through
+    // the exchange; keepers rejoin by id (the quality filter pushes to the
+    // doc side of this join, so losers are scored once and pruned early)
+    val slim = docs.select(col(idCol),
+      md5(TextAnalysis.normalizeText(col(textCol))).as("_fp"))
+    val keepers = slim
+      .withColumn("_min",
+        min(col(idCol)).over(Window.partitionBy("_fp")))
+      .filter(col(idCol) === col("_min"))
+      .select(col(idCol))
+    val scored = docs
+      .select(col(idCol), quality.as("score"), tokens.cast("long").as("tokens"))
       .filter(col("score") >= minQuality)
+      .join(keepers, idCol)
     tokenBudgetSelect(scored, idCol, col("score"), col("tokens"), budget)
   }
 

@@ -129,6 +129,21 @@ object ScaleProbe {
         col("score"), col("tokens"), 500000000L)
       println(s"[probe]   selected: ${sel.filter(col("selected")).count()} of ${sel.count()}")
     }
+    t("crossMinhashLsh: 5k-doc new batch vs 45k-doc corpus") {
+      val shd = docs.withColumn("_shg", graft.functions.WordShinglesExpr(col("text"), 2))
+      val newb = pmod(col("doc_id"), lit(10L)) === 0
+      val n = Dedup.crossMinhashLshPairs(shd.filter(!newb), shd.filter(newb),
+        "doc_id", "_shg", 4, 3, "inc", 0.5).count()
+      println(s"[probe]   cross pairs: $n")
+    }
+    t("curate() end-to-end over 50k docs (normalize→dedup→quality→budget)") {
+      val c = graft.ops.Curation.curate(docs, "doc_id", "text",
+        graft.functions.Exact.roundPortable(
+          TextAnalysis.qualityScore(col("text")), 4),
+        size(TextAnalysis.tokens(col("text"))), 0.5, 1000000L)
+      println(s"[probe]   survivors: ${c.count()}, selected: " +
+        c.filter(col("selected")).count())
+    }
     t("bm25 + unigramLogProb over 50k docs") {
       val b = graft.ops.Scoring.bm25(docs, "doc_id",
         TextAnalysis.tokens(col("text")), Seq("hash", "scan", "merge")).count()
