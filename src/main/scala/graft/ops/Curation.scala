@@ -195,6 +195,20 @@ object Curation {
         Exact.roundPortable(col("hi"), 6).as("hi"), col("is_outlier"))
   }
 
+  /** Quality-aware canonical selection: keep the best-`score` member of
+    * each duplicate cluster ((score desc, id) total order — deterministic
+    * under ties). The upgrade over keep-min-id canonicals: dedup should
+    * retain the BEST copy, not the earliest. One window over the
+    * cluster-labeled table, partitioned by cluster id.
+    */
+  def keepBestPerCluster(labeled: DataFrame, clusterCol: String,
+      idCol: String, score: Column): DataFrame =
+    labeled
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(clusterCol).orderBy(score.desc, col(idCol))))
+      .withColumn("keep", col("_rn") === 1)
+      .drop("_rn")
+
   /** Per-group quality banding: percent_rank of `score` within each group
     * plus the derived decile band — the "top X% per domain" filter.
     *

@@ -580,9 +580,53 @@ object CurationQueries {
     }
   }
 
+  /** Keep-best-of-cluster: near-dup connected components (q49's closure)
+    * with the canonical chosen by QUALITY instead of min id — the dedup
+    * decision a curation pipeline actually ships.
+    */
+  val q97KeepBest: Q = Q(
+    "q97_keep_best",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) a
+       |  JOIN (SELECT doc_id, n_chars // 64 AS blk, list_distinct($DuckToks) AS toks FROM documents) b
+       |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / len(list_distinct(a.toks || b.toks)) >= 0.6
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id WHERE r.lbl < e.d
+       |), lab AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |), q AS (
+       |  $qualityDocsSql
+       |)
+       |SELECT doc_id, cluster_id, score,
+       |  (row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1) AS keep
+       |FROM lab JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+    val pairs = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "_toks",
+      expr("n_chars DIV 64"), 0.6, subBlocks = 0)
+    val labeled = graft.ops.Cluster.clusters(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      .select("doc_id", "cluster_id")
+      .join(qualityDocs(s, dir).select("doc_id", "score"), "doc_id")
+    Curation.keepBestPerCluster(labeled, "cluster_id", "doc_id", col("score"))
+      .select("doc_id", "cluster_id", "score", "keep")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
-    q95CurationPipeline, q96ApproxQuantiles)
+    q95CurationPipeline, q96ApproxQuantiles, q97KeepBest)
 }

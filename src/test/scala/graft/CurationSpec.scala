@@ -226,6 +226,18 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq(("g", 4L, 2.5, 3.25), ("h", 1L, 10.0, 10.0)))
   }
 
+  test("keepBestPerCluster keeps the highest-score member, id tiebreak") {
+    val labeled = Seq(
+      (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // best: 2 (tie → min id)
+      (4L, 200L, 0.1))
+      .toDF("doc_id", "cluster_id", "score")
+    val out = Curation.keepBestPerCluster(labeled, "cluster_id", "doc_id",
+        col("score"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
