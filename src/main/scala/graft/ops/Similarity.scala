@@ -76,6 +76,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * counterpart of [[bruteForceTopK]] (same exact-scaled-int cosine, same
+    * broadcast-NLJ shape, linear in the corpus for a bounded query set;
+    * swap in the LSH/IVF candidate generators for corpus-scale query
+    * sets).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val corpus = spread.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_ln"), scaled(col(vecCol)).as("_sn"))
+      .withColumn("_nn", normScaled(col("_sn")))
+    val queries = spread.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("_lq"),
+        scaled(col(vecCol)).as("_sq"))
+      .withColumn("_nq", normScaled(col("_sq")))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("_ln") =!= col("_lq"))
+      .withColumn("sim", graft.functions.Exact.roundPortable(
+        cosineFromNorms(col("_sq"), col("_sn"), col("_nq"), col("_nn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane vector for one plane: per-dim
     * md5-derived values in [-0.5, 0.5). Computed ONCE on the driver
     * (bit-identical to the per-row `hashUnit(…) - 0.5` expression — the

@@ -354,7 +354,32 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining: exact cosine top-5 DIFFERENT-label neighbors
+    * for every 125th vector — the contrastive-training sampler.
+    */
+  val q98HardNegatives: Q = Q(
+    "q98_hard_negatives",
+    s"""WITH sv AS (
+       |  SELECT vec_id, label, $DuckScaled AS s FROM embeddings
+       |), sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+       |  FROM sv q JOIN sv c ON q.vec_id % 125 = 0 AND q.label <> c.label
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", col("vec_id") % 125 === 0, 5)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
-    q57EmbedQuantize, q70MllibIvf)
+    q57EmbedQuantize, q70MllibIvf, q98HardNegatives)
 }

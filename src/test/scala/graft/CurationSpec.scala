@@ -238,6 +238,20 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, false), (2L, true), (3L, false), (4L, true)))
   }
 
+  test("hardNegatives excludes same-label vectors and ranks by cosine") {
+    val vecs = Seq(
+      (0L, 0L, Seq(1.0f, 0.0f)),   // query, label 0
+      (1L, 0L, Seq(1.0f, 0.01f)),  // same label → excluded despite sim≈1
+      (2L, 1L, Seq(1.0f, 0.2f)),   // diff label, high sim
+      (3L, 1L, Seq(0.0f, 1.0f)),   // diff label, orthogonal
+      (4L, 2L, Seq(1.0f, 0.1f)))   // diff label, highest sim
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        "label", col("vec_id") === 0, 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((4L, 1), (2L, 2)))
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
