@@ -114,6 +114,22 @@ object Similarity {
       graft.functions.Hashing.hash60Jvm(s"$plane:$i", seed).toDouble /
         1152921504606846976.0 /* 2^60 */ - 0.5)
 
+  /** Johnson-Lindenstrauss random projection: append `planes` columns
+    * p0..p{planes-1}, each the dot of the vector with a deterministic
+    * literal hyperplane (same [[planeVector]] family as sign-LSH, so the
+    * projection is reproducible across runs/engines). Per-row map work —
+    * no shuffle; the cheap front-end for ANN or visualization at scale.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, planes: Int,
+      seed: String, dims: Int = 64): DataFrame = {
+    val sv = col(vecCol).cast("array<double>")
+    (0 until planes).foldLeft(df) { (acc, p) =>
+      val pv = typedLit(planeVector(p, dims, seed))
+      acc.withColumn(s"p$p", graft.functions.Exact.roundPortable(
+        graft.functions.Dot.double(sv, slice(pv, lit(1), size(sv))), 6))
+    }
+  }
+
   /** Sign-LSH bucket id: `planes` hyperplane sign bits packed into a Long.
     * Vectors in the same bucket are candidate neighbors. `dims` bounds the
     * vector width (extra literal components are sliced off per row).

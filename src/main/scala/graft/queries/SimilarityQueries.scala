@@ -379,7 +379,33 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Random projection (JL) of every embedding onto 4 deterministic
+    * hyperplanes — reproducible dimensionality reduction.
+    */
+  val q99RandomProjection: Q = {
+    val span = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    def plane(p: Int) =
+      s"(CAST(('0x' || substring(md5('rp:$p:' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) / $span - CAST(0.5 AS DOUBLE))"
+    val cols = (0 until 4).map { p =>
+      "  " + graft.functions.Exact.roundPortableSql(
+        s"""list_reduce(
+           |    list_transform(generate_series(1, len(embedding)), i ->
+           |      CAST(embedding[i] AS DOUBLE) * ${plane(p)}),
+           |    (acc, x) -> acc + x)""".stripMargin, 6) + s" AS p$p"
+    }.mkString(",\n")
+    Q(
+      "q99_random_projection",
+      s"""SELECT vec_id,
+         |$cols
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir), "embedding", 4, "rp")
+        .select("vec_id", "p0", "p1", "p2", "p3")
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
-    q57EmbedQuantize, q70MllibIvf, q98HardNegatives)
+    q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection)
 }

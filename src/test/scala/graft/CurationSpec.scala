@@ -252,6 +252,20 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((4L, 1), (2L, 2)))
   }
 
+  test("randomProjection matches the driver-side plane dot exactly") {
+    val v = Seq(0.5f, -1.0f, 2.0f)
+    val df = Seq((7L, v)).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.randomProjection(df, "embedding", 2, "rpT")
+      .select("p0", "p1").head()
+    (0 until 2).foreach { p =>
+      val plane = graft.ops.Similarity.planeVector(p, 64, "rpT")
+      val expect = v.map(_.toDouble).zip(plane).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)
+      val rounded = math.floor(expect * 1e6 + 0.5) / 1e6
+      assert(out.getDouble(p) == rounded, s"plane $p")
+    }
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),
