@@ -79,6 +79,18 @@ object Bench {
       if (acc == 42L) System.err.println("") // keep the loop observable
       (System.nanoTime() - t0) / 1e9
     }
+    def shortKey(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    // Fail fast on short-key collisions BEFORE paying for the run: the keys
+    // derive only from static query names, so a colliding future gate must
+    // abort in milliseconds, not after the full multi-minute timing loop.
+    locally {
+      val keys = SparkEntry.queries.keys.toSeq.map(shortKey)
+      require(keys.distinct.size == keys.size,
+        s"short gate keys collide: ${keys.diff(keys.distinct).mkString(",")}")
+    }
     calibrate(); calibrate() // JIT the probe loop itself before measuring
     val calibStart = calibrate()
     val wall0 = System.nanoTime()
@@ -101,13 +113,6 @@ object Bench {
     // The full-name map and full calib timeline go to stderr.
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def shortKey(name: String): String = name.indexOf('_') match {
-      case -1 => name
-      case i  => name.substring(0, i)
-    }
-    val keys = results.map(r => shortKey(r._1))
-    require(keys.distinct.size == keys.size,
-      s"short gate keys collide: ${keys.diff(keys.distinct).mkString(",")}")
     val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -85,8 +85,10 @@ object TextAnalysis {
   /** C4-style text normalization: ASCII-lower, map characters outside the
     * kept set (lowercase ASCII letters, digits, space, basic punctuation)
     * to spaces, collapse space runs, trim. Pure per-row string work —
-    * embarrassingly parallel, engine-portable (mirrored 1:1 in oracle
-    * SQL via lower + regexp_replace 'g').
+    * embarrassingly parallel, engine-portable (mirrored 1:1 in oracle SQL
+    * via DuckDB `translate` — NOT `lower()`, whose Unicode case mapping
+    * diverges from [[asciiLower]] on e.g. U+212A/U+0130 — + regexp_replace
+    * 'g').
     */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(

@@ -19,6 +19,41 @@ object SingleFile {
   private def fs(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Heal the crash window of the replace protocol: if a previous write
+    * renamed `target` → `target.bak` but died before renaming the new file
+    * in, restore the backup so readers never observe a missing target.
+    * Call before READING a file that is maintained read-modify-write
+    * (e.g. the streaming manifest fold) — the write path also self-heals.
+    */
+  def recoverAtomic(spark: SparkSession, target: String): Unit = {
+    val tgt = new HPath(target)
+    recover(fs(spark, tgt), tgt)
+  }
+
+  private def recover(f: FileSystem, tgt: HPath): Unit = {
+    val bak = new HPath(tgt.toString + ".bak")
+    if (!f.exists(tgt) && f.exists(bak)) f.rename(bak, tgt)
+  }
+
+  /** Replace `target` with the single part file staged in `tmp`, never
+    * leaving a state where BOTH target and backup are missing: the old
+    * version is renamed aside (not deleted) until the new one is in place,
+    * so a crash at any step loses at most the in-flight version, which
+    * [[recoverAtomic]] / the next write heal. (The previous delete-then-
+    * rename protocol had a window where a crash lost the file entirely —
+    * fatal for read-modify-write state like the streaming manifest fold,
+    * whose checkpoint-replayed batch would then rebuild from empty.)
+    */
+  private def replaceWith(f: FileSystem, tgt: HPath, part: HPath): Unit = {
+    val bak = new HPath(tgt.toString + ".bak")
+    if (tgt.getParent != null) f.mkdirs(tgt.getParent)
+    recover(f, tgt)
+    f.delete(bak, false)
+    if (f.exists(tgt)) f.rename(tgt, bak)
+    f.rename(part, tgt)
+    f.delete(bak, false)
+  }
+
   /** Atomically replace `target` with `df` as a single parquet file. */
   def writeParquetAtomic(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
@@ -28,9 +63,7 @@ object SingleFile {
     f.delete(tmp, true)
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val part = f.globStatus(new HPath(tmp, "part-*.parquet")).head.getPath
-    f.delete(tgt, false)
-    if (tgt.getParent != null) f.mkdirs(tgt.getParent)
-    f.rename(part, tgt)
+    replaceWith(f, tgt, part)
     f.delete(tmp, true)
   }
 
@@ -44,10 +77,13 @@ object SingleFile {
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp.toString)
     // an empty DataFrame yields no part file — emit a zero-byte file then
     val parts = f.globStatus(new HPath(tmp, "part-*"))
-    f.delete(tgt, false)
-    if (tgt.getParent != null) f.mkdirs(tgt.getParent)
-    if (parts.nonEmpty) f.rename(parts.head.getPath, tgt)
-    else f.create(tgt).close()
+    if (parts.nonEmpty) replaceWith(f, tgt, parts.head.getPath)
+    else {
+      val bak = new HPath(target + ".bak")
+      if (tgt.getParent != null) f.mkdirs(tgt.getParent)
+      f.delete(bak, false)
+      f.create(tgt).close() // create() overwrites in place — no delete window
+    }
     f.delete(tmp, true)
   }
 

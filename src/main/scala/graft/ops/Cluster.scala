@@ -36,9 +36,14 @@ import org.apache.spark.storage.StorageLevel
   * swap in reliable `checkpoint` (HDFS-backed) so executor loss cannot
   * force a full recompute; the loop structure is unchanged.
   *
-  * Convergence is detected by the monotone invariant sum(label): every
-  * round can only lower labels, so an unchanged sum (exact, decimal — no
-  * overflow at any scale) is a fixpoint. One tiny aggregation per round.
+  * Convergence detection differs per algorithm. [[labelPropagation]] uses
+  * the monotone invariant sum(label): every round can only lower labels,
+  * so an unchanged sum (exact, decimal — no overflow at any scale) is a
+  * fixpoint. [[alternatingStar]] CANNOT use that probe (its per-round edge
+  * rewiring does not monotonically lower a per-src label sum); its
+  * fixpoint IS an unchanged edge set, certified by an exact edge-set
+  * fingerprint (count + Σ xxhash64, 2^-64 collision bound) — see the
+  * in-loop comment. One tiny aggregation per round either way.
   */
 object Cluster {
 

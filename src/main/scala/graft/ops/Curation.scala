@@ -160,31 +160,17 @@ object Curation {
   }
 
   /** Per-group IQR outlier flagging on a numeric column: type-7 linearly
-    * interpolated p25/p75 within each group, Tukey fences at 1.5·IQR,
-    * every row flagged. The quantile rank pass is one keyed sort (same
-    * shape as [[Quantiles.perDimension]], partitioned by group); the
-    * fence table is group-sized and joins back by group key.
+    * interpolated p25/p75 within each group ([[Quantiles.perGroup]],
+    * unrounded — the fences round once at the end), Tukey fences at
+    * 1.5·IQR, every row flagged. The quantile rank pass is one keyed sort
+    * partitioned by group; the fence table is group-sized and joins back
+    * by group key.
     */
   def iqrOutliers(docs: DataFrame, idCol: String, groupCol: String,
       value: Column): DataFrame = {
     val base = docs.select(col(idCol), col(groupCol), value.cast("double").as("v"))
-    val wOrd = Window.partitionBy(groupCol).orderBy("v")
-    val wAll = Window.partitionBy(groupCol)
-    val r = base
-      .withColumn("rn", (row_number().over(wOrd) - 1).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-    def lo(p: Double) = max(when(col("rn") === floor(lit(p) * (col("n") - 1)), col("v")))
-    def hi(p: Double) = max(when(col("rn") === ceil(lit(p) * (col("n") - 1)), col("v")))
-    def interp(p: Double, loC: Column, hiC: Column) = {
-      val pos = lit(p) * (col("n") - 1).cast("double")
-      loC + (pos - floor(pos)) * (hiC - loC)
-    }
-    val fences = r
-      .groupBy(groupCol)
-      .agg(max("n").as("n"), lo(0.25).as("_l25"), hi(0.25).as("_h25"),
-        lo(0.75).as("_l75"), hi(0.75).as("_h75"))
-      .withColumn("_q25", interp(0.25, col("_l25"), col("_h25")))
-      .withColumn("_q75", interp(0.75, col("_l75"), col("_h75")))
+    val fences = Quantiles.perGroup(base.select(col(groupCol), col("v")),
+        groupCol, "v", Seq("_q25" -> 0.25, "_q75" -> 0.75), roundDp = None)
       .withColumn("lo", col("_q25") - (col("_q75") - col("_q25")) * 1.5)
       .withColumn("hi", col("_q75") + (col("_q75") - col("_q25")) * 1.5)
       .select(col(groupCol), col("lo"), col("hi"))

@@ -28,7 +28,7 @@ object Quantiles {
     * independently.
     */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)], roundDp: Option[Int] = Some(6)): DataFrame = {
     val wOrd = Window.partitionBy(groupCol).orderBy("v")
     val wAll = Window.partitionBy(groupCol)
     val r = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
@@ -42,8 +42,12 @@ object Quantiles {
     val g = r.groupBy(groupCol).agg(count(lit(1)).as("n"), aggs: _*)
     ps.foldLeft(g) { case (acc, (name, p)) =>
       val pos = lit(p) * (col("n") - 1).cast("double")
-      acc.withColumn(name, graft.functions.Exact.roundPortable(
-        col(s"_lo_$name") + (pos - floor(pos)) * (col(s"_hi_$name") - col(s"_lo_$name")), 6))
+      val raw = col(s"_lo_$name") +
+        (pos - floor(pos)) * (col(s"_hi_$name") - col(s"_lo_$name"))
+      // roundDp=None yields the raw IEEE value — for callers that do more
+      // arithmetic on the quantiles (e.g. Tukey fences) and round at the end
+      acc.withColumn(name,
+        roundDp.fold(raw)(d => graft.functions.Exact.roundPortable(raw, d)))
     }.select(col(groupCol) +: col("n") +: ps.map(p => col(p._1)): _*)
   }
 

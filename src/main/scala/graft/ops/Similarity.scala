@@ -119,12 +119,21 @@ object Similarity {
     * literal hyperplane (same [[planeVector]] family as sign-LSH, so the
     * projection is reproducible across runs/engines). Per-row map work —
     * no shuffle; the cheap front-end for ANN or visualization at scale.
+    *
+    * `dims` is only a floor for the plane-literal length: the corpus max
+    * width is probed (one bounded aggregate, same pattern as
+    * [[signLshTopK]]) and the literals sized to cover it — a vector WIDER
+    * than the literal would make the zip_with dot return NULL silently.
+    * [[planeVector]] entries depend only on (plane, index, seed), so a
+    * longer literal leaves every existing projection value unchanged.
     */
   def randomProjection(df: DataFrame, vecCol: String, planes: Int,
       seed: String, dims: Int = 64): DataFrame = {
     val sv = col(vecCol).cast("array<double>")
+    val probed = df.agg(max(size(col(vecCol)))).head()
+    val width = if (probed.isNullAt(0)) dims else math.max(dims, probed.getInt(0))
     (0 until planes).foldLeft(df) { (acc, p) =>
-      val pv = typedLit(planeVector(p, dims, seed))
+      val pv = typedLit(planeVector(p, width, seed))
       acc.withColumn(s"p$p", graft.functions.Exact.roundPortable(
         graft.functions.Dot.double(sv, slice(pv, lit(1), size(sv))), 6))
     }

@@ -11,7 +11,7 @@ import graft.ops.{Corpus, Dedup}
 object CorpusQueries {
 
   /** DuckDB token list matching TextAnalysis.tokens on this corpus. */
-  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private val DuckToks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
 
   /** DuckDB adjacent-bigram list from a token list `l`. */
   private val DuckBigrams =

@@ -13,7 +13,7 @@ import graft.ops.{Curation, Scoring}
   */
 object CurationQueries {
 
-  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private val DuckToks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
   /** DuckDB 60-bit portable hash of expression `e` under `seed` — the SQL
     * twin of [[Hashing.hash60]].
     */
@@ -38,7 +38,7 @@ object CurationQueries {
     s"""SELECT doc_id, source, lang,
        |    CAST(floor(
        |      ((least(CAST(2.0 AS DOUBLE) * len(list_filter(toks, t -> t IN ($stopList))) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-       |        + length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+       |        + length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
        |        + CASE WHEN mtl >= 3 AND mtl <= 12 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
        |        + least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) / CAST(4.0 AS DOUBLE))
        |      * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS score,
@@ -417,7 +417,7 @@ object CurationQueries {
     """SELECT doc_id, md5(norm) AS norm_fp, CAST(length(norm) AS BIGINT) AS norm_len
       |FROM (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -501,7 +501,7 @@ object CurationQueries {
     "q95_curation_pipeline",
     s"""WITH n AS (
        |  SELECT doc_id,
-       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
+       |    trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 .,!?'']', ' ', 'g'), ' +', ' ', 'g')) AS norm
        |  FROM documents
        |), k AS (
        |  SELECT doc_id FROM (

@@ -12,7 +12,7 @@ import graft.ops.Dedup
   */
 object DedupQueries {
 
-  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private val DuckToks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
   /** DuckDB 60-bit portable hash of expression `e` under `seed`. */
   private def duckHash(seed: String, e: String): String =
     s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"

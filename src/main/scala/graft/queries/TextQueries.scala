@@ -13,7 +13,7 @@ object TextQueries {
   /** DuckDB token expression matching TextAnalysis.tokens for the
     * single-space [a-z ] corpus.
     */
-  private val DuckToks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private val DuckToks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
 
   /** Per-language corpus census: doc counts and exact token statistics. */
   val q20TextStats: Q = Q(
@@ -44,8 +44,8 @@ object TextQueries {
   val q21TokenClasses: Q = Q(
     "q21_token_classes",
     """SELECT doc_id,
-      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha,
-      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_alpha_distinct,
+      |  len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS n_alpha,
+      |  len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+'))) AS n_alpha_distinct,
       |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
       |  length(text) AS n_chars_measured
       |FROM documents
@@ -112,7 +112,7 @@ object TextQueries {
       s"""SELECT doc_id, CAST(floor(q * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS quality FROM (
          |  SELECT doc_id,
          |    (least(CAST(2.0 AS DOUBLE) * len(list_filter(toks, t -> t IN ($stopList))) / greatest(CAST(len(toks) AS DOUBLE), CAST(1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-         |     + length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |     + length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]', '', 'g')) / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))
          |     + CASE WHEN mtl >= 3 AND mtl <= 12 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
          |     + least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) / CAST(4.0 AS DOUBLE) AS q
          |  FROM (
@@ -144,7 +144,7 @@ object TextQueries {
       |      list_distinct(list_transform(
       |        generate_series(1, greatest(len(toks) - 2, 0)),
       |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      |    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks FROM documents)
+      |    FROM (SELECT doc_id, list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0) AS toks FROM documents)
       |  )
       |)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -177,6 +177,7 @@ object Discover {
   def run(spark: SparkSession, dataRoot: String, manifestOut: String,
       cfg: Config = Config()): DataFrame = {
     val prevOpt: Option[DataFrame] = {
+      SingleFile.recoverAtomic(spark, manifestOut) // heal a crashed replace
       val p = new HPath(manifestOut)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) Some(spark.read.parquet(manifestOut)) else None

@@ -69,6 +69,11 @@ object DiscoverStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
+        // Heal a crashed previous replace (target renamed aside but the new
+        // file never renamed in) BEFORE reading the base: a checkpoint-
+        // replayed batch must merge onto the surviving snapshot, never onto
+        // an accidentally-empty one.
+        graft.io.SingleFile.recoverAtomic(ss, manifestPath)
         val withDel = batch.withColumn("_del", isDeleted)
         val p = new org.apache.hadoop.fs.Path(manifestPath)
         val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -88,8 +93,10 @@ object DiscoverStream {
   /** The queryable manifest: tombstoned episodes filtered out, lineage
     * columns dropped — same column set as the batch manifest.
     */
-  def liveManifest(spark: SparkSession, manifestPath: String): DataFrame =
+  def liveManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    graft.io.SingleFile.recoverAtomic(spark, manifestPath)
     spark.read.parquet(manifestPath)
       .filter(!coalesce(col("_del"), lit(false)))
       .drop("_del", "_seq")
+  }
 }

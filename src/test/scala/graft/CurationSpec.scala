@@ -266,6 +266,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("randomProjection covers vectors wider than the default plane length") {
+    // 80 > default dims=64: before the width probe the plane literal was
+    // too short, the zip_with dot hit a length mismatch and every pN was
+    // silently NULL. The probe must size the literal to the corpus max.
+    val wide = (0 until 80).map(i => (i % 5 - 2).toFloat)
+    val df = Seq((1L, wide)).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.randomProjection(df, "embedding", 2, "rpW")
+      .select("p0", "p1").head()
+    (0 until 2).foreach { p =>
+      assert(!out.isNullAt(p), s"plane $p projected to NULL")
+      val plane = graft.ops.Similarity.planeVector(p, 80, "rpW")
+      val expect = wide.map(_.toDouble).zip(plane).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)
+      val rounded = math.floor(expect * 1e6 + 0.5) / 1e6
+      assert(out.getDouble(p) == rounded, s"plane $p")
+    }
+  }
+
   test("bm25 ranks the doc saturated in a rare term first") {
     val docs = Seq(
       (1L, "x x x y"),

@@ -69,8 +69,11 @@ def main(sf_dir, out_dir):
             # "unhashable type: numpy.ndarray"). Fail here too so the
             # divergence is caught at dev time: no array columns may reach
             # the gate boundary.
-            arr_cols = [c for r, cols in ((srows, scols), (drows, dcols)) if r
-                        for c, v in zip(cols, r[0])
+            # Scan EVERY row, not just the first: an array column whose
+            # first row happens to be NULL must still be rejected.
+            arr_cols = [c for rows, cols in ((srows, scols), (drows, dcols))
+                        for r in rows
+                        for c, v in zip(cols, r)
                         if isinstance(v, (np.ndarray, list, tuple))]
             if arr_cols:
                 print(f"FAIL {name}: array-typed gate column(s) "
