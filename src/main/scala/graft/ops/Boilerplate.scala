@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,6 +35,37 @@ object Boilerplate {
       .select(col(idCol), col("seg_idx"),
         array_join(slice(col("_toks"),
           (col("seg_idx") * width + 1).cast("int"), lit(width)), " ").as("seg"))
+
+  /** Cross-corpus exact passage dedup, keep-FIRST occurrence (the
+    * RefinedWeb-style exact-substring dedup at passage granularity — the
+    * complement of [[clean]], which removes EVERY copy of a recurring
+    * passage): of all copies of a passage, only the one at the lowest
+    * (id, seg_idx) survives; each document is rebuilt from its surviving
+    * passages in order. Returns (id, n_segments, n_removed, clean_text),
+    * `clean_text` null when no passage survives.
+    *
+    * Scale shape: one shuffle for the per-passage keep-first window (the
+    * window key is the passage text, so hot passages concentrate — at
+    * extreme skew pre-hash the passage to spread the sort, the winner is
+    * unchanged), one groupBy for the per-doc rebuild. Keep-first by
+    * (id, seg_idx) is a total order — deterministic on any topology.
+    */
+  def dedupPassagesKeepFirst(docs: DataFrame, idCol: String, tokens: Column,
+      width: Int): DataFrame = {
+    val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
+    segments(docs, idCol, tokens, width)
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        nullif(array_join(
+          transform(
+            filter(sort_array(collect_list(struct(col("seg_idx"), col("_rn"), col("seg")))),
+              s => s.getField("_rn") === 1),
+            s => s.getField("seg")),
+          " "), lit("")).as("clean_text"))
+  }
 
   /** Per-document boilerplate census + cleaned text: (id, n_segments,
     * n_boilerplate, clean_text). `clean_text` is null when every passage

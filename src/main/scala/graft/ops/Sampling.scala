@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -23,6 +24,33 @@ object Sampling {
     */
   def hashSample(df: DataFrame, key: Column, seed: String, fraction: Column): DataFrame =
     df.filter(Hashing.hashUnit(key.cast("string"), seed) < fraction)
+
+  /** Priority sampling (Duffield-Lund-Thorup, JACM 2007): a weighted
+    * sample WITHOUT replacement of the `k` highest-priority rows per
+    * group. Row priority is `weight / u` with `u` the seeded unit hash of
+    * the key — the exponential-keys family (inclusion probability rises
+    * with weight), but unlike `ln`/`pow`-based keys the priority uses ONLY
+    * IEEE multiply/divide, which every engine rounds identically, so the
+    * selected set is bit-reproducible across engines and topologies.
+    * (`u` is computed as `(h+1)/2^60 ∈ (0,1]` so a zero hash cannot divide
+    * by zero.) Ties broken by key — a total order.
+    *
+    * Scale shape: the priority is a per-row codegen'd expression; the
+    * per-group top-k is a rank window, which Spark 4 executes with partial
+    * WindowGroupLimit pushdown (each map task keeps only its local top-k
+    * before the one shuffle). With `groupCols` empty the sample is global
+    * and the rank runs single-partition — fine for driver-sized k, use a
+    * stratum at corpus scale.
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, seed: String,
+      k: Int, groupCols: Seq[String]): DataFrame = {
+    val priority = weight.cast("double") * lit(1152921504606846976.0) /
+      (Hashing.hash60(key.cast("string"), seed) + lit(1L)).cast("double")
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(priority.desc, key)
+      else Window.partitionBy(groupCols.map(col): _*).orderBy(priority.desc, key)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 
   /** Stratified deterministic sample: per-stratum keep fractions from a
     * small (stratum, fraction) frame (broadcast), strata absent from the

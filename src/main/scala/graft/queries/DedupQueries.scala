@@ -283,7 +283,122 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus keep-first passage dedup (RefinedWeb-style exact
+    * substring dedup at 16-token granularity): of all copies of a
+    * passage only the lowest-(doc, position) one survives; docs rebuilt
+    * from survivors. The oracle states the same keep-first window.
+    */
+  val q101PassageDedup: Q = {
+    val width = 16
+    Q(
+      "q101_passage_dedup",
+      s"""WITH t AS (
+         |  SELECT doc_id, toks, (len(toks) + ${width - 1}) // $width AS nc
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |  WHERE len(toks) > 0
+         |), segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(toks[i*$width+1 : i*$width+$width], ' ') AS seg
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM t)
+         |), marked AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs
+         |)
+         |SELECT doc_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  nullif(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+         |FROM marked
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Boilerplate.dedupPassagesKeepFirst(
+        Tables.documentsSpread(s, dir), "doc_id",
+        TextAnalysis.tokens(col("text")), width)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Approximation-quality harness for the LSH dedup path (the q70-recall
+    * pattern applied to MinHash): shingle-Jaccard ≥ 0.5 pairs found by
+    * direct length-blocked comparison (the reference set) vs by
+    * MinHash(12)+LSH(4×3) banding, and the band recall — all as scalar
+    * columns the oracle recomputes exactly. Both engines mirror both
+    * pipelines, so the gate proves the LSH decomposition loses exactly
+    * the pairs the band math says it may lose, on every run.
+    */
+  val q102LshRecall: Q = {
+    val bands = 4; val rows = 3; val seed = "mh"; val thr = 0.5
+    Q(
+      "q102_lsh_recall",
+      s"""WITH sh AS (
+         |  SELECT doc_id, n_chars // 64 AS blk,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         |  FROM (SELECT doc_id, n_chars, $DuckToks AS toks FROM documents)
+         |), shn AS (
+         |  SELECT * FROM sh WHERE len(sh) > 0
+         |), ref AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shn a JOIN shn b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= $thr
+         |), sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, ${bands * rows - 1}),
+         |      h -> list_min(list_transform(sh,
+         |        s -> CAST(('0x' || substring(md5('$seed:' || CAST(h AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM shn
+         |), bnd AS (
+         |  SELECT doc_id, sh, b,
+         |    md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+         |  FROM sigs, generate_series(0, ${bands - 1}) t(b)
+         |), lsh AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      a.sh AS sh_a, b.sh AS sh_b
+         |    FROM bnd a JOIN bnd b ON a.b = b.b AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id
+         |  )
+         |  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |        / len(list_distinct(sh_a || sh_b)) >= $thr
+         |), com AS (
+         |  SELECT * FROM ref INTERSECT SELECT * FROM lsh
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM ref) AS n_ref,
+         |  (SELECT count(*) FROM lsh) AS n_lsh,
+         |  (SELECT count(*) FROM com) AS n_common,
+         |  CASE WHEN (SELECT count(*) FROM ref) > 0
+         |    THEN CAST(floor(CAST((SELECT count(*) FROM com) AS DOUBLE)
+         |         / (SELECT count(*) FROM ref) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS recall""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+        .filter(size(col("_sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ref = Dedup.jaccardPairs(docs, "doc_id", "_sh",
+          expr("n_chars DIV 64"), thr, subBlocks = 0)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "_sh", bands, rows,
+          seed, thr, portable = true)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val common = ref.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      ref.agg(count(lit(1)).as("n_ref"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .withColumn("recall",
+          when(col("n_ref") > 0, graft.functions.Exact.roundPortable(
+            col("n_common").cast("double") / col("n_ref").cast("double"), 6))
+            .otherwise(lit(1.0)))
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
-    q48IntersectDocs, q49DedupClusters, q75Containment)
+    q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
+    q102LshRecall)
 }

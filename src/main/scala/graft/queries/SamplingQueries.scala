@@ -47,5 +47,35 @@ object SamplingQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q51StratifiedSample)
+  /** Priority sampling: the 20 highest-priority docs per language,
+    * weighted by n_chars (priority = w/u, u the seeded unit hash). The
+    * oracle states the identical IEEE multiply/divide priority — the
+    * SELECTED SET is the checked contract (the raw priority magnitude can
+    * exceed the exact-integer rounding range, so it stays internal; both
+    * engines rank bit-identically because *, / are correctly rounded).
+    */
+  val q100PrioritySample: Q = {
+    val (seed, k) = ("ps1", 20)
+    Q(
+      "q100_priority_sample",
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY CAST(n_chars AS DOUBLE) * 1152921504606846976
+         |              / CAST(CAST(('0x' || substring(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE) DESC,
+         |      doc_id) AS rk
+         |  FROM documents
+         |)
+         |WHERE rk <= $k
+         |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.prioritySample(
+        Tables.documents(s, dir).select("lang", "doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), seed, k, Seq("lang"))
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample)
 }

@@ -32,6 +32,21 @@ class BoilerplateSpec extends SparkSuite {
       (4L, 1L, 1L, None)))
   }
 
+  test("dedupPassagesKeepFirst keeps only the first (doc, position) copy of each passage") {
+    val out = Boilerplate.dedupPassagesKeepFirst(docs, "doc_id",
+      split(col("text"), " "), width = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.getString(3))))
+    // "x y" first occurs in doc 1 seg 0 → survives there, removed in 2/3/4;
+    // "p q" first occurs in doc 2 seg 0 → survives there, removed in doc 3
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, Some("x y a b c d")),
+      (2L, 3L, 1L, Some("p q e f")),
+      (3L, 3L, 2L, Some("g h")),
+      (4L, 1L, 1L, None)))
+  }
+
   test("ragged final passage segments correctly") {
     val ragged = Seq((9L, "a b c")).toDF("doc_id", "text")
     val segs = Boilerplate.segments(ragged, "doc_id", split(col("text"), " "), 2)

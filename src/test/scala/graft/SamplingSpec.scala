@@ -37,6 +37,37 @@ class SamplingSpec extends SparkSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("prioritySample selects the k largest w/u priorities per group, repartition-invariant") {
+    val weighted = (1L to 300L)
+      .map(i => (i, if (i % 2 == 0) "en" else "xx", (i % 17 + 1).toDouble))
+      .toDF("id", "lang", "w")
+    def jvmPriority(i: Long): Double =
+      (i % 17 + 1).toDouble * 1152921504606846976.0 /
+        (Hashing.hash60Jvm(i.toString, "pr1") + 1).toDouble
+    val expected = (1L to 300L).groupBy(i => if (i % 2 == 0) "en" else "xx")
+      .flatMap { case (_, ids) =>
+        ids.sortBy(i => (-jvmPriority(i), i)).take(10)
+      }.toSet
+    val got = Sampling.prioritySample(weighted, col("id"), col("w"), "pr1",
+        10, Seq("lang"))
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    val reparted = Sampling.prioritySample(weighted.repartition(7), col("id"),
+        col("w"), "pr1", 10, Seq("lang"))
+      .select("id").as[Long].collect().toSet
+    assert(reparted == expected)
+  }
+
+  test("prioritySample favors heavy rows: inclusion rate rises with weight") {
+    val skewed = (1L to 1000L).map(i => (i, if (i <= 500) 1.0 else 100.0))
+      .toDF("id", "w")
+    val kept = Sampling.prioritySample(skewed, col("id"), col("w"), "pr2",
+        100, Seq.empty)
+      .select("id").as[Long].collect()
+    val heavy = kept.count(_ > 500)
+    assert(heavy > 80, s"heavy rows in sample: $heavy of 100")
+  }
+
   test("malformed fractions frame is rejected") {
     val bad = Seq(("en", 0.2, 1)).toDF("lang", "fraction", "extra")
     intercept[IllegalArgumentException] {
