@@ -58,6 +58,47 @@ object TfIdf {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Sparse term-frequency cosine near-dup pairs: cosine over exact tf
+    * vectors restricted to terms whose document frequency is at most
+    * `maxDfPerMille`/1000 of the corpus (stop terms carry no near-dup
+    * signal and would fan the term join out quadratically — capping df is
+    * the standard sparse-similarity-join guard, and it DEFINES the
+    * similarity space: norms are computed over the kept terms). The cap
+    * is corpus-RELATIVE — `ceil(N·perMille/1000)` in pure integer
+    * arithmetic (portable, and the op keeps the same meaning at every
+    * scale) — and arrives via a broadcast 1-row aggregate, no driver
+    * action. The candidate join is term-partitioned (an inverted-index
+    * equi-join — never all-pairs): per-term cost is bounded by cap², the
+    * per-pair dot is one exact integer aggregation, and norms attach via
+    * two id equi-joins. sqrt and ÷ are IEEE-correctly-rounded —
+    * engine-portable without rounding tricks.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
+      maxDfPerMille: Int, minSim: Double): DataFrame = {
+    val tf = termFrequencies(docs, idCol, tokens)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = tf.join(
+      dft.crossJoin(broadcast(n))
+        .filter(col("df") <= expr(s"(_n * $maxDfPerMille + 999) DIV 1000"))
+        .select("term"), "term")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val norms = kept.groupBy(idCol)
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val a = kept.select(col("term"), col(idCol).as("id_a"), col("tf").as("tf_a"))
+    val b = kept.select(col("term"), col(idCol).as("id_b"), col("tf").as("tf_b"))
+    val sim = col("dot").cast("double") / (col("nrm_a") * col("nrm_b"))
+    a.join(b, "term").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .filter(sim >= minSim)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Exact.roundPortable(sim, 6).as("sim"))
+  }
+
   /** Global top-k most frequent terms (exact heavy hitters) with their
     * document frequency. One explode + one aggregation (partial map-side
     * combine collapses the per-partition term counts before the shuffle),

@@ -308,7 +308,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sparse tf-cosine near-dup pairs (the sparse-vector complement of the
+    * dense-embedding q30): inverted-index equi-join on terms with df ≤ 10%
+    * of the corpus (corpus-relative cap — the gate keeps the same meaning
+    * at every sf), exact integer dots, IEEE sqrt/÷ norms — no all-pairs.
+    */
+  val q103SparseCosine: Q = {
+    val (perMille, minSim) = (100, 0.8)
+    Q(
+      "q103_sparse_cosine",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($DuckToks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+         |), kept AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf FROM tf
+         |  JOIN (SELECT term FROM tf GROUP BY term
+         |        HAVING count(*) <= ((SELECT count(*) FROM documents) * $perMille + 999) // 1000) d
+         |    USING (term)
+         |), norms AS (
+         |  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm FROM kept GROUP BY doc_id
+         |), dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+         |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(floor(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sim
+         |FROM dots
+         |JOIN norms na ON na.doc_id = id_a
+         |JOIN norms nb ON nb.doc_id = id_b
+         |WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= $minSim
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.ops.TfIdf.sparseCosinePairs(Tables.documentsSpread(s, dir),
+        "doc_id", TextAnalysis.tokens(col("text")), perMille, minSim)
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
-    q61CountMinEstimates, q62Boilerplate, q63SequencePacking)
+    q61CountMinEstimates, q62Boilerplate, q63SequencePacking, q103SparseCosine)
 }

@@ -32,6 +32,28 @@ class TfIdfSpec extends SparkSuite {
       (3L, "d", 1L, 1L, 1.693147, 2)))
   }
 
+  test("sparseCosinePairs: exact cosine on kept terms, stop terms excluded") {
+    // "the" appears in all 4 docs → df=4 > cap=ceil(4·750/1000)=3 →
+    // excluded from the similarity space; docs 10/11 share (x:2, y:1)
+    // exactly → sim 1.0; doc 12 shares only x; doc 13 shares nothing kept.
+    val corpus = Seq(
+      (10L, "the x x y"),
+      (11L, "the x x y"),
+      (12L, "the x z z"),
+      (13L, "the q")).toDF("doc_id", "text")
+    val out = TfIdf.sparseCosinePairs(corpus, "doc_id", toks,
+        maxDfPerMille = 750, minSim = 0.3)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // dot(10,11) = 2*2+1*1 = 5, norms = sqrt(5) → sim 1.0
+    // dot(10,12) = 2*1 = 2, norms sqrt(5)*sqrt(5) → 0.4
+    assert(out.toSeq == Seq(
+      (10L, 11L, 1.0),
+      (10L, 12L, 0.4),
+      (11L, 12L, 0.4)))
+  }
+
   test("heavyHitters orders by freq desc then term") {
     val out = TfIdf.heavyHitters(docs, "doc_id", toks, 3)
       .collect()
