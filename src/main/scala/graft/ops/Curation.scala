@@ -181,6 +181,53 @@ object Curation {
         Exact.roundPortable(col("hi"), 6).as("hi"), col("is_outlier"))
   }
 
+  /** Per-group winsorization: clamp a numeric column to its group's
+    * [pLo, pHi] exact type-7 quantiles — the outlier treatment that keeps
+    * the row (vs [[iqrOutliers]], which flags it). Returns every row with
+    * the group fences and the clipped value. Same scale shape as the IQR
+    * fences: one keyed rank window ([[Quantiles.perGroup]], unrounded —
+    * the outputs round once at the end) + a group-sized fence join.
+    */
+  def winsorize(docs: DataFrame, idCol: String, groupCol: String,
+      value: Column, pLo: Double, pHi: Double): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol), value.cast("double").as("v"))
+    val fences = Quantiles.perGroup(base.select(col(groupCol), col("v")),
+        groupCol, "v", Seq("_lo" -> pLo, "_hi" -> pHi), roundDp = None)
+      .select(col(groupCol), col("_lo"), col("_hi"))
+    base.join(fences, groupCol)
+      .select(col(idCol), col(groupCol), col("v"),
+        Exact.roundPortable(col("_lo"), 6).as("lo"),
+        Exact.roundPortable(col("_hi"), 6).as("hi"),
+        Exact.roundPortable(
+          least(greatest(col("v"), col("_lo")), col("_hi")), 6).as("clipped"))
+  }
+
+  /** Split-contamination audit: near-duplicate pairs (MinHash-LSH
+    * candidates, verified Jaccard ≥ `thr`) whose members land in
+    * DIFFERENT hash-assigned splits — exactly the train→test leakage an
+    * evaluation must not have. Composes the deterministic split (F6) with
+    * the LSH dedup path; output is the leaking pair list with both split
+    * labels and the verified similarity.
+    *
+    * Scale shape: inherits the banded equi-join from
+    * [[Dedup.minhashLshPairs]]; the split labels are a per-row hash
+    * expression joined back by id onto the (small) pair list.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, shingles: Column,
+      splitSeed: String, train: Double, validation: Double,
+      bands: Int, rowsPerBand: Int, lshSeed: String, thr: Double): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs.withColumn("_sh", shingles),
+      idCol, "_sh", bands, rowsPerBand, lshSeed, thr, portable = true)
+    val splits = docs.select(col(idCol),
+      Hashing.splitAssign(col(idCol).cast("string"), splitSeed,
+        train, validation).as("split"))
+    pairs
+      .join(splits.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"), col("jac"))
+  }
+
   /** Quality-aware canonical selection: keep the best-`score` member of
     * each duplicate cluster ((score desc, id) total order — deterministic
     * under ties). The upgrade over keep-min-id canonicals: dedup should

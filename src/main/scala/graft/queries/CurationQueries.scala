@@ -624,9 +624,49 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-language winsorization of document length to [p05, p95] — the
+    * clamp-the-row outlier treatment next to q91's flag-the-row fences.
+    * Oracle mirrors the type-7 rank bracketing + interpolation exactly.
+    */
+  val q104Winsorize: Q = {
+    val (pLo, pHi) = (0.05, 0.95)
+    def interp(p: Double, lo: String, hi: String) =
+      s"$lo + ($p * (n - 1) - floor($p * (n - 1))) * ($hi - $lo)"
+    Q(
+      "q104_winsorize",
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) - 1 AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_w
+         |  FROM documents
+         |), g AS (
+         |  SELECT lang, count(*) AS n,
+         |    max(CASE WHEN rn = CAST(floor($pLo * (n_w - 1)) AS BIGINT) THEN v END) AS _ll,
+         |    max(CASE WHEN rn = CAST(ceil($pLo * (n_w - 1)) AS BIGINT) THEN v END) AS _lh,
+         |    max(CASE WHEN rn = CAST(floor($pHi * (n_w - 1)) AS BIGINT) THEN v END) AS _hl,
+         |    max(CASE WHEN rn = CAST(ceil($pHi * (n_w - 1)) AS BIGINT) THEN v END) AS _hh
+         |  FROM r GROUP BY lang
+         |), f AS (
+         |  SELECT lang,
+         |    ${interp(pLo, "_ll", "_lh")} AS lo_raw,
+         |    ${interp(pHi, "_hl", "_hh")} AS hi_raw
+         |  FROM g
+         |)
+         |SELECT doc_id, lang, v,
+         |  ${Exact.roundPortableSql("lo_raw", 6)} AS lo,
+         |  ${Exact.roundPortableSql("hi_raw", 6)} AS hi,
+         |  ${Exact.roundPortableSql("least(greatest(v, lo_raw), hi_raw)", 6)} AS clipped
+         |FROM r JOIN f USING (lang)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.winsorize(Tables.documentsSpread(s, dir), "doc_id", "lang",
+        col("n_chars"), pLo, pHi)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
-    q95CurationPipeline, q96ApproxQuantiles, q97KeepBest)
+    q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize)
 }

@@ -397,8 +397,67 @@ object DedupQueries {
     }
   }
 
+  /** Split-contamination audit: q27's verified near-dup pairs whose
+    * members hash into DIFFERENT train/val/test splits — the train→test
+    * leakage an evaluation must not have. Composes F6 split assignment
+    * with the LSH dedup path; the oracle mirrors both.
+    */
+  val q105SplitLeakage: Q = {
+    val bands = 4; val rows = 3; val lshSeed = "mh"; val thr = 0.5
+    val splitSeed = "sp1"
+    val jacRaw = "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b))"
+    Q(
+      "q105_split_leakage",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, ${bands * rows - 1}),
+         |      h -> list_min(list_transform(sh,
+         |        s -> CAST(('0x' || substring(md5('$lshSeed:' || CAST(h AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM docs WHERE len(sh) > 0
+         |), bnd AS (
+         |  SELECT doc_id, sh, b,
+         |    md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+         |  FROM sigs, generate_series(0, ${bands - 1}) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bnd a JOIN bnd b ON a.b = b.b AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT id_a, id_b,
+         |    CAST(floor(($jacRaw) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jac
+         |  FROM cand WHERE $jacRaw >= $thr
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(CAST(('0x' || substring(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
+         |    FROM documents
+         |  )
+         |)
+         |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jac
+         |FROM pr
+         |JOIN sp sa ON sa.doc_id = id_a
+         |JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.ops.Curation.splitLeakage(Tables.documents(s, dir), "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 2),
+        splitSeed, 0.8, 0.1, bands, rows, lshSeed, thr)
+        .withColumn("jac", graft.functions.Exact.roundPortable(col("jac"), 6))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
-    q102LshRecall)
+    q102LshRecall, q105SplitLeakage)
 }

@@ -266,6 +266,18 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("winsorize clamps to the group's type-7 quantile fences") {
+    // group g: values 0..10 → p25 = 2.5, p75 = 7.5 (numpy linear)
+    val df = (0 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "x")
+    val out = Curation.winsorize(df, "id", "grp", col("x"), 0.25, 0.75)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.forall { case (_, lo, hi, _) => lo == 2.5 && hi == 7.5 })
+    assert(out.map(_._4).toSeq ==
+      Seq(2.5, 2.5, 2.5, 3.0, 4.0, 5.0, 6.0, 7.0, 7.5, 7.5, 7.5))
+  }
+
   test("randomProjection covers vectors wider than the default plane length") {
     // 80 > default dims=64: before the width probe the plane literal was
     // too short, the zip_with dot hit a length mismatch and every pN was
