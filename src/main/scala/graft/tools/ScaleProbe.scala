@@ -151,6 +151,38 @@ object ScaleProbe {
         TextAnalysis.tokens(col("text"))).count()
       println(s"[probe]   bm25 rows: $b, lm-scored docs: $u")
     }
+    t("prioritySample top-100/group over 5M weighted rows") {
+      val df = spark.range(5000000L).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(20L))).as("grp"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000L)) + 1L).as("w"))
+      val n = graft.ops.Sampling.prioritySample(df, col("id"), col("w"),
+        "pp", 100, Seq("grp")).count()
+      println(s"[probe]   sampled: $n")
+    }
+    t("dedupPassagesKeepFirst 50k docs (16-token passages)") {
+      val n = graft.ops.Boilerplate.dedupPassagesKeepFirst(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), 16).count()
+      println(s"[probe]   docs rebuilt: $n")
+    }
+    t("sparseCosinePairs 50k docs (df cap 10% of N)") {
+      val n = graft.ops.TfIdf.sparseCosinePairs(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), 100, 0.8).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("splitLeakage audit 50k docs (LSH + hash splits)") {
+      val n = graft.ops.Curation.splitLeakage(docs, "doc_id",
+        graft.functions.WordShinglesExpr(col("text"), 2),
+        "sp1", 0.8, 0.1, 4, 3, "mh", 0.5).count()
+      println(s"[probe]   leaking pairs: $n")
+    }
+    t("winsorize 5M rows across 20 groups") {
+      val df = spark.range(5000000L).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(20L))).as("grp"),
+        pmod(xxhash64(col("id"), lit(5)), lit(100000L)).as("v"))
+      val n = graft.ops.Curation.winsorize(df, "id", "grp", col("v"),
+        0.05, 0.95).count()
+      println(s"[probe]   rows: $n")
+    }
     val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = (0 until 10).map { r =>
       emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
