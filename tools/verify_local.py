@@ -69,12 +69,19 @@ def main(sf_dir, out_dir):
             # "unhashable type: numpy.ndarray"). Fail here too so the
             # divergence is caught at dev time: no array columns may reach
             # the gate boundary.
-            # Scan EVERY row, not just the first: an array column whose
-            # first row happens to be NULL must still be rejected.
+            # Per column, scan until the first NON-NULL cell (an array
+            # column whose first row is NULL must still be rejected; a
+            # full rows x cols walk would be wasteful on big gates).
+            def first_non_null(rows, i):
+                for r in rows:
+                    v = r[i]
+                    if v is not None and not (isinstance(v, float) and v != v):
+                        return v
+                return None
             arr_cols = [c for rows, cols in ((srows, scols), (drows, dcols))
-                        for r in rows
-                        for c, v in zip(cols, r)
-                        if isinstance(v, (np.ndarray, list, tuple))]
+                        for i, c in enumerate(cols)
+                        if isinstance(first_non_null(rows, i),
+                                      (np.ndarray, list, tuple))]
             if arr_cols:
                 print(f"FAIL {name}: array-typed gate column(s) "
                       f"{sorted(set(arr_cols))} — driver's pandas hasher "
