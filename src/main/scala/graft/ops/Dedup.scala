@@ -323,4 +323,33 @@ object Dedup {
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * within each blocking cell (cluster label, IVF cell, LSH bucket),
+    * vectors with cosine ≥ `threshold` form near-dup pairs; pairs close
+    * into clusters ([[Cluster.clusters]] alternating-star — iterations on
+    * the PAIR set, not the corpus); one survivor per cluster is kept by
+    * descending `score` (ties → min id). Returns the full corpus labeled
+    * with `cluster_id`, `cluster_size`, and the survivor flag `kept` —
+    * filter on `kept` for the deduplicated corpus, or keep all rows for
+    * audit.
+    *
+    * Scale shape: pairwise work is bounded per blocking cell (the caller
+    * picks the cell — semantic label here, [[Similarity.signLshTopK]]
+    * buckets or an IVF assignment at corpus scale); the corpus itself
+    * pays one join + two windows.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      blockKey: Column, threshold: Double, score: Column): DataFrame = {
+    val pairs = Similarity.cosinePairs(df, idCol, vecCol, blockKey, threshold)
+    val labeled = Cluster.clusters(df.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    val scores = df.select(col(idCol), score.as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("_score").desc, col(idCol))
+    labeled.join(scores, Seq(idCol))
+      .withColumn("kept", row_number().over(w) === 1)
+      .drop("is_canonical", "_score")
+  }
 }

@@ -804,6 +804,35 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Bloom-prefiltered semi-join (ops/BloomJoin): the urgent-order key set
+    * (~20% of orders) becomes one bloom sketch; lineitem is prefiltered by
+    * a codegen'd might_contain AT THE SCAN before the residual exact
+    * semi-join shuffles only survivors. Result is exactly the plain
+    * semi-join — the oracle is the IN-subquery form.
+    */
+  val q106BloomSemiJoin: Q = Q(
+    "q106_bloom_semi_join",
+    """SELECT l_returnflag,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    graft.ops.BloomJoin.semiJoin(
+        Tables.lineitem(s, dir), col("l_orderkey"), urgent, col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        fromCents(sum(cents(col("l_quantity")))).as("sum_qty"),
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -813,5 +842,5 @@ object Relational {
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
-    q79RevenueShare)
+    q79RevenueShare, q106BloomSemiJoin)
 }

@@ -407,7 +407,48 @@ object SimilarityQueries {
     }
   }
 
+  /** SemDeDup end to end (ops/Dedup.semanticDedup): q30's cosine pairs →
+    * connected components on the pair set → one survivor per cluster by
+    * descending exact scaled norm² (ties → min id). The oracle replays the
+    * pair predicate, the recursive closure, and the keep window.
+    */
+  val q107SemanticDedup: Q = Q(
+    "q107_semantic_dedup",
+    s"""WITH RECURSIVE sv AS (
+       |  SELECT vec_id, label, $DuckScaled AS s FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sv a JOIN sv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE CAST(${duckDot("a.s", "b.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("a.s", "a.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("b.s", "b.s")} AS DOUBLE))) >= 0.35
+       |), edges AS (
+       |  SELECT id_a AS es, id_b AS ed FROM pairs
+       |  UNION
+       |  SELECT id_b AS es, id_a AS ed FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id WHERE r.lbl < e.ed
+       |), lab AS (
+       |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |), scored AS (
+       |  SELECT l.vec_id, l.cluster_id, ${duckDot("sv.s", "sv.s")} AS nsq
+       |  FROM lab l JOIN sv ON sv.vec_id = l.vec_id
+       |)
+       |SELECT vec_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  (row_number() OVER (PARTITION BY cluster_id ORDER BY nsq DESC, vec_id) = 1) AS kept
+       |FROM scored
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val sc = Similarity.scaled(col("embedding"))
+    graft.ops.Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label"), 0.35, Similarity.dotScaled(sc, sc))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
-    q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection)
+    q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
+    q107SemanticDedup)
 }

@@ -194,6 +194,21 @@ object ScaleProbe {
         col("vec_id") % 250 === 0, 5, 4, "lsh1").count()
       println(s"[probe]   rows: $n")
     }
+    t("semanticDedup 50k vecs (label-blocked cosine + closure + keep)") {
+      val sc = Similarity.scaled(col("embedding"))
+      val d = Dedup.semanticDedup(emb, "vec_id", "embedding", col("label"),
+        0.35, Similarity.dotScaled(sc, sc))
+      println(s"[probe]   rows: ${d.count()}, kept: ${d.filter(col("kept")).count()}")
+    }
+    t("bloom semiJoin 50M-row probe side vs 1M-key set (1% fpp)") {
+      val big = spark.range(50000000L).select(col("id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(10000000L)).as("key"))
+      val keys = spark.range(1000000L)
+        .select((col("id") * 10L).as("k")) // ~10% of the key domain
+      val n = graft.ops.BloomJoin.semiJoin(big, col("key"), keys, col("k"),
+        expectedItems = 1000000L).count()
+      println(s"[probe]   survivors: $n")
+    }
     spark.stop()
   }
 }

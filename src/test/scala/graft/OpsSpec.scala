@@ -82,6 +82,25 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(top(2)._2) < 1e-5)
   }
 
+  test("semanticDedup keeps the max-norm member per cosine cluster") {
+    // two near-parallel vectors (cos ≈ 1) + one orthogonal, same block
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(2.0f, 0.01f, 0.0f), "a"), // parallel to 1, bigger norm
+      (3L, Array(0.0f, 1.0f, 0.0f), "a"),
+      (4L, Array(0.0f, 0.0f, 1.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val sc = Similarity.scaled(col("embedding"))
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", col("label"),
+        0.9, Similarity.dotScaled(sc, sc))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, 2L, false))) // clustered with 2, loses on norm
+    assert(out(2L) === ((1L, 2L, true)))  // survivor: bigger norm
+    assert(out(3L) === ((3L, 1L, true)))  // singleton clusters always kept
+    assert(out(4L) === ((4L, 1L, true)))
+  }
+
   test("sign-LSH top-k recalls the identical vector (same bucket by construction)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
