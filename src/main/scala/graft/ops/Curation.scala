@@ -31,10 +31,12 @@ object Curation {
     * Scale shape: the benchmark n-gram set is small by construction (eval
     * suites are thousands of docs, not billions), so it broadcasts and the
     * training side is a map-side hash join on the exploded n-grams — one
-    * shuffle total (the per-doc count). If the "benchmark" ever outgrows
-    * broadcast, swap the broadcast join for a bloom-filter prefilter plus
-    * shuffle equi-join on the n-gram hash; the plan shape is otherwise
-    * unchanged.
+    * shuffle total (the per-doc count). If the "benchmark" outgrows
+    * broadcast, pass `benchBroadcastable = false`: the exploded training
+    * grams are bloom-prefiltered at the scan ([[BloomJoin.semiJoin]] —
+    * the overwhelming non-shared majority never reaches an exchange) and
+    * the residual is a shuffle equi-join. Both paths return identical
+    * rows (bench grams are distinct, so inner join ≡ semi-join here).
     *
     * `shingles` should be the native [[graft.functions.WordShinglesExpr]]
     * kernel (one pass per row); the composed
@@ -43,7 +45,7 @@ object Curation {
     * no-CSE lesson — measured 10× slower on this op).
     */
   def decontaminate(docs: DataFrame, idCol: String, shingles: Column,
-      isBench: Column): DataFrame = {
+      isBench: Column, benchBroadcastable: Boolean = true): DataFrame = {
     val base = docs.select(col(idCol), isBench.as("_bench"),
       shingles.as("_sh"))
     // hash the grams: joins/aggregates move 8-byte longs, not strings
@@ -51,12 +53,14 @@ object Curation {
       .select(explode(col("_sh")).as("_g"))
       .select(Hashing.hash60(col("_g"), "decon").as("g"))
       .distinct()
-    base.filter(!col("_bench"))
+    val trainGrams = base.filter(!col("_bench"))
       .select(col(idCol), explode(col("_sh")).as("_g"))
       .select(col(idCol), Hashing.hash60(col("_g"), "decon").as("g"))
-      .join(broadcast(bench), "g")
-      // wordShingles is distinct per doc, so count(*) = distinct shared grams
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val shared =
+      if (benchBroadcastable) trainGrams.join(broadcast(bench), "g")
+      else BloomJoin.semiJoin(trainGrams, col("g"), bench, col("g"))
+    // wordShingles is distinct per doc, so count(*) = distinct shared grams
+    shared.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
   /** Duplicated-span detection (the distributable approximation of

@@ -26,6 +26,22 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((2L, 1L), (4L, 1L)))
   }
 
+  test("decontaminate bloom path equals the broadcast path") {
+    val docs = Seq(
+      (1L, "the quick brown fox", true),
+      (2L, "a quick brown fox runs", false),
+      (3L, "totally different words here", false),
+      (4L, "the quick brown dog", false))
+      .toDF("doc_id", "text", "bench")
+    val sh = graft.functions.WordShinglesExpr(col("text"), 3)
+    val bcast = Curation.decontaminate(docs, "doc_id", sh, col("bench"))
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Curation.decontaminate(docs, "doc_id", sh, col("bench"),
+        benchBroadcastable = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == bcast && bcast.nonEmpty)
+  }
+
   test("duplicateSpans counts spans occurring in >1 doc") {
     val docs = Seq(
       (1L, "a b c d"),   // spans(2): {a b, b c, c d}
