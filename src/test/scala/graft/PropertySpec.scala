@@ -119,4 +119,24 @@ class PropertySpec extends SparkSuite {
         s"sketch drift: exact=$exact approx=$approx")
     }
   }
+
+  test("bloom sketch has NO false negatives on random key sets") {
+    // THE critical BloomJoin property: build inserts via BloomFilterAggregate,
+    // probe tests via BloomFilterMightContain — a hash-convention mismatch
+    // between the two would produce false NEGATIVES, which drop true matches
+    // BEFORE the residual join (false positives are filtered there; false
+    // negatives are unrecoverable). Random longs incl. negatives/extremes.
+    import spark.implicits._
+    val keyGen = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, 1L, Long.MinValue, Long.MaxValue))
+    check("bloom-no-false-neg",
+      Prop.forAll(Gen.nonEmptyListOf(keyGen).map(_.distinct)) { keys =>
+        val df = keys.toDF("k")
+        val sketch = graft.ops.BloomJoin.buildSketch(
+          df, col("k"), keys.size.toLong, 0.03).get
+        df.filter(graft.ops.BloomJoin.mightContain(sketch, col("k")))
+          .count() == keys.size
+      }, n = 10)
+  }
 }
