@@ -77,4 +77,38 @@ object BloomJoin {
             bigKey === col("_bj_key"), "left_semi")
     }
   }
+
+  /** `big ANTI JOIN keys ON bigKey = smallKey` — the tombstone/exclusion
+    * shape (J2/J3, q09) at bloom scale. Here the sketch works the OTHER
+    * way round: a bloom proves ABSENCE, so every `NOT might_contain` row
+    * is kept outright without ever joining; only the `might_contain`
+    * sliver (true members + fpp of the rest) pays the exact anti-join
+    * that weeds the false positives back in. NULL probe keys match
+    * nothing under equi-join semantics and are kept, like Spark's own
+    * left_anti (NOT-IN SQL differs on NULLs — mirror oracles with
+    * `NOT EXISTS`, not `NOT IN`).
+    *
+    * Cost shape: the union reads `big` twice, but the definite-absent
+    * branch is map-only (no exchange at all) and the join branch
+    * shuffles only the sliver — vs a plain left_anti shuffling the
+    * ENTIRE big side. A pruned columnar re-scan is cheap next to a
+    * full-fact shuffle; when it isn't (big side already in memory),
+    * use the plain anti-join.
+    */
+  def antiJoin(big: DataFrame, bigKey: Column, keys: DataFrame, smallKey: Column,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else keys.count()
+    buildSketch(keys, smallKey, math.max(n, 1L), fpp) match {
+      case None => big // empty key set: anti-join keeps everything
+      case Some(sketch) =>
+        val mc = mightContain(sketch, bigKey)
+        // NULL key → mc is NULL → `!mc` not true → row routed to the exact
+        // anti-join side, which keeps it (null never equi-joins)
+        big.where(!mc || mc.isNull)
+          .unionByName(
+            big.where(mc)
+              .join(keys.select(smallKey.as("_bj_key")).dropDuplicates("_bj_key"),
+                bigKey === col("_bj_key"), "left_anti"))
+    }
+  }
 }

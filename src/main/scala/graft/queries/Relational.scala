@@ -833,6 +833,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Bloom-prefiltered ANTI join (ops/BloomJoin.antiJoin — the q09/J2
+    * tombstone shape at bloom scale): definite-absent lineitems are kept
+    * map-only with NO exchange; only the might_contain sliver pays the
+    * exact anti-join. Oracle is NOT EXISTS (same NULL semantics as
+    * left_anti).
+    */
+  val q108BloomAntiJoin: Q = Q(
+    "q108_bloom_anti_join",
+    """SELECT l_returnflag,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    graft.ops.BloomJoin.antiJoin(
+        Tables.lineitem(s, dir), col("l_orderkey"), urgent, col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        fromCents(sum(cents(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -842,5 +869,5 @@ object Relational {
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
-    q79RevenueShare, q106BloomSemiJoin)
+    q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin)
 }

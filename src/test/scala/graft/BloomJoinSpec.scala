@@ -41,6 +41,25 @@ class BloomJoinSpec extends SparkSuite {
     assert(out.toSeq == Seq(Some(1L)))
   }
 
+  test("antiJoin equals the exact anti-join, including null probe keys") {
+    val big = (Seq(Some(1L), None) ++ (2L to 5000L).map(Some(_)))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val keys = Seq(3L, 17L, 42L, 4999L).toDF("k")
+    val got = BloomJoin.antiJoin(big, col("key"), keys, col("k"))
+      .select("id").as[Long].collect().sorted
+    val want = big.join(keys, col("key") === col("k"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    // null-key row survives exactly once
+    assert(got.length == big.count() - 4)
+  }
+
+  test("antiJoin with an empty key set keeps every row") {
+    val big = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val keys = Seq.empty[Long].toDF("k")
+    assert(BloomJoin.antiJoin(big, col("id"), keys, col("k")).count() == 2)
+  }
+
   test("buildSketch rejects bad parameters") {
     val keys = Seq(1L).toDF("k")
     intercept[IllegalArgumentException](BloomJoin.buildSketch(keys, col("k"), 0, 0.01))
