@@ -63,6 +63,23 @@ object Curation {
     shared.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Blocklist filtering (the C4 "badwords" rule): per-doc count of tokens
+    * appearing in a fixed lexicon, plus the flag. The lexicon rides as a
+    * literal inside one codegen'd per-row expression — right for the
+    * curated lists public pipelines actually use (hundreds to a few
+    * thousand terms). A lexicon too large for a literal becomes the
+    * [[decontaminate]] shape instead: explode tokens, semi-join the
+    * lexicon (broadcast or [[BloomJoin]]), count per doc.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, toks: Column,
+      lexicon: Seq[String]): DataFrame = {
+    require(lexicon.nonEmpty, "empty blocklist")
+    docs
+      .withColumn("n_hits",
+        graft.functions.TextAnalysis.lexiconHits(toks, lexicon).cast("long"))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
   /** Duplicated-span detection (the distributable approximation of
     * suffix-array substring dedup): an `n`-token span is "duplicated" when
     * it occurs in more than one document. Per doc: total spans, duplicated

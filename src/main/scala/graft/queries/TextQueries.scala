@@ -346,7 +346,27 @@ object TextQueries {
     }
   }
 
+  /** Blocklist filtering (ops/Curation.blocklistFilter — the C4 badwords
+    * rule): per-doc lexicon hit count + flag, lexicon as a codegen'd
+    * literal (the decontaminate/BloomJoin shape takes over for lexicons
+    * too big for a literal).
+    */
+  val q109Blocklist: Q = Q(
+    "q109_blocklist",
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter($DuckToks, t -> t IN ('slow','broken','spam'))) AS BIGINT) AS n_hits,
+       |  (len(list_filter($DuckToks, t -> t IN ('slow','broken','spam'))) > 0) AS flagged
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Curation.blocklistFilter(Tables.documentsSpread(s, dir),
+        "doc_id", TextAnalysis.tokens(col("text")),
+        Seq("slow", "broken", "spam"))
+      .select("doc_id", "n_hits", "flagged")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
-    q61CountMinEstimates, q62Boilerplate, q63SequencePacking, q103SparseCosine)
+    q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
+    q103SparseCosine, q109Blocklist)
 }

@@ -42,6 +42,21 @@ class CurationSpec extends SparkSuite {
     assert(bloom == bcast && bcast.nonEmpty)
   }
 
+  test("blocklistFilter counts lexicon hits and flags, empty lexicon rejected") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "spam spam and more spam"),
+      (3L, "one bad word")).toDF("doc_id", "text")
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val out = Curation.blocklistFilter(docs, "doc_id", toks, Seq("spam", "bad"))
+      .select("doc_id", "n_hits", "flagged").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 0L, false), (2L, 3L, true), (3L, 1L, true)))
+    intercept[IllegalArgumentException] {
+      Curation.blocklistFilter(docs, "doc_id", toks, Seq.empty)
+    }
+  }
+
   test("duplicateSpans counts spans occurring in >1 doc") {
     val docs = Seq(
       (1L, "a b c d"),   // spans(2): {a b, b c, c d}
