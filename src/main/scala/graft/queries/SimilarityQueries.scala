@@ -447,8 +447,71 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Sign-LSH ANN recall vs exact brute force, EXACTLY mirrored: both the
+    * exact top-5 (q29 pipeline) and the LSH top-5 (q36 pipeline, buckets
+    * included) are replayed in the oracle, so the overlap count is
+    * hash-checked as a hard number — stronger than q70's recall-floor
+    * pattern, possible here because sign-LSH (unlike MLlib KMeans) is
+    * fully SQL-expressible. (At sf0.01 the number is 13/100: the
+    * synthetic corpus is near-orthogonal, so 4-plane buckets admit few
+    * true neighbors — the harness pins whatever the config yields; tune
+    * planes/multi-probe against THIS gate when recall matters.)
+    */
+  val q110SignLshRecall: Q = {
+    val span = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    val plane = s"(CAST(('0x' || substring(md5('lsh1:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) / $span - CAST(0.5 AS DOUBLE))"
+    val bucket =
+      s"""list_sum(list_transform(generate_series(0, 3), p ->
+         |    CASE WHEN list_reduce(
+         |        list_transform(generate_series(1, len(embedding)), i ->
+         |          CAST(embedding[i] AS DOUBLE) * $plane),
+         |        (acc, x) -> acc + x) >= CAST(0 AS DOUBLE)
+         |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    Q(
+      "q110_signlsh_recall",
+      s"""WITH b AS (
+         |  SELECT vec_id, $DuckScaled AS s, $bucket AS bkt FROM embeddings
+         |), er AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+         |          / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+         |             * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) DESC,
+         |        c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |), lr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+         |          / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+         |             * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) DESC,
+         |        c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |)
+         |SELECT
+         |  (SELECT count(DISTINCT query_id) FROM er) AS n_queries,
+         |  (SELECT count(*) FROM er) AS n_exact,
+         |  (SELECT count(*) FROM er JOIN lr USING (query_id, neighbor_id)) AS n_overlap""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, 5).select("query_id", "neighbor_id")
+      val approx = Similarity.signLshTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 5, planes = 4, seed = "lsh1")
+        .select("query_id", "neighbor_id")
+      val overlap = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(overlap) // both sides are single rows
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
-    q107SemanticDedup)
+    q107SemanticDedup, q110SignLshRecall)
 }
