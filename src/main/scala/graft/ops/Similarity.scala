@@ -151,21 +151,63 @@ object Similarity {
     * Vectors in the same bucket are candidate neighbors. `dims` bounds the
     * vector width (extra literal components are sliced off per row).
     */
-  def signBucket(v: Column, planes: Int, seed: String, dims: Int): Column = {
+  def signBucket(v: Column, planes: Int, seed: String, dims: Int): Column =
+    bucketFromDots(planeDots(v, planes, seed, dims), planes)
+
+  /** Per-plane hyperplane dots as `array<double>` — the shared input of
+    * the bucket id (signs) and multi-probe flip order (margins).
+    */
+  def planeDots(v: Column, planes: Int, seed: String, dims: Int): Column = {
     val sv = v.cast("array<double>")
-    (0 until planes).map { p =>
+    array((0 until planes).map { p =>
       val pv = typedLit(planeVector(p, dims, seed))
-      val dot = graft.functions.Dot.double(sv, slice(pv, lit(1), size(sv)))
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      graft.functions.Dot.double(sv, slice(pv, lit(1), size(sv)))
+    }: _*)
+  }
+
+  /** Bucket id from the plane dots: bit p set iff dot_p >= 0. */
+  def bucketFromDots(dots: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(element_at(dots, p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-probe bucket list (Lv et al., VLDB'07 shape): the home bucket
+    * first, then `probes` Hamming-1 neighbors obtained by flipping the
+    * planes with the SMALLEST |dot| margin (a near-zero dot means the
+    * vector sits close to that hyperplane, so its true neighbors most
+    * likely landed just across it). Flip order is (|dot| asc, plane asc)
+    * — a total order, identical in the SQL mirror. Probe buckets are
+    * pairwise distinct (each flips a different bit of the same home
+    * bucket), so a corpus vector can reach a query through at most one
+    * probe — no candidate dedup needed downstream.
+    */
+  def probeBuckets(dots: Column, planes: Int, probes: Int): Column = {
+    require(probes >= 0 && probes <= planes,
+      s"need 0 <= probes <= planes, got $probes/$planes")
+    val home = bucketFromDots(dots, planes)
+    if (probes == 0) array(home)
+    else {
+      // the sorted struct carries the flip MASK (1L << p) directly; the
+      // mask is monotone in p, so (m, mask) sorts exactly like (m, p)
+      val ranked = array_sort(array((0 until planes).map { p =>
+        struct(abs(element_at(dots, p + 1)).as("m"), lit(1L << p).as("b"))
+      }: _*))
+      concat(array(home), transform(slice(ranked, 1, probes),
+        s => home.bitwiseXOR(s.getField("b"))))
+    }
   }
 
   /** Approximate top-k: candidates share the sign-LSH bucket; exact cosine
     * re-rank within candidates. Recall < 1 by construction — the scale
-    * path, benchmarked against [[bruteForceTopK]].
+    * path, benchmarked against [[bruteForceTopK]] (and hash-gated by
+    * q110/q111). `probes` > 0 additionally probes that many Hamming-1
+    * query buckets in margin order ([[probeBuckets]]): candidate pool —
+    * and recall — grow roughly linearly with probes at (probes+1)× the
+    * per-query join fan-out, still bounded per bucket.
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, planes: Int, seed: String): DataFrame = {
+      queryPred: Column, k: Int, planes: Int, seed: String,
+      probes: Int = 0): DataFrame = {
     // max-width probe for the corpus dimensionality (bounds the plane
     // literals): max — not an arbitrary first row — so ragged corpora still
     // get full-length plane vectors (a too-short literal would null-pad the
@@ -188,13 +230,16 @@ object Similarity {
     // spread before the per-row plane dots: single-file sources otherwise
     // evaluate the bucketing on one core (see COVERAGE.md scale notes)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val bucketed = spread.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), planes, seed, dims).as("_bucket"))
-    val corpus = bucketed.select(col("_bucket"), col(idCol).as("neighbor_id"),
-      scaled(col(vecCol)).as("_sn"))
+    val dotted = spread.select(col(idCol), col(vecCol),
+      planeDots(col(vecCol), planes, seed, dims).as("_dots"))
+    val corpus = dotted.select(bucketFromDots(col("_dots"), planes).as("_bucket"),
+      col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
       .withColumn("_nn", normScaled(col("_sn")))
-    val queries = bucketed.filter(queryPred)
-      .select(col("_bucket"), col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
+    // query side explodes over the (distinct) probe buckets — a corpus
+    // vector reaches a query through at most one of them, no dedup needed
+    val queries = dotted.filter(queryPred)
+      .select(explode(probeBuckets(col("_dots"), planes, probes)).as("_bucket"),
+        col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
       .withColumn("_nq", normScaled(col("_sq")))
     val sims = corpus.join(broadcast(queries), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

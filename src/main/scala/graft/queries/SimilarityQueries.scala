@@ -510,8 +510,85 @@ object SimilarityQueries {
     }
   }
 
+  /** Multi-probe sign-LSH (Similarity.probeBuckets — Lv et al. VLDB'07
+    * shape): the recall gain of probing 2 margin-ordered Hamming-1 buckets
+    * is hash-checked as hard numbers next to the single-bucket overlap —
+    * the oracle replays dots, home bucket, |margin| flip order, probe
+    * expansion, and both re-rankings.
+    */
+  val q111MultiProbeRecall: Q = {
+    val span = "CAST(1152921504606846976 AS DOUBLE)" // 2^60
+    val planeP = s"(CAST(('0x' || substring(md5('lsh1:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) / $span - CAST(0.5 AS DOUBLE))"
+    val simInt =
+      s"""CAST(floor((CAST(${duckDot("q.s", "c.s")} AS DOUBLE)
+         |          / (sqrt(CAST(${duckDot("q.s", "q.s")} AS DOUBLE))
+         |             * sqrt(CAST(${duckDot("c.s", "c.s")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    Q(
+      "q111_multiprobe_recall",
+      s"""WITH base AS (
+         |  SELECT vec_id, $DuckScaled AS s,
+         |    list_transform(generate_series(0, 3), p ->
+         |      list_reduce(list_transform(generate_series(1, len(embedding)), i ->
+         |        CAST(embedding[i] AS DOUBLE) * $planeP),
+         |      (acc, x) -> acc + x)) AS dots
+         |  FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, s,
+         |    list_sum(list_transform(generate_series(1, 4), p ->
+         |      CASE WHEN dots[p] >= CAST(0 AS DOUBLE)
+         |        THEN CAST(1 AS BIGINT) << (p - 1) ELSE CAST(0 AS BIGINT) END)) AS bkt,
+         |    dots
+         |  FROM base
+         |), qprobe AS (
+         |  SELECT vec_id, s, unnest([bkt] || list_transform(
+         |      (list_sort(list_transform(generate_series(1, 4),
+         |        p -> {'m': abs(dots[p]), 'b': CAST(1 AS BIGINT) << (p - 1)})))[1:2],
+         |      f -> xor(bkt, f.b))) AS bkt
+         |  FROM b WHERE vec_id % 25 = 0
+         |), er AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $simInt DESC, c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |), lr0 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $simInt DESC, c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |), lr2 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $simInt DESC, c.vec_id) AS rank
+         |    FROM qprobe q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |)
+         |SELECT
+         |  (SELECT count(DISTINCT query_id) FROM er) AS n_queries,
+         |  (SELECT count(*) FROM er) AS n_exact,
+         |  (SELECT count(*) FROM er JOIN lr0 USING (query_id, neighbor_id)) AS n_overlap_p0,
+         |  (SELECT count(*) FROM er JOIN lr2 USING (query_id, neighbor_id)) AS n_overlap_p2""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 25 === 0
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 5)
+        .select("query_id", "neighbor_id")
+      def overlap(probes: Int, as: String) =
+        exact.join(
+            Similarity.signLshTopK(emb, "vec_id", "embedding", pred,
+              k = 5, planes = 4, seed = "lsh1", probes = probes)
+              .select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as(as))
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(overlap(0, "n_overlap_p0")) // single-row sides
+        .crossJoin(overlap(2, "n_overlap_p2"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
-    q107SemanticDedup, q110SignLshRecall)
+    q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall)
 }

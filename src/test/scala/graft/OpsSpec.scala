@@ -101,6 +101,48 @@ class OpsSpec extends SparkSuite {
     assert(out(4L) === ((4L, 1L, true)))
   }
 
+  test("probeBuckets flips the smallest-margin planes, home bucket first") {
+    // dots (0.5, -0.01, 0.3, -0.2): home = 0101b = 5; margin order:
+    // plane 1 (0.01), plane 3 (0.2), plane 2 (0.3), plane 0 (0.5)
+    val df = Seq(1).toDF("x")
+      .withColumn("dots", array(lit(0.5), lit(-0.01), lit(0.3), lit(-0.2)))
+    val out = df.select(Similarity.probeBuckets(col("dots"), 4, 2).as("pb"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(5L, 5L ^ 2L, 5L ^ 8L)) // home, flip p1, flip p3
+    val none = df.select(Similarity.probeBuckets(col("dots"), 4, 0).as("pb"))
+      .head().getSeq[Long](0)
+    assert(none == Seq(5L))
+    intercept[IllegalArgumentException] {
+      df.select(Similarity.probeBuckets(col("dots"), 4, 5)).collect()
+    }
+  }
+
+  test("multi-probe signLshTopK is a superset path: probes=0 equals the original") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p0 = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, 3, 4, "mp", probes = 0)
+      .select("query_id", "neighbor_id").collect().toSet
+    val base = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, 3, 4, "mp")
+      .select("query_id", "neighbor_id").collect().toSet
+    assert(p0 == base)
+    // candidate pool can only grow with probes: every probes=0 CANDIDATE
+    // remains a candidate, so per-query top-3 sim floor can only rise
+    val simFloor0 = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, 3, 4, "mp", probes = 0)
+      .groupBy("query_id").agg(min(col("sim")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simFloor2 = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, 3, 4, "mp", probes = 2)
+      .groupBy("query_id").agg(min(col("sim")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    simFloor0.foreach { case (q, m0) =>
+      assert(simFloor2(q) >= m0, s"query $q: probes=2 floor ${simFloor2(q)} < $m0")
+    }
+  }
+
   test("sign-LSH top-k recalls the identical vector (same bucket by construction)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
