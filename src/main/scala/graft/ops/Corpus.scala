@@ -42,6 +42,38 @@ object Corpus {
       .where(col("df") >= minDf)
   }
 
+  /** Tokenizer-vocabulary coverage: build the top-`vocabSize` vocabulary
+    * by corpus frequency (count desc, token asc — a total order, so the
+    * cutoff is deterministic) and report each document's out-of-vocabulary
+    * token count and rate. The signal behind vocab sizing and
+    * tokenizer-coverage audits; docs with zero tokens are excluded (no
+    * rate is defined for them).
+    *
+    * Scale shape: one (doc, token) explode feeds BOTH the frequency table
+    * and the per-doc rejoin (persisted — two consumers); the vocabulary is
+    * a top-k over the token-count table (vocabulary-sized, not
+    * corpus-sized) and broadcasts to the rejoin, so the corpus shuffles
+    * once for the counts and once for the per-doc aggregate.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("_inv"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov"))
+      .withColumn("oov_rate",
+        graft.functions.Exact.roundPortable(
+          col("oov").cast("double") / col("n_tok").cast("double"), 6))
+  }
+
   /** Top collocations (adjacent word pairs) by pointwise mutual information,
     * ranked via the exact likelihood ratio
     * `r = (c_xy / M) / ((c_x / N) · (c_y / N)) = c_xy·N² / (M·c_x·c_y)`

@@ -351,6 +351,54 @@ object Curation {
     tokenBudgetSelect(scored, idCol, col("score"), col("tokens"), budget)
   }
 
+  /** Cap any one source's share of the corpus: keep each group's
+    * best-first prefix (weight desc, id tiebreak) while the group's
+    * cumulative weight stays within `capPermille`/1000 of the GLOBAL
+    * total — the source-balancing rule that stops one crawl dump from
+    * dominating a training mix. Output: every row with its in-group
+    * cumulative weight `cum_w` and the survivor flag `kept`.
+    *
+    * Exactness: weights are longs and the cap is integer arithmetic
+    * (`total * capPermille DIV 1000`), so the kept set is identical on
+    * any engine/topology. Scale shape: one partial+final aggregate for
+    * the 1-row total (broadcast back via cross join), one per-GROUP
+    * cumulative window — partitioned by source, so it distributes;
+    * nothing orders the full corpus globally.
+    */
+  def capSourceShare(docs: DataFrame, idCol: String, groupCol: String,
+      weight: Column, capPermille: Int): DataFrame = {
+    require(capPermille > 0 && capPermille <= 1000,
+      s"capPermille must be in (0, 1000], got $capPermille")
+    val base = docs.select(col(idCol), col(groupCol), weight.cast("long").as("w"))
+    val total = base.agg(sum("w").as("_total"))
+    val win = Window.partitionBy(groupCol).orderBy(col("w").desc, col(idCol))
+    base.crossJoin(broadcast(total))
+      .withColumn("cum_w", sum("w").over(win))
+      .withColumn("kept", col("cum_w") <= expr(s"_total * $capPermille DIV 1000"))
+      .drop("_total")
+  }
+
+  /** Length-bucket packing audit: assign each doc to the fixed batch
+    * length that would hold it (`ceil(n_tok / bucket) * bucket`) and
+    * report per-bucket doc count, token total, and the padding the
+    * bucket wastes — the signal behind length-grouped batching (pad to
+    * the bucket, not the global max). Zero-token docs land in bucket 0
+    * with zero padding. One groupBy shuffle on the bucket key.
+    */
+  def lengthBuckets(docs: DataFrame, tokens: Column, bucket: Int): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    docs.select(tokens.cast("long").as("_n"))
+      .withColumn("bucket_len", expr(s"(_n + ${bucket - 1}) DIV $bucket") * bucket)
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("sum_tok"))
+      .withColumn("padding", col("bucket_len") * col("n_docs") - col("sum_tok"))
+      .withColumn("pad_frac",
+        when(col("bucket_len") === 0, lit(0.0)).otherwise(
+          Exact.roundPortable(
+            col("padding").cast("double") / (col("bucket_len") * col("n_docs")).cast("double"),
+            6)))
+  }
+
   /** Sliding-window chunking: split each doc's token stream into windows
     * of `maxLen` tokens advancing by `stride` (overlap = maxLen - stride),
     * the standard pre-tokenization step for fixed-context training.

@@ -324,6 +324,53 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** All id pairs whose `bits`-bit SimHash signatures are within Hamming
+    * distance `maxHamming`, found by pigeonhole banding (the web-scale
+    * SimHash dedup join of Manku/Jain/Sarma, WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling"): split the signature into
+    * `maxHamming + 1` contiguous bit bands — two signatures within the
+    * budget must agree EXACTLY on at least one band, so candidate
+    * generation is an equi-join on (band index, band value). Unlike the
+    * length-blocked q28 shape, this makes no assumption about the
+    * documents themselves: recall is 100% BY CONSTRUCTION over the
+    * signature space, and the join never goes all-pairs. Candidates that
+    * match in several bands are deduplicated before the exact
+    * Hamming-verify filter.
+    *
+    * Scale shape: band buckets are uniform hash values, so the self-join
+    * is a skew-free equi-join; per-bucket population at B-bit bands is
+    * n / 2^B in expectation — at 100 TB run 64-bit signatures with
+    * 16-bit bands (4-band/Hamming≤3), which bounds any bucket to a
+    * vanishing corpus fraction. 16-bit signatures here keep the gate
+    * oracle-mirrorable against q28's established signature SQL.
+    *
+    * `bits` must be divisible by `maxHamming + 1`; `df` carries one row
+    * per id with a precomputed signature (see [[simhash]]).
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, simhashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0,
+      s"bits=$bits must be divisible by maxHamming+1=$bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val keys = df.select(col(idCol), col(simhashCol),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col(simhashCol), i * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = keys.select(col("band"), col("bval"),
+      col(idCol).as("id_a"), col(simhashCol).as("sh_a"))
+    val b = keys.select(col("band"), col("bval"),
+      col(idCol).as("id_b"), col(simhashCol).as("sh_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column:
     * within each blocking cell (cluster label, IVF cell, LSH bucket),
     * vectors with cosine ≥ `threshold` form near-dup pairs; pairs close

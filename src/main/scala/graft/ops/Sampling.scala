@@ -52,6 +52,30 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random global
+    * training order. `pos` = rank of the row under the seeded hash of its
+    * key (hash asc, key tiebreak, 0-based); `shard` = pos mod `shards`
+    * for round-robin worker assignment. One seed per epoch re-deals the
+    * permutation, and the order is a pure function of (key, seed) —
+    * identical on every engine, cluster shape, and run.
+    *
+    * Scale shape: a global row number is exactly what `Window.orderBy`
+    * without a partition key CANNOT do at scale (every row to one
+    * reducer); the position rides the two-pass distributed [[PrefixSum]]
+    * over a constant-1 column instead — range-partition by the hash order
+    * key, per-partition counts, O(partitions) driver state.
+    */
+  def epochShuffle(df: DataFrame, key: Column, seed: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val base = df
+      .withColumn("_ord", struct(
+        Hashing.hash60(key.cast("string"), seed).as("h"), key.as("k")))
+      .withColumn("_one", lit(1L))
+    PrefixSum.exclusive(base, "_ord", "_one", "pos")
+      .withColumn("shard", pmod(col("pos"), lit(shards.toLong)))
+      .drop("_ord", "_one")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions from a
     * small (stratum, fraction) frame (broadcast), strata absent from the
     * frame fall back to `defaultFraction`. `fractions` must have exactly

@@ -95,4 +95,29 @@ object Scoring {
           col("_lps").cast("double") / 1000000.0 / col("n_toks").cast("double"),
           6).as("avg_lp"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): combine
+    * several ranked lists of the same id space into one ranking by
+    * `Σ_lists 1 / (k0 + rank)`. The contribution is computed in exact
+    * integer micros (`1000000 DIV (k0 + rank)`), so the fused score is an
+    * associative long sum — deterministic under any aggregation tree and
+    * bit-equal across engines (the standard k0 = 60 keeps every
+    * contribution exactly representable).
+    *
+    * Each input carries (`idCol`, `rank`) with rank 1-based; ids absent
+    * from a list simply contribute nothing. Scale shape: the inputs are
+    * top-k lists (k-bounded, not corpus-bounded), so the union + one
+    * keyed aggregate + TakeOrdered head is k·lists-sized work.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(df =>
+      df.select(col(idCol), expr(s"1000000 DIV ($k0 + rank)").as("_c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum("_c").as("rrf_micros"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micros").desc, col(idCol))
+      .limit(topK)
+  }
 }

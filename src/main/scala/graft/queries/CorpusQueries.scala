@@ -153,6 +153,26 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Tokenizer-vocabulary coverage: top-1000 corpus vocabulary (count
+    * desc, term asc — deterministic cutoff), then each doc's OOV count and
+    * rate. Zero-token docs are excluded (no rate defined).
+    */
+  val q117VocabCoverage: Q = Q(
+    "q117_vocab_coverage",
+    s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+       |counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+       |vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 1000)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+       |  ${Exact.roundPortableSql(
+          "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS oov_rate
+       |FROM tok t LEFT JOIN vocab v ON t.term = v.term
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Corpus.vocabCoverage(Tables.documentsSpread(s, dir), "doc_id", "text", 1000)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q64Repetition, q65InvertedIndex, q66Collocations,
-    q67EditDistance, q68SourceDrift)
+    q67EditDistance, q68SourceDrift, q117VocabCoverage)
 }

@@ -664,9 +664,147 @@ object CurationQueries {
     }
   }
 
+  /** Source-share cap: each source keeps its best-first (longest-first)
+    * prefix of docs while the source's cumulative chars stay within 20%
+    * of the GLOBAL char total — the source-balancing selection rule. The
+    * cap is pure integer arithmetic; the oracle replays the same per-group
+    * cumulative window against the scalar total.
+    */
+  val q113SourceCap: Q = Q(
+    "q113_source_cap",
+    """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents)
+      |SELECT doc_id, source, cum_w,
+      |  cum_w <= (SELECT (total * 200) // 1000 FROM t) AS kept
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(sum(n_chars) OVER (
+      |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_w
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Curation.capSourceShare(Tables.documents(s, dir), "doc_id", "source",
+        col("n_chars"), 200)
+      .select("doc_id", "source", "cum_w", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Length-bucket packing audit: per fixed batch-length bucket
+    * (ceil(n_tok/16)·16), doc count, token total, and the padding the
+    * bucket wastes — the length-grouped batching signal.
+    */
+  val q115LengthBuckets: Q = Q(
+    "q115_length_buckets",
+    s"""SELECT bucket_len, n_docs, sum_tok, padding,
+       |  CASE WHEN bucket_len = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE ${Exact.roundPortableSql(
+                "CAST(padding AS DOUBLE) / CAST(bucket_len * n_docs AS DOUBLE)", 6)}
+       |  END AS pad_frac
+       |FROM (
+       |  SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |    CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS padding
+       |  FROM (
+       |    SELECT ((n_tok + 15) // 16) * 16 AS bucket_len, n_tok
+       |    FROM (SELECT CAST(len($DuckToks) AS BIGINT) AS n_tok FROM documents)
+       |  )
+       |  GROUP BY bucket_len
+       |)
+       |ORDER BY bucket_len""".stripMargin) { (s, dir) =>
+    Curation.lengthBuckets(Tables.documentsSpread(s, dir),
+        size(TextAnalysis.tokens(col("text"))), 16)
+      .orderBy("bucket_len")
+  }
+
+  /** Hybrid-retrieval reciprocal-rank fusion (Cormack SIGIR'09): the BM25
+    * top-50 (relevance to the query terms) fused with the unigram-LM
+    * top-50 (fluency prior) by Σ 1e6 DIV (60 + rank) — exact integer
+    * contributions, so the fused ranking hash-matches. Both source
+    * rankings, both rank windows, and the fused aggregate are replayed in
+    * the oracle.
+    */
+  val q116RrfFusion: Q = {
+    val terms = Seq("hash", "scan", "merge")
+    val (k1, b) = (1.2, 0.75)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val avgdlSql = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val idfSql = Exact.roundPortableSql(
+      "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 6)
+    val avgLpSql = Exact.roundPortableSql(
+      "CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)
+    Q(
+      "q116_rrf_fusion",
+      s"""WITH base AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+         |  WHERE term IN ($termList)
+         |  GROUP BY doc_id, dl, term
+         |), dft AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(floor($idfSql * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + (1.0 - $b + (CAST(dl AS DOUBLE) / $avgdlSql) * $b) * $k1)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS pm
+         |  FROM tf JOIN dft USING (term), stats
+         |), bm AS (
+         |  SELECT doc_id, CAST(CAST(SUM(pm) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+         |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+         |), ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM base
+         |), lm AS (
+         |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+         |), tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM lm
+         |), lp AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lpm
+         |  FROM lm, tot
+         |), dq AS (
+         |  SELECT doc_id, $avgLpSql AS avg_lp
+         |  FROM tok JOIN lp USING (term)
+         |  GROUP BY doc_id
+         |), rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY avg_lp DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM dq ORDER BY avg_lp DESC, doc_id LIMIT 50)
+         |), contrib AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM ra
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM rb
+         |)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsSpread(s, dir)
+      val bm = Scoring.bm25(docs.select(col("doc_id"), col("text")), "doc_id",
+        TextAnalysis.tokens(col("text")), terms, k1, b, 50)
+      // the rank windows run over 50-row TOP-K LISTS, not the corpus —
+      // single-partition is the right plan for a driver-bounded list
+      val ra = bm.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val rb = Scoring.unigramLogProb(docs, "doc_id", TextAnalysis.tokens(col("text")))
+        .orderBy(col("avg_lp").desc, col("doc_id")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("avg_lp").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      Scoring.rrfFuse(Seq(ra, rb), "doc_id", 60, 20)
+        .orderBy(col("rrf_micros").desc, col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
-    q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize)
+    q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
+    q113SourceCap, q115LengthBuckets, q116RrfFusion)
 }

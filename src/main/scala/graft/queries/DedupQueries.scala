@@ -166,6 +166,41 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Banded SimHash Hamming join (Manku WWW'07 pigeonhole blocking): the
+    * 16-bit signature splits into 4 bands of 4 bits; Hamming≤3 pairs must
+    * agree exactly on ≥1 band, so candidates come from a (band, value)
+    * equi-join with recall 1.0 by construction — no length-blocking
+    * assumption like q28. The oracle replays the banding, the distinct
+    * candidate set, and the Hamming verify.
+    */
+  val q112SimhashBands: Q = Q(
+    "q112_simhash_bands",
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(generate_series(0, 15),
+       |      b -> CASE WHEN list_sum(list_transform(toks,
+       |             t -> CASE WHEN ((${duckHash("sh", "t")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |), keys AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS bval
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val sigs = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.tokens(col("text")), 16, "sh").as("simhash"))
+    Dedup.simhashHammingPairs(sigs, "doc_id", "simhash", 16, 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Salted skew join gate: documents (5-language Zipfian key — every row
     * of a language lands on one reducer unsalted) joined to per-language
     * counts through SkewJoin. The salted plan must produce EXACTLY the
@@ -459,5 +494,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
-    q102LshRecall, q105SplitLeakage)
+    q102LshRecall, q105SplitLeakage, q112SimhashBands)
 }

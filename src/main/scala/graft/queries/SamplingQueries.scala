@@ -77,5 +77,27 @@ object SamplingQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample)
+  /** Deterministic epoch shuffle: global training order = rank under the
+    * seeded hash (hash asc, id tiebreak), shard = pos mod 4. The engine
+    * computes the rank with the distributed two-pass PrefixSum (no
+    * single-reducer global window); the oracle states the same order as a
+    * plain row_number.
+    */
+  val q114EpochShuffle: Q = Q(
+    "q114_epoch_shuffle",
+    """SELECT doc_id, pos, pos % 4 AS shard FROM (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY
+      |      CAST(('0x' || substring(md5('ep1' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+      |      doc_id) - 1 AS pos
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Sampling.epochShuffle(
+        Tables.documents(s, dir).select("doc_id"), col("doc_id"), "ep1", 4)
+      .select("doc_id", "pos", "shard")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample,
+    q114EpochShuffle)
 }

@@ -128,6 +128,24 @@ class CorpusSpec extends SparkSuite {
     assert(t1.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("vocabCoverage: OOV rate against a hand vocabulary, deterministic tie cutoff") {
+    // counts: a=4, b=3, c=2, d=2, e=1 — vocabSize=3 must cut at (2,'c')
+    // (count desc, term asc), so d and e are OOV
+    val docs = Seq(
+      (1L, "a a b c d"),
+      (2L, "a b c d e"),
+      (3L, "a b"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((5L, 1L, 0.2)))     // d OOV
+    assert(out(2L) === ((5L, 2L, 0.4)))     // d, e OOV
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(!out.contains(4L))               // zero-token doc excluded
+  }
+
   /** Classic DP edit distance, the test oracle. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -369,4 +369,59 @@ class CurationSpec extends SparkSuite {
     val exp2 = math.floor(((2 * lpA + 2 * lpQ) * 1e6) / 1e6 / 4.0 * 1e6 + 0.5) / 1e6
     assert(math.abs(out(1)._3 - exp2) < 1e-9)
   }
+
+  test("rrfFuse: integer contributions, list-overlap boost, deterministic tiebreak") {
+    val ra = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val rb = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Scoring.rrfFuse(Seq(ra, rb), "doc_id", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(rank: Int) = 1000000L / (60 + rank)
+    val expected = Map(
+      10L -> (c(1), 1L), 20L -> (c(2) + c(1), 2L),
+      30L -> (c(3), 1L), 40L -> (c(2), 1L))
+    assert(out.map(t => t._1 -> ((t._2, t._3))).toMap === expected)
+    // doc 20 (in both lists) outranks every single-list doc
+    assert(out.head._1 === 20L)
+    // output is ordered (rrf desc, id): 20, then 10 (16393), 40 (16129), 30 (15873)
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("capSourceShare keeps each source's best-first prefix under the global cap") {
+    // total = 100; cap 30% = 30 per source
+    val docs = Seq(
+      (1L, "a", 20L), (2L, "a", 15L), (3L, "a", 10L), // a: cum 20,35,45
+      (4L, "b", 25L), (5L, "b", 5L),                  // b: cum 25,30
+      (6L, "c", 25L)                                  // c: cum 25
+    ).toDF("doc_id", "source", "w")
+    val out = Curation.capSourceShare(docs, "doc_id", "source", col("w"), 300)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((20L, true)))
+    assert(out(2L) === ((35L, false))) // 35 > 30: over the cap
+    assert(out(3L) === ((45L, false)))
+    assert(out(4L) === ((25L, true)))
+    assert(out(5L) === ((30L, true))) // exactly at the cap: kept
+    assert(out(6L) === ((25L, true)))
+  }
+
+  test("capSourceShare orders best-first within a source (weight desc, id tiebreak)") {
+    // same source, cap = 50% of 40 = 20: the HEAVIER doc survives even
+    // though it has the larger id
+    val docs = Seq((1L, "s", 15L), (2L, "s", 20L), (3L, "s", 5L))
+      .toDF("doc_id", "source", "w")
+    val out = Curation.capSourceShare(docs, "doc_id", "source", col("w"), 500)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("lengthBuckets: padding accounts exactly, zero-token docs land in bucket 0") {
+    val docs = Seq((1L, 0L), (2L, 1L), (3L, 128L), (4L, 129L), (5L, 100L))
+      .toDF("doc_id", "n")
+    val out = Curation.lengthBuckets(docs, col("n"), 128)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // bucket 0: the zero-token doc; bucket 128: docs 2,3,5; bucket 256: doc 4
+    assert(out(0L) === ((1L, 0L, 0L)))
+    assert(out(128L) === ((3L, 229L, 3L * 128L - 229L)))
+    assert(out(256L) === ((1L, 129L, 256L - 129L)))
+  }
 }

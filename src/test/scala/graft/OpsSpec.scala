@@ -262,4 +262,27 @@ class OpsSpec extends SparkSuite {
       .distinct().count()
     assert(saltSpread > 4, s"hot key used only $saltSpread of 8 salts")
   }
+
+  test("banded simhash hamming join equals brute-force all-pairs (pigeonhole completeness)") {
+    // 200 random 16-bit signatures, seeded: dense enough that every
+    // Hamming bucket 0..3 is populated and multi-band matches occur
+    val rnd = new scala.util.Random(7)
+    val sigs = (0 until 200).map(i => (i.toLong, (rnd.nextInt(1 << 16)).toLong))
+    val df = sigs.toDF("id", "sh")
+    val banded = Dedup.simhashHammingPairs(df, "id", "sh", 16, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield ((ia, ib), h)).toMap
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture produced no close pairs — test is vacuous")
+  }
+
+  test("simhashHammingPairs rejects a bit width the bands cannot split evenly") {
+    val df = Seq((1L, 5L)).toDF("id", "sh")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(df, "id", "sh", 16, 2) // 3 bands ∤ 16 bits
+    }
+  }
 }

@@ -74,4 +74,29 @@ class SamplingSpec extends SparkSuite {
       Sampling.stratified(rows, "lang", bad, col("id"), "s1", 0.5)
     }
   }
+
+  test("epochShuffle is a permutation matching the sequential hash order, stable under repartition") {
+    val ids = (1L to 500L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochShuffle(df, col("id"), "ep_t", 4)
+        .select("id", "pos", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(ids)
+    // positions are exactly 0..499 (a permutation)
+    assert(out.map(_._2).sorted.toSeq == (0L until 500L))
+    assert(out.forall { case (_, p, s) => s == p % 4 })
+    // sequential oracle: rank by (hash60, id)
+    val hashes = ids.select(col("id"),
+        Hashing.hash60(col("id").cast("string"), "ep_t").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = hashes.sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(out.map(t => t._1 -> t._2).toMap == expected)
+    // partitioning must not change the permutation
+    assert(run(ids.repartition(13)).map(t => t._1 -> t._2).toMap == expected)
+    // a different seed re-deals the order
+    val re = Sampling.epochShuffle(ids, col("id"), "ep_u", 4)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re != expected)
+  }
 }
