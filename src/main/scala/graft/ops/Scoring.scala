@@ -96,6 +96,51 @@ object Scoring {
           6).as("avg_lp"))
   }
 
+  /** Moore-Lewis cross-entropy-difference data selection (ACL 2010
+    * "Intelligent Selection of Language Model Training Data"): score each
+    * doc by its mean per-token `lp_in(t) − lp_gen(t)`, the log-likelihood
+    * ratio between an IN-DOMAIN unigram LM (docs where `inDomain` holds)
+    * and the general corpus LM — positive means "looks more like the
+    * target domain than like the average corpus". `selected` = score > 0.
+    *
+    * The in-domain LM is add-one smoothed over the GENERAL vocabulary
+    * (`lp_in(t) = ln((cnt_in + 1) / (tot_in + V))`), so every corpus term
+    * has a defined in-domain probability; the general LM needs no
+    * smoothing (every scored token exists in it by construction). Both
+    * per-term logs are rounded to micros once per TERM, then combined in
+    * exact long sums (the [[TfIdf]]/[[bm25]] portability pattern).
+    *
+    * Scale shape: one persisted (doc, term) explode feeds the general
+    * counts, the in-domain counts, and the scoring rejoin (same key ⇒
+    * the exchange is reused); V and the two totals are 1-row broadcast
+    * scalars; the per-doc aggregate sums longs.
+    */
+  def mooreLewis(docs: DataFrame, idCol: String, toks: Column,
+      inDomain: Column): DataFrame = {
+    val tokens = docs.select(col(idCol), inDomain.as("_ind"), explode(toks).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gen = tokens.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ind = tokens.filter(col("_ind")).groupBy("term").agg(count(lit(1)).as("cnt_in"))
+    val scalars = gen.agg(sum("cnt").as("_tot"), count(lit(1)).as("_v"))
+      .crossJoin(tokens.filter(col("_ind")).agg(count(lit(1)).as("_tot_in")))
+    val lpGen = floor(log(col("cnt").cast("double") / col("_tot").cast("double"))
+      * 1000000 + 0.5).cast("long")
+    val lpIn = floor(log((coalesce(col("cnt_in"), lit(0L)) + 1L).cast("double")
+      / (col("_tot_in") + col("_v")).cast("double")) * 1000000 + 0.5).cast("long")
+    val termScores = gen.join(ind, Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("term"), (lpIn - lpGen).as("_d"))
+    tokens.join(termScores, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum("_d").as("_ds"))
+      .select(col(idCol), col("n_toks"),
+        Exact.roundPortable(
+          col("_ds").cast("double") / 1000000.0 / col("n_toks").cast("double"),
+          6).as("ml_score"))
+      .withColumn("selected", col("ml_score") > 0.0)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): combine
     * several ranked lists of the same id space into one ranking by
     * `Σ_lists 1 / (k0 + rank)`. The contribution is computed in exact

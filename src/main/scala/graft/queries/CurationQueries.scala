@@ -801,10 +801,70 @@ object CurationQueries {
     }
   }
 
+  /** Moore-Lewis cross-entropy-difference selection: docs scored by mean
+    * per-token log-likelihood ratio between the src0/src1 in-domain
+    * unigram LM (add-one smoothed over the corpus vocabulary) and the
+    * general corpus LM; `selected` = rounded score > 0.
+    */
+  val q118MooreLewis: Q = {
+    val mlScoreSql = Exact.roundPortableSql(
+      "CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)
+    Q(
+      "q118_moore_lewis",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source IN ('src0', 'src1') AS ind, unnest(toks) AS term
+         |  FROM (SELECT doc_id, source, $DuckToks AS toks FROM documents)
+         |), gen AS (
+         |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+         |), ind AS (
+         |  SELECT term, count(*) AS cnt_in FROM tok WHERE ind GROUP BY term
+         |), sc AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS v FROM gen
+         |), sci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS tot_in FROM tok WHERE ind
+         |), ts AS (
+         |  SELECT gen.term AS term,
+         |    CAST(floor(ln(CAST(COALESCE(ind.cnt_in, 0) + 1 AS DOUBLE)
+         |        / CAST(tot_in + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |    - CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d
+         |  FROM gen LEFT JOIN ind ON gen.term = ind.term, sc, sci
+         |)
+         |SELECT doc_id, count(*) AS n_toks, $mlScoreSql AS ml_score,
+         |  $mlScoreSql > 0.0 AS selected
+         |FROM tok JOIN ts USING (term)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scoring.mooreLewis(Tables.documentsSpread(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")),
+          col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Small-file compaction plan: documents as a file manifest (doc_id =
+    * file, n_chars = bytes), packed into 4 KiB output bins by the
+    * distributed exclusive prefix sum; bin = cum_before DIV target.
+    */
+  val q120CompactionPlan: Q = Q(
+    "q120_compaction_plan",
+    """SELECT doc_id, bytes, cum_before, cum_before // 4096 AS bin FROM (
+      |  SELECT doc_id, n_chars AS bytes,
+      |    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Compaction.plan(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars").as("bytes")),
+        "doc_id", "bytes", 4096L)
+      .select("doc_id", "bytes", "cum_before", "bin")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
     q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
-    q113SourceCap, q115LengthBuckets, q116RrfFusion)
+    q113SourceCap, q115LengthBuckets, q116RrfFusion, q118MooreLewis,
+    q120CompactionPlan)
 }

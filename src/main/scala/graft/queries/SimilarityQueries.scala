@@ -587,8 +587,50 @@ object SimilarityQueries {
     }
   }
 
+  /** Product quantization (Jégou TPAMI 2011): 64-dim scaled vectors split
+    * into 8 subspaces, each coded against 16 deterministic seed centroids
+    * (the first 16 vectors) by exact integer squared-L2 argmin. The
+    * oracle replays the scaling, the centroid table, every subspace
+    * argmin (key = ‖c‖² − 2·v·c, ties → lowest index), the dash-joined
+    * code string, and the exact total quantization error.
+    */
+  val q119PqCodes: Q = Q(
+    "q119_pq_codes",
+    s"""WITH sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, s
+       |  FROM (SELECT vec_id, s FROM sv ORDER BY vec_id LIMIT 16)
+       |), mm AS (
+       |  SELECT unnest(generate_series(0, 7)) AS m
+       |), pm AS (
+       |  SELECT v.vec_id, mm.m, c.ci,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> c.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT)
+       |      - 2 * CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> v.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT) AS key,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> v.s[mm.m * 8 + j] * v.s[mm.m * 8 + j])) AS BIGINT) AS nvm
+       |  FROM sv v CROSS JOIN mm CROSS JOIN cent c
+       |), best AS (
+       |  SELECT vec_id, m, ci, nvm + key AS dist,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY key, ci) AS rn
+       |  FROM pm
+       |)
+       |SELECT vec_id,
+       |  array_to_string(list(ci ORDER BY m), '-') AS codes,
+       |  CAST(SUM(dist) AS BIGINT) AS qerr_scaled
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.ops.Quantize.pqSeedCentroids(emb, "vec_id", "embedding", 8, 16)
+    graft.ops.Quantize.pqCodes(emb, "vec_id", "embedding", cents)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
-    q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall)
+    q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes)
 }

@@ -370,6 +370,50 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(out(1)._3 - exp2) < 1e-9)
   }
 
+  test("compaction plan matches the sequential walk and is repartition-stable") {
+    import graft.ops.Compaction
+    val sizes = (1L to 200L).map(i => (i, 50L + (i % 37) * 10))
+    val files = sizes.toDF("fid", "bytes")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Compaction.plan(df, "fid", "bytes", 1000L)
+        .select("fid", "cum_before", "bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val out = run(files)
+    var cum = 0L
+    val expected = sizes.map { case (i, b) =>
+      val row = (i, cum, cum / 1000L); cum += b; row
+    }
+    assert(out == expected)
+    assert(run(files.repartition(7)) == out)
+    // multi-bin, and bins are contiguous in file order
+    assert(out.map(_._3).distinct.size > 10)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted)
+  }
+
+  test("mooreLewis: likelihood-ratio scores match the sequential reference, smoothing covers unseen terms") {
+    val docs = Seq(
+      (1L, "in", "alpha alpha beta"),
+      (2L, "in", "alpha beta beta"),
+      (3L, "out", "alpha alpha alpha"),
+      (4L, "out", "gamma gamma gamma") // gamma never appears in-domain
+    ).toDF("doc_id", "dom", "text")
+    val out = Scoring.mooreLewis(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), col("dom") === "in")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // gen: alpha=6 beta=3 gamma=3 tot=12 V=3; in (docs 1,2): alpha=3 beta=3 tot_in=6
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val dAlpha = micro(math.log(4.0 / 9)) - micro(math.log(6.0 / 12))
+    val dBeta = micro(math.log(4.0 / 9)) - micro(math.log(3.0 / 12))
+    val dGamma = micro(math.log(1.0 / 9)) - micro(math.log(3.0 / 12))
+    def score(ds: Long, n: Int) =
+      math.floor(ds.toDouble / 1e6 / n * 1e6 + 0.5) / 1e6
+    assert(out(0) === ((1L, 3L, score(2 * dAlpha + dBeta, 3), score(2 * dAlpha + dBeta, 3) > 0)))
+    assert(out(1) === ((2L, 3L, score(dAlpha + 2 * dBeta, 3), true)))
+    assert(out(3) === ((4L, 3L, score(3 * dGamma, 3), false))) // unseen → negative
+    assert(out(1)._3 > out(0)._3) // more betas (in-domain-distinctive) → higher
+  }
+
   test("rrfFuse: integer contributions, list-overlap boost, deterministic tiebreak") {
     val ra = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
     val rb = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")

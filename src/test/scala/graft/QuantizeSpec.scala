@@ -37,4 +37,26 @@ class QuantizeSpec extends SparkSuite {
       }
     }
   }
+
+  test("pqCodes: hand-fixture codes and exact error; tie picks the lowest centroid index") {
+    // 4-dim vectors, 2 subspaces of 2 dims, centroids = first 2 rows
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.8f, 0.1f, 0.5f, 0.5f))
+    ).toDF("id", "vec")
+    val cents = Quantize.pqSeedCentroids(vecs, "id", "vec", 2, 2)
+    // m0: c0=(1e6,0) c1=(0,1e6); m1: c0=(0,1e6) c1=(1e6,0)
+    assert(cents(0)(0).toSeq == Seq(1000000L, 0L))
+    assert(cents(1)(1).toSeq == Seq(1000000L, 0L))
+    val out = Quantize.pqCodes(vecs, "id", "vec", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("0-0", 0L)))
+    assert(out(2L) === (("1-1", 0L)))
+    assert(out(3L) === (("0-1", 0L)))
+    // row 4 sub0 → c0, dist (2e5)² + (1e5)² = 5e10; sub1 (5e5,5e5) is
+    // EQUIDISTANT to both centroids (5e11) → tie → code 0
+    assert(out(4L) === (("0-0", 50000000000L + 500000000000L)))
+  }
 }
