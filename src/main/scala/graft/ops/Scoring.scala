@@ -96,6 +96,70 @@ object Scoring {
           6).as("avg_lp"))
   }
 
+  /** Stupid Backoff bigram scoring (Brants et al. EMNLP 2007 "Large
+    * Language Models in Machine Translation"): per-doc mean log bigram
+    * score under a count-only LM built from the `lmPred` slice —
+    *
+    *   S(w2|w1) = C(w1 w2) / C(w1)     seen bigram
+    *            = α · C(w2) / N        unseen bigram, seen unigram
+    *            = α / N                unseen unigram (count-1 leaf)
+    *
+    * — the non-normalized backoff that made web-scale distributed LMs
+    * practical: counts only, no discounting pass. Training on a SLICE and
+    * scoring everything is the production shape (LM from a trusted
+    * corpus, scores over incoming data); it is also what makes the
+    * backoff paths live. Docs with < 2 tokens have no bigram positions
+    * and are excluded.
+    *
+    * Exactness: ln S is rounded to micros once per distinct BIGRAM TYPE;
+    * per-doc combination is exact long sums. Scale shape: the (doc,
+    * bigram) explode is persisted and feeds both the distinct-type score
+    * table and the per-doc rejoin on the same key; LM count tables are
+    * keyed equi-joins (bigram types ~ O(corpus tokens) — never collected);
+    * N is a 1-row broadcast.
+    */
+  def stupidBackoff(docs: DataFrame, idCol: String, toks: Column,
+      lmPred: Column, alpha: Double = 0.4): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), lmPred.as("_lm"),
+        explode(graft.functions.TextAnalysis.bigrams(toks)).as("bigram"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lmPairs = pairs.filter(col("_lm"))
+    val bc = lmPairs.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    // unigram counts over the SAME positions the bigrams cover would
+    // double-count interior tokens; the LM unigram table counts every
+    // token of the LM slice once
+    val lmToks = docs.filter(lmPred)
+      .select(explode(toks).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val uc = lmToks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = lmToks.agg(count(lit(1)).as("_n"))
+    val types = pairs.select("bigram").distinct()
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(bc, Seq("bigram"), "left")
+      .join(uc.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"), "left")
+      .join(uc.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+    val sMicros = when(col("c12").isNotNull,
+        floor(log(col("c12").cast("double") / col("c1").cast("double"))
+          * 1000000 + 0.5).cast("long"))
+      .when(col("c2").isNotNull,
+        floor(log(lit(alpha) * col("c2").cast("double") / col("_n").cast("double"))
+          * 1000000 + 0.5).cast("long"))
+      .otherwise(
+        floor(log(lit(alpha) / col("_n").cast("double")) * 1000000 + 0.5).cast("long"))
+    val scoreTable = types.select(col("bigram"), sMicros.as("_s"))
+    pairs.join(scoreTable, "bigram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("_s").as("_ss"))
+      .select(col(idCol), col("n_bigrams"),
+        Exact.roundPortable(
+          col("_ss").cast("double") / 1000000.0 / col("n_bigrams").cast("double"),
+          6).as("sb_score"))
+  }
+
   /** Moore-Lewis cross-entropy-difference data selection (ACL 2010
     * "Intelligent Selection of Language Model Training Data"): score each
     * doc by its mean per-token `lp_in(t) − lp_gen(t)`, the log-likelihood

@@ -173,6 +173,60 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Stupid Backoff bigram LM scoring (Brants EMNLP'07): count-only LM
+    * from the 80% hash slice, scored over every doc — seen bigrams use
+    * C12/C1, unseen back off to α·C(w2)/N, unseen unigrams to α/N. The
+    * held-out 20% makes every backoff path live.
+    */
+  val q121StupidBackoff: Q = {
+    val sbScoreSql = Exact.roundPortableSql(
+      "CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)
+    Q(
+      "q121_stupid_backoff",
+      s"""WITH d AS (
+         |  SELECT doc_id, $DuckToks AS l,
+         |    CAST(('0x' || substring(md5('lm' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 <> 0 AS lm
+         |  FROM documents
+         |), bp AS (
+         |  SELECT doc_id, lm, unnest($DuckBigrams) AS bigram FROM d
+         |), bc AS (
+         |  SELECT bigram, count(*) AS c12 FROM bp WHERE lm GROUP BY bigram
+         |), ut AS (
+         |  SELECT unnest(l) AS w FROM d WHERE lm
+         |), uc AS (
+         |  SELECT w, count(*) AS cw FROM ut GROUP BY w
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM ut
+         |), ty AS (
+         |  SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2
+         |  FROM (SELECT DISTINCT bigram FROM bp)
+         |), st AS (
+         |  SELECT ty.bigram AS bigram,
+         |    CASE
+         |      WHEN bc.c12 IS NOT NULL THEN
+         |        CAST(floor(ln(CAST(bc.c12 AS DOUBLE) / CAST(u1.cw AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |      WHEN u2.cw IS NOT NULL THEN
+         |        CAST(floor(ln(0.4 * CAST(u2.cw AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |      ELSE
+         |        CAST(floor(ln(0.4 / CAST(nn.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |    END AS s
+         |  FROM ty LEFT JOIN bc ON ty.bigram = bc.bigram
+         |    LEFT JOIN uc u1 ON ty.w1 = u1.w
+         |    LEFT JOIN uc u2 ON ty.w2 = u2.w, nn
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams, $sbScoreSql AS sb_score
+         |FROM bp JOIN st USING (bigram)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Scoring.stupidBackoff(Tables.documentsSpread(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")),
+          graft.functions.Hashing.hash60(col("doc_id").cast("string"), "lm") % 5 =!= 0,
+          0.4)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q64Repetition, q65InvertedIndex, q66Collocations,
-    q67EditDistance, q68SourceDrift, q117VocabCoverage)
+    q67EditDistance, q68SourceDrift, q117VocabCoverage, q121StupidBackoff)
 }

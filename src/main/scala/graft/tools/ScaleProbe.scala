@@ -200,6 +200,40 @@ object ScaleProbe {
         0.35, Similarity.dotScaled(sc, sc))
       println(s"[probe]   rows: ${d.count()}, kept: ${d.filter(col("kept")).count()}")
     }
+    t("simhashHammingPairs 50k docs (60-bit sigs, 15-bit pigeonhole bands)") {
+      // production config: wide signatures keep band buckets sparse
+      // (50k docs / 2^15 buckets ≈ 1.5 per bucket) — the 16-bit gate
+      // config is the oracle-mirrorable small-space variant
+      val sigs = docs.select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.tokens(col("text")), 60, "sh",
+          portable = false).as("_sh"))
+      val n = Dedup.simhashHammingPairs(sigs, "doc_id", "_sh", 60, 3).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("mooreLewis selection over 50k docs") {
+      val n = graft.ops.Scoring.mooreLewis(docs, "doc_id",
+        TextAnalysis.tokens(col("text")),
+        pmod(col("doc_id"), lit(10L)) < 2).filter(col("selected")).count()
+      println(s"[probe]   selected: $n")
+    }
+    t("vocabCoverage (top-1000 vocab) over 50k docs") {
+      val n = graft.ops.Corpus.vocabCoverage(docs, "doc_id", "text", 1000)
+        .agg(sum("oov")).head().getLong(0)
+      println(s"[probe]   total OOV occurrences: $n")
+    }
+    t("epochShuffle 5M rows (distributed rank)") {
+      val df = spark.range(5000000L).select(col("id"))
+      val n = graft.ops.Sampling.epochShuffle(df, col("id"), "ep", 64)
+        .agg(max("pos")).head().getLong(0)
+      println(s"[probe]   max pos: $n")
+    }
+    t("capSourceShare 5M rows / 20 groups") {
+      val df = spark.range(5000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(20L)).cast("string").as("src"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000L)) + 1L).as("w"))
+      val c = graft.ops.Curation.capSourceShare(df, "id", "src", col("w"), 40)
+      println(s"[probe]   kept: ${c.filter(col("kept")).count()} of ${c.count()}")
+    }
     t("bloom semiJoin 50M-row probe side vs 1M-key set (1% fpp)") {
       val big = spark.range(50000000L).select(col("id"),
         pmod(xxhash64(col("id"), lit(11)), lit(10000000L)).as("key"))
@@ -208,6 +242,12 @@ object ScaleProbe {
       val n = graft.ops.BloomJoin.semiJoin(big, col("key"), keys, col("k"),
         expectedItems = 1000000L).count()
       println(s"[probe]   survivors: $n")
+    }
+    t("pqCodes 50k vecs (8 subspaces x 16 centroids, map-only)") {
+      val cents = graft.ops.Quantize.pqSeedCentroids(emb, "vec_id", "embedding", 8, 16)
+      val q = graft.ops.Quantize.pqCodes(emb, "vec_id", "embedding", cents)
+      println(s"[probe]   coded: ${q.count()}, mean qerr: " +
+        q.agg(avg(col("qerr_scaled"))).head().getDouble(0).toLong)
     }
     spark.stop()
   }

@@ -146,6 +146,32 @@ class CorpusSpec extends SparkSuite {
     assert(!out.contains(4L))               // zero-token doc excluded
   }
 
+  test("stupidBackoff: all three score paths match the hand reference") {
+    val docs = Seq(
+      (1L, true, "a b c"),  // LM slice
+      (2L, true, "a b a"),  // LM slice
+      (3L, false, "a b z"), // seen bigram + unseen-unigram backoff
+      (4L, false, "c a")    // unseen bigram, seen unigram backoff
+    ).toDF("doc_id", "lm", "text")
+    val out = graft.ops.Scoring.stupidBackoff(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), col("lm"), 0.4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // LM: bigrams "a b"=2 "b c"=1 "b a"=1; unigrams a=3 b=2 c=1, N=6
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def mean(ss: Seq[Long]) =
+      math.floor(ss.sum.toDouble / 1e6 / ss.size * 1e6 + 0.5) / 1e6
+    val sAB = micro(math.log(2.0 / 3)) // seen: C12/C(a)
+    val sBC = micro(math.log(1.0 / 2))
+    val sBZ = micro(math.log(0.4 / 6)) // z unseen anywhere in LM
+    val sCA = micro(math.log(0.4 * 3 / 6)) // bigram unseen, a seen
+    assert(out(0) === ((1L, 2L, mean(Seq(sAB, sBC)))))
+    assert(out(2) === ((3L, 2L, mean(Seq(sAB, sBZ)))))
+    assert(out(3) === ((4L, 1L, mean(Seq(sCA)))))
+    // unseen-unigram leaf scores strictly below the seen-unigram backoff
+    assert(sBZ < sCA)
+  }
+
   /** Classic DP edit distance, the test oracle. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
