@@ -113,7 +113,13 @@ object Bench {
     // The full-name map and full calib timeline go to stderr.
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + ms(v) }
+    // Per-query values at CENTIsecond precision: at 116+ gates the
+    // 3-decimal line was back within ~250 bytes of the 2000-byte tail;
+    // 10 ms resolution is far below run-to-run noise and buys ~1 byte
+    // per gate per decimal. Full 3-decimal timings stay on stderr.
+    def cs(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calibs = results.map { case (k, _, c) => (k, c) }
@@ -122,6 +128,8 @@ object Bench {
     val calibArgmax = shortKey(calibs.maxBy(_._2)._1)
     System.err.println("[bench] query name map: " +
       results.map(r => shortKey(r._1) + "=" + r._1).mkString(" "))
+    System.err.println("[bench] full timings: " +
+      results.map(r => shortKey(r._1) + ":" + ms(r._2)).mkString(" "))
     System.err.println("[bench] calib timeline: " +
       calibs.map { case (k, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
