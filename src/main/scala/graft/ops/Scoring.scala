@@ -205,6 +205,65 @@ object Scoring {
       .withColumn("selected", col("ml_score") > 0.0)
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): select raw docs whose HASHED-BIGRAM feature profile looks like
+    * a target slice. Features are bigrams hashed into `buckets` bins; both
+    * the target and raw distributions are add-one-smoothed bag-of-buckets
+    * models, a doc's log importance weight is
+    *
+    *   ln w(d) = Σ_positions ln p_tgt(b) − ln p_raw(b)
+    *
+    * and selection is Gumbel-top-k over `ln w + g_d` (the paper's
+    * importance RESAMPLING, derandomized: `g_d = −ln(−ln(u_d))` with
+    * `u_d` a seeded per-doc hash — reproducible across runs and engines).
+    *
+    * Exactness: the two per-BUCKET logs are rounded to micros once per
+    * bucket (≤ `buckets` distinct values), per-doc combination is exact
+    * long sums; the Gumbel term is rounded to micros from an exactly
+    * representable `u = (h + 0.5) / 2^60`. Output: every doc with ≥ 1
+    * bigram, its feature count, weight, selection key, and flag.
+    *
+    * Scale shape: one persisted (doc, bucket) explode feeds target
+    * counts, raw counts, and the per-doc rejoin on the same key; the
+    * bucket score table is `buckets`-sized (broadcast); the global
+    * top-k flag uses one rank window — at 100 TB replace it with a
+    * selectivity threshold from `approxQuantile` on the key (the flag is
+    * a total-order head either way; the gate keeps the exact rank so the
+    * oracle can mirror it).
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, toks: Column,
+      targetPred: Column, buckets: Int = 4096, k: Int = 100,
+      salt: String = "dsir"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), targetPred.as("_t"),
+        explode(graft.functions.TextAnalysis.bigrams(toks)).as("_big"))
+      .select(col(idCol), col("_t"),
+        pmod(graft.functions.Hashing.hash60(col("_big"), salt), lit(buckets.toLong))
+          .as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = pairs.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = pairs.filter(col("_t")).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val scalars = pairs.agg(count(lit(1)).as("_nr"))
+      .crossJoin(pairs.filter(col("_t")).agg(count(lit(1)).as("_nt")))
+    val lpT = floor(log((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+      / (col("_nt") + buckets.toLong).cast("double")) * 1000000 + 0.5).cast("long")
+    val lpR = floor(log((col("cr") + 1L).cast("double")
+      / (col("_nr") + buckets.toLong).cast("double")) * 1000000 + 0.5).cast("long")
+    val bucketScores = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("bucket"), (lpT - lpR).as("_lr"))
+    val u = (graft.functions.Hashing.hash60(col(idCol).cast("string"), salt + "_g")
+      .cast("double") + 0.5) / 1152921504606846976.0 // 2^60; u in (0,1) exactly
+    val gumbelMicros = floor(-log(-log(u)) * 1000000 + 0.5).cast("long")
+    val perDoc = pairs.join(broadcast(bucketScores), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feat"), sum("_lr").as("w_micros"))
+      .withColumn("key_micros", col("w_micros") + gumbelMicros)
+    perDoc.withColumn("selected",
+      rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key_micros").desc, col(idCol))) <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): combine
     * several ranked lists of the same id space into one ranking by
     * `Σ_lists 1 / (k0 + rank)`. The contribution is computed in exact

@@ -20,6 +20,12 @@ object CurationQueries {
   private def duckHash(seed: String, e: String): String =
     s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB adjacent-bigram list from a token list `l` — the SQL twin of
+    * [[TextAnalysis.bigrams]].
+    */
+  private val DuckBigrams =
+    "list_transform(list_zip(l[1:-2], l[2:-1]), x -> x[1] || ' ' || x[2])"
+
   /** DuckDB word `n`-gram shingles (distinct) over a `toks` list column —
     * the SQL twin of [[TextAnalysis.wordShingles]].
     */
@@ -841,6 +847,56 @@ object CurationQueries {
     }
   }
 
+  /** DSIR hashed-bigram importance resampling (Xie et al. NeurIPS'23):
+    * target = src2/src3 docs, raw = whole corpus, 4096 feature buckets,
+    * Gumbel-top-100 selection. The oracle mirrors the hash, both
+    * smoothed per-bucket logs, the exact long sums, and the seeded
+    * Gumbel key bit-for-bit.
+    */
+  val q122Dsir: Q = {
+    val b = 4096
+    val gumbelSql =
+      s"""CAST(floor(-ln(-ln((CAST(${duckHash("dsir_g", "CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+         |      / 1152921504606846976.0)) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    Q(
+      "q122_dsir_select",
+      s"""WITH bp AS (
+         |  SELECT doc_id, t, ${duckHash("dsir", "bigram")} % $b AS bucket
+         |  FROM (
+         |    SELECT doc_id, source IN ('src2', 'src3') AS t,
+         |      unnest($DuckBigrams) AS bigram
+         |    FROM (SELECT doc_id, source, $DuckToks AS l FROM documents))
+         |), raw AS (
+         |  SELECT bucket, count(*) AS cr FROM bp GROUP BY bucket
+         |), tgt AS (
+         |  SELECT bucket, count(*) AS ct FROM bp WHERE t GROUP BY bucket
+         |), sc AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM bp),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bp WHERE t),
+         |bs AS (
+         |  SELECT raw.bucket AS bucket,
+         |    CAST(floor(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+         |        / CAST(nt + $b AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |    - CAST(floor(ln(CAST(raw.cr + 1 AS DOUBLE)
+         |        / CAST(nr + $b AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lr
+         |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, sc, st
+         |), pd AS (
+         |  SELECT doc_id, count(*) AS n_feat, CAST(SUM(lr) AS BIGINT) AS w_micros
+         |  FROM bp JOIN bs USING (bucket) GROUP BY doc_id
+         |), kd AS (
+         |  SELECT doc_id, n_feat, w_micros, w_micros + $gumbelSql AS key_micros
+         |  FROM pd
+         |)
+         |SELECT doc_id, n_feat, w_micros, key_micros,
+         |  rank() OVER (ORDER BY key_micros DESC, doc_id) <= 100 AS selected
+         |FROM kd
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Scoring.dsirSelect(Tables.documentsSpread(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")),
+          col("source").isin("src2", "src3"), buckets = b, k = 100)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Small-file compaction plan: documents as a file manifest (doc_id =
     * file, n_chars = bytes), packed into 4 KiB output bins by the
     * distributed exclusive prefix sum; bin = cum_before DIV target.
@@ -866,5 +922,5 @@ object CurationQueries {
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
     q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
     q113SourceCap, q115LengthBuckets, q116RrfFusion, q118MooreLewis,
-    q120CompactionPlan)
+    q120CompactionPlan, q122Dsir)
 }

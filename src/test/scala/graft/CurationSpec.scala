@@ -414,6 +414,50 @@ class CurationSpec extends SparkSuite {
     assert(out(1)._3 > out(0)._3) // more betas (in-domain-distinctive) → higher
   }
 
+  test("dsirSelect: hashed-bucket importance weights and Gumbel-top-k match the sequential reference") {
+    val docs = Seq(
+      (1L, true, "a b c"),
+      (2L, true, "a b a"),
+      (3L, false, "a b z"),
+      (4L, false, "c a"),
+      (5L, false, "q")   // 1 token: no bigrams, excluded
+    ).toDF("doc_id", "t", "text")
+    val B = 64
+    val out = Scoring.dsirSelect(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), col("t"), buckets = B, k = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // sequential reference on the same hash
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val perDoc = Map(
+      1L -> Seq("a b", "b c"), 2L -> Seq("a b", "b a"),
+      3L -> Seq("a b", "b z"), 4L -> Seq("c a"))
+    val tgtIds = Set(1L, 2L)
+    def bucket(big: String) =
+      java.lang.Math.floorMod(graft.functions.Hashing.hash60Jvm(big, "dsir"), B.toLong)
+    val allOcc = perDoc.toSeq.flatMap { case (id, bs) => bs.map(id -> bucket(_)) }
+    val cr = allOcc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = allOcc.filter(o => tgtIds(o._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (allOcc.size.toLong, allOcc.count(o => tgtIds(o._1)).toLong)
+    def lr(b: Long) = micro(math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + B))) -
+      micro(math.log((cr(b) + 1).toDouble / (nr + B)))
+    def gumbel(id: Long) = micro(-math.log(-math.log(
+      (graft.functions.Hashing.hash60Jvm(id.toString, "dsir_g").toDouble + 0.5)
+        / 1152921504606846976.0)))
+    val ref = perDoc.map { case (id, bs) =>
+      val w = bs.map(b => lr(bucket(b))).sum
+      (id, bs.size.toLong, w, w + gumbel(id))
+    }.toSeq
+    val topK = ref.sortBy(r => (-r._4, r._1)).take(2).map(_._1).toSet
+    val expected = ref.map(r => (r._1, r._2, r._3, r._4, topK(r._1))).sortBy(_._1)
+    assert(out.toSeq === expected)
+    assert(!out.map(_._1).contains(5L))
+    // docs 2 and 3 share "a b" plus one exclusive bigram each: the
+    // target-exclusive one ("b a", ct=1) must outweigh the raw-only one
+    // ("b z", ct=0)
+    assert(out(1)._3 > out(2)._3)
+  }
+
   test("rrfFuse: integer contributions, list-overlap boost, deterministic tiebreak") {
     val ra = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
     val rb = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
