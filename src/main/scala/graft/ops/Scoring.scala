@@ -205,6 +205,51 @@ object Scoring {
       .withColumn("selected", col("ml_score") > 0.0)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    * every doc under a LANGUAGE-CONDITIONAL unigram LM (CCNet trains one
+    * LM per language; here the corpus's own per-language distribution),
+    * then split each language into head / middle / tail terciles by score
+    * — the bucket label CCNet ships alongside each document so downstream
+    * consumers can choose their quality/recall tradeoff.
+    *
+    * Bucketing is `ntile(3)` over (score desc, id) within the language —
+    * "head" is the most-fluent tercile (highest mean log-prob = lowest
+    * perplexity). Deterministic: scores are portably rounded before
+    * ranking and ties break on id.
+    *
+    * Scale shape: per-language LM is one (lang, term) aggregate with
+    * map-side combine; scoring rejoins the exploded corpus on the same
+    * key; the tercile window sorts within each language partition — at
+    * 100 TB replace ntile with two approxQuantile thresholds per language
+    * (the labels are then a map-side comparison; the gate keeps exact
+    * ntile so the oracle can mirror it).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
+      toks: Column): DataFrame = {
+    val tokens = docs.select(col(idCol), col(langCol), explode(toks).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lm = tokens.groupBy(langCol, "term").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = lm.groupBy(langCol).agg(sum("cnt").as("_tot"))
+    val lpMicros = floor(log(col("cnt").cast("double") / col("_tot").cast("double"))
+      * 1000000 + 0.5).cast("long")
+    val lp = lm.join(broadcast(tot), langCol).select(col(langCol), col("term"),
+      lpMicros.as("_lp"))
+    val perDoc = tokens.join(lp, Seq(langCol, "term"))
+      .groupBy(idCol, langCol)
+      .agg(count(lit(1)).as("n_toks"), sum("_lp").as("_lps"))
+      .select(col(idCol), col(langCol), col("n_toks"),
+        Exact.roundPortable(
+          col("_lps").cast("double") / 1000000.0 / col("n_toks").cast("double"),
+          6).as("avg_lp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("avg_lp").desc, col(idCol))
+    perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
     * 2023): select raw docs whose HASHED-BIGRAM feature profile looks like
     * a target slice. Features are bigrams hashed into `buckets` bins; both

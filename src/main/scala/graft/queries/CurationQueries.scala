@@ -897,6 +897,42 @@ object CurationQueries {
     }
   }
 
+  /** CCNet perplexity terciles (Wenzek LREC'20): per-language unigram LM
+    * score, head/middle/tail ntile(3) per language.
+    */
+  val q123CcnetBuckets: Q = Q(
+    "q123_ccnet_buckets",
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(toks) AS term
+       |  FROM (SELECT doc_id, lang, $DuckToks AS toks FROM documents)
+       |), lm AS (
+       |  SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term
+       |), tot AS (
+       |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM lm GROUP BY lang
+       |), lp AS (
+       |  SELECT lm.lang AS lang, term,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lpm
+       |  FROM lm JOIN tot ON lm.lang = tot.lang
+       |), pd AS (
+       |  SELECT doc_id, lang, count(*) AS n_toks,
+       |    ${Exact.roundPortableSql(
+              "CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)} AS avg_lp
+       |  FROM tok JOIN lp USING (lang, term)
+       |  GROUP BY doc_id, lang
+       |)
+       |SELECT doc_id, lang, n_toks, avg_lp, bucket,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+       |    ELSE 'tail' END AS label
+       |FROM (
+       |  SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY avg_lp DESC, doc_id) AS BIGINT) AS bucket
+       |  FROM pd)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Scoring.ccnetBuckets(Tables.documentsSpread(s, dir), "doc_id", "lang",
+        TextAnalysis.tokens(col("text")))
+      .orderBy("doc_id")
+  }
+
   /** Small-file compaction plan: documents as a file manifest (doc_id =
     * file, n_chars = bytes), packed into 4 KiB output bins by the
     * distributed exclusive prefix sum; bin = cum_before DIV target.
@@ -922,5 +958,5 @@ object CurationQueries {
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
     q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
     q113SourceCap, q115LengthBuckets, q116RrfFusion, q118MooreLewis,
-    q120CompactionPlan, q122Dsir)
+    q120CompactionPlan, q122Dsir, q123CcnetBuckets)
 }

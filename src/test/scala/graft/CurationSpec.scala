@@ -414,6 +414,39 @@ class CurationSpec extends SparkSuite {
     assert(out(1)._3 > out(0)._3) // more betas (in-domain-distinctive) → higher
   }
 
+  test("ccnetBuckets: per-language LM conditioning and tercile labels") {
+    // en: docs 1-3 — doc 1 all-common tokens, doc 3 has the rare one;
+    // de: docs 4-6 — "x" is common in de but absent in en, so conditioning
+    // on language matters: scores must come from the own-language LM only
+    val docs = Seq(
+      (1L, "en", "a a a a"), (2L, "en", "a a b"), (3L, "en", "a b r"),
+      (4L, "de", "x x x"), (5L, "de", "x x y"), (6L, "de", "y z x")
+    ).toDF("doc_id", "lang", "text")
+    val out = Scoring.ccnetBuckets(docs, "doc_id", "lang",
+        TextAnalysis.tokens(col("text")))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getString(5)))
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def mean(ss: Seq[Long]) =
+      math.floor(ss.sum.toDouble / 1e6 / ss.size * 1e6 + 0.5) / 1e6
+    // en LM: a=7 b=2 r=1 of 10
+    val (lpA, lpB, lpR) =
+      (micro(math.log(0.7)), micro(math.log(0.2)), micro(math.log(0.1)))
+    assert(out(0) === ((1L, "en", 4L, mean(Seq(lpA, lpA, lpA, lpA)), 1L, "head")))
+    assert(out(1) === ((2L, "en", 3L, mean(Seq(lpA, lpA, lpB)), 2L, "middle")))
+    assert(out(2) === ((3L, "en", 3L, mean(Seq(lpA, lpB, lpR)), 3L, "tail")))
+    // de LM: x=6 y=2 z=1 of 9 — doc 4 head, 6 tail; en tokens don't leak in
+    assert(out(3)._6 === "head" && out(5)._6 === "tail")
+    val (lpX, lpY, lpZ) = (micro(math.log(6.0 / 9)), micro(math.log(2.0 / 9)),
+      micro(math.log(1.0 / 9)))
+    assert(out(5)._4 === mean(Seq(lpY, lpZ, lpX)))
+    // every language has exactly one of each tercile here
+    assert(out.filter(_._2 == "en").map(_._6).sorted.toSeq ===
+      Seq("head", "middle", "tail"))
+  }
+
   test("dsirSelect: hashed-bucket importance weights and Gumbel-top-k match the sequential reference") {
     val docs = Seq(
       (1L, true, "a b c"),
