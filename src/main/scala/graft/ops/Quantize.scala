@@ -71,6 +71,22 @@ object Quantize {
     */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Array[Long]]]): DataFrame = {
+    val (withSubs, parts) = codedParts(df, idCol, vecCol, cents)
+    // parts is referenced by both output columns: the duplication is
+    // LINEAR (two evaluations of an m·k-struct sort), not the 2^k reduce
+    // blow-up — acceptable, and codegen subexpression elimination
+    // collapses most of it
+    withSubs.select(col(idCol),
+      concat_ws("-", parts.map(_.getField("code").cast("string")): _*).as("codes"),
+      parts.map(_.getField("dist")).reduceLeft(_ + _).as("qerr_scaled"))
+  }
+
+  /** Shared coding path: per-subspace (dist², code) structs over the
+    * scaled-long subvectors. Returns the subvector projection and one
+    * struct column per subspace.
+    */
+  private def codedParts(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Array[Long]]]): (DataFrame, Seq[Column]) = {
     val m = cents.length
     require(m > 0 && cents.forall(_.nonEmpty), "need >= 1 subspace with centroids")
     val sub = cents(0)(0).length
@@ -93,12 +109,66 @@ object Quantize {
         (graft.functions.Dot.long(vm, vm) + best.getField("key")).as("dist"),
         best.getField("ci").as("code"))
     }
-    // parts is referenced by both output columns: the duplication is
-    // LINEAR (two evaluations of an m·k-struct sort), not the 2^k reduce
-    // blow-up — acceptable, and codegen subexpression elimination
-    // collapses most of it
-    withSubs.select(col(idCol),
-      concat_ws("-", parts.map(_.getField("code").cast("string")): _*).as("codes"),
-      parts.map(_.getField("dist")).reduceLeft(_ + _).as("qerr_scaled"))
+    (withSubs, parts)
+  }
+
+  /** ADC (asymmetric distance computation) top-k search over PQ codes —
+    * the IVF-PQ query-time primitive (Jégou TPAMI 2011 §IV): each query
+    * precomputes an m×k lookup table of exact sub-distances to every
+    * centroid, and a document's approximate distance is m table lookups
+    * on its codes,
+    *
+    *   adc(q, v) = Σ_m ‖q_m − c_{m, code_m(v)}‖²  (= ‖q − reconstruct(v)‖²)
+    *
+    * Output: (query_id, doc_id, adc_scaled, rank) for the k nearest codes
+    * per query (adc asc, id tiebreak).
+    *
+    * Exactness: LUT entries are exact Longs from 1e6-scaled integer
+    * vectors, per-doc combination is exact sums of m lookups.
+    *
+    * Scale shape: the LUT (queries × m × k longs) is driver-built from the
+    * bounded query slice and baked as literals into a MAP-ONLY scan — the
+    * corpus is never shuffled, never joined; each doc costs m array
+    * lookups per query. The per-query top-k is a rank window whose
+    * partial WindowGroupLimit trims each partition to k before the one
+    * shuffle. This is why PQ wins at 100 TB: the scan reads m bytes per
+    * doc, not the full vector.
+    */
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Array[Long]]], queryPred: Column,
+      k: Int): DataFrame = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val queries = df.filter(queryPred).orderBy(col(idCol))
+      .select(col(idCol).cast("long"), Similarity.scaled(col(vecCol)).as("_s"))
+      .limit(257).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(queries.nonEmpty && queries.length <= 256,
+      s"query slice must be 1..256 vectors, got ${queries.length}")
+    val (withSubs, parts) = codedParts(df, idCol, vecCol, cents)
+    val coded = withSubs.select(col(idCol) +: (0 until m).map(mi =>
+      parts(mi).getField("code").as(s"_c$mi")): _*)
+    def lutRow(qv: Array[Long], mi: Int): Seq[Long] =
+      cents(mi).toSeq.map { cv =>
+        var s = 0L; var j = 0
+        while (j < sub) {
+          val d = qv(mi * sub + j) - cv(j); s += d * d; j += 1
+        }
+        s
+      }
+    val perQuery = queries.map { case (qid, qv) =>
+      val adc = (0 until m).map(mi =>
+        element_at(typedLit(lutRow(qv, mi)), col(s"_c$mi") + 1))
+        .reduceLeft(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc_scaled"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_scaled"), col("doc_id"))
+    coded
+      .select(col(idCol).as("doc_id"), explode(array(perQuery: _*)).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("doc_id"),
+        col("_q.adc_scaled").as("adc_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

@@ -629,8 +629,63 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** ADC top-10 search over the q119 PQ codes (Jégou TPAMI'11 §IV):
+    * queries are the vec_id ≡ 7 (mod 100) slice; each query's m×k exact
+    * sub-distance LUT is applied to every doc's codes, k nearest by
+    * (adc asc, id). The oracle rebuilds centroids, codes, LUT, and the
+    * ranking from the same scaled integers.
+    */
+  val q124PqAdc: Q = Q(
+    "q124_pq_adc",
+    s"""WITH sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, s
+       |  FROM (SELECT vec_id, s FROM sv ORDER BY vec_id LIMIT 16)
+       |), mm AS (
+       |  SELECT unnest(generate_series(0, 7)) AS m
+       |), pm AS (
+       |  SELECT v.vec_id, mm.m, c.ci,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> c.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT)
+       |      - 2 * CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> v.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT) AS key
+       |  FROM sv v CROSS JOIN mm CROSS JOIN cent c
+       |), best AS (
+       |  SELECT vec_id, m, ci,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY key, ci) AS rn
+       |  FROM pm
+       |), qs AS (
+       |  SELECT vec_id AS qid, s FROM sv WHERE vec_id % 100 = 7
+       |), lut AS (
+       |  SELECT q.qid, mm.m, c.ci,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> (q.s[mm.m * 8 + j] - c.s[mm.m * 8 + j])
+       |           * (q.s[mm.m * 8 + j] - c.s[mm.m * 8 + j]))) AS BIGINT) AS d
+       |  FROM qs q CROSS JOIN mm CROSS JOIN cent c
+       |), adc AS (
+       |  SELECT l.qid AS query_id, b.vec_id AS doc_id,
+       |    CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM best b JOIN lut l ON b.m = l.m AND b.ci = l.ci
+       |  WHERE b.rn = 1
+       |  GROUP BY l.qid, b.vec_id
+       |)
+       |SELECT query_id, doc_id, adc_scaled, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_scaled, doc_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.ops.Quantize.pqSeedCentroids(emb, "vec_id", "embedding", 8, 16)
+    graft.ops.Quantize.adcTopK(emb, "vec_id", "embedding", cents,
+        pmod(col("vec_id"), lit(100L)) === 7, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
-    q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes)
+    q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
+    q124PqAdc)
 }

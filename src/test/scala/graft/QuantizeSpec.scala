@@ -59,4 +59,35 @@ class QuantizeSpec extends SparkSuite {
     // EQUIDISTANT to both centroids (5e11) → tie → code 0
     assert(out(4L) === (("0-0", 50000000000L + 500000000000L)))
   }
+
+  test("adcTopK: ADC distance equals exact distance to the PQ reconstruction") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.8f, 0.1f, 0.5f, 0.5f)),
+      (5L, Seq(0.0f, 0.9f, 0.9f, 0.1f))
+    ).toDF("id", "vec")
+    val cents = Quantize.pqSeedCentroids(vecs, "id", "vec", 2, 2)
+    val out = Quantize.adcTopK(vecs, "id", "vec", cents, col("id") === 1L, k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference: reconstruct each doc from its codes (computed
+    // by the proven pqCodes fixture above), then exact ‖q − recon‖²
+    val codes = Map(1L -> Seq(0, 0), 2L -> Seq(1, 1), 3L -> Seq(0, 1),
+      4L -> Seq(0, 0), 5L -> Seq(1, 1))
+    val q = Array(1000000L, 0L, 0L, 1000000L)
+    val ref = codes.map { case (id, cs) =>
+      val recon = cs.zipWithIndex.flatMap { case (c, mi) => cents(mi)(c) }
+      id -> recon.zip(q).map { case (r, x) => val d = r - x; d * d }.sum
+    }
+    assert(out.length === 5)
+    out.foreach { case (qid, did, adc, _) =>
+      assert(qid === 1L); assert(adc === ref(did))
+    }
+    // ranking is (adc asc, id asc): docs 1 and 4 share code 0-0 → adc 0,
+    // id breaks the tie
+    assert(out.map(_._2).take(2).toSeq === Seq(1L, 4L))
+    assert(out.map(_._4).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
