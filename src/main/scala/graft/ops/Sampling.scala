@@ -76,6 +76,49 @@ object Sampling {
       .drop("_ord", "_one")
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token `budget` over groups
+    * (languages) as uniformly as possible, except no group may be repeated
+    * more than `epochCap` epochs. Groups are visited in ascending size
+    * order; each gets
+    *
+    *   alloc_i = min(epochCap · n_i, rem_i DIV groupsLeft_i)
+    *
+    * — small languages hit their epoch cap, and the budget they can't
+    * absorb is re-spread ("water-filling") over the remaining larger ones.
+    * Output per group: `tokens`, exact `alloc` (longs — integer division
+    * keeps both engines bit-equal), and `epochs` (portably rounded).
+    *
+    * Scale shape: the per-group token counts are one distributed aggregate
+    * with map-side combine; the recursion itself runs on the collected
+    * group table — O(#languages) driver state, the [[PrefixSum]] pattern
+    * (a language table is bounded by construction; a `require` caps it
+    * loudly at 10k groups).
+    */
+  def unimaxAlloc(df: DataFrame, grpCol: String, tokCount: Column,
+      budget: Long, epochCap: Int): DataFrame = {
+    require(budget >= 0 && epochCap > 0, s"bad budget=$budget cap=$epochCap")
+    val spark = df.sparkSession
+    val per = df.groupBy(grpCol).agg(sum(tokCount).as("tokens"))
+      .orderBy(col("tokens"), col(grpCol))
+      .limit(10001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(per.length <= 10000, "unimaxAlloc: more than 10k groups")
+    var rem = budget
+    val rows = per.zipWithIndex.map { case ((g, n), i) =>
+      val a = math.min(epochCap.toLong * n, rem / (per.length - i))
+      rem -= a
+      (g, n, a)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(grpCol, "tokens", "alloc")
+      .withColumn("epochs", when(col("tokens") > 0,
+        graft.functions.Exact.roundPortable(
+          col("alloc").cast("double") / col("tokens").cast("double"), 6))
+        .otherwise(lit(0.0)))
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions from a
     * small (stratum, fraction) frame (broadcast), strata absent from the
     * frame fall back to `defaultFraction`. `fractions` must have exactly

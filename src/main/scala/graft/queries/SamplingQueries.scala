@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{Exact, Hashing}
 
 /** Deterministic sampling gates over `documents` (ops/Sampling): the
   * curation-pipeline counterpart of the reference's hash-based
@@ -98,6 +98,46 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** UniMax (Chung ICLR'23) token-budget allocation over languages:
+    * budget 30k tokens, epoch cap 2 — small languages saturate the cap,
+    * the unabsorbed budget water-fills into the larger ones. The oracle
+    * replays the ascending-size recursion with a recursive CTE on the
+    * same exact integers.
+    */
+  val q125Unimax: Q = {
+    val (budget, cap) = (30000L, 2)
+    val toks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
+    val allocSql = s"least($cap * o.tokens, st.rem // (o.nl - o.i + 1))"
+    Q(
+      "q125_unimax_alloc",
+      s"""WITH RECURSIVE per AS (
+         |  SELECT lang, CAST(SUM(len(l)) AS BIGINT) AS tokens
+         |  FROM (SELECT lang, $toks AS l FROM documents) GROUP BY lang
+         |), ord AS (
+         |  SELECT lang, tokens,
+         |    CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+         |    CAST(count(*) OVER () AS BIGINT) AS nl
+         |  FROM per
+         |), st AS (
+         |  SELECT CAST(1 AS BIGINT) AS i, CAST($budget AS BIGINT) AS rem
+         |  UNION ALL
+         |  SELECT st.i + 1, st.rem - $allocSql
+         |  FROM st JOIN ord o ON o.i = st.i
+         |)
+         |SELECT o.lang AS lang, o.tokens AS tokens, $allocSql AS alloc,
+         |  ${Exact.roundPortableSql(
+              s"CASE WHEN o.tokens > 0 THEN CAST($allocSql AS DOUBLE) / CAST(o.tokens AS DOUBLE) ELSE 0.0 END",
+              6)} AS epochs
+         |FROM ord o JOIN st ON st.i = o.i
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.unimaxAlloc(
+          Tables.documentsSpread(s, dir)
+            .select(col("lang"), graft.functions.TextAnalysis.tokens(col("text")).as("_t")),
+          "lang", size(col("_t")).cast("long"), budget, cap)
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample,
-    q114EpochShuffle)
+    q114EpochShuffle, q125Unimax)
 }

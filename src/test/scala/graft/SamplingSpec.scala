@@ -75,6 +75,25 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("unimaxAlloc: caps small groups, water-fills the rest, conserves budget") {
+    // tokens: a=100, b=1000, c=10000; budget 6000, cap 2
+    // asc order a,b,c: a → min(200, 6000/3=2000) = 200, rem 5800
+    //                  b → min(2000, 5800/2=2900) = 2000, rem 3800
+    //                  c → min(20000, 3800/1) = 3800, rem 0
+    val df = (Seq.fill(100)("a") ++ Seq.fill(1000)("b") ++ Seq.fill(10000)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("grp", "id")
+    val out = graft.ops.Sampling.unimaxAlloc(df, "grp", lit(1L), 6000L, 2)
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", 100L, 200L, 2.0), ("b", 1000L, 2000L, 2.0), ("c", 10000L, 3800L, 0.38)))
+    assert(out.map(_._3).sum === 6000L)
+    // under-subscribed: everyone hits the cap, budget left over
+    val out2 = graft.ops.Sampling.unimaxAlloc(df, "grp", lit(1L), 50000L, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 === Map("a" -> 200L, "b" -> 2000L, "c" -> 20000L))
+  }
+
   test("epochShuffle is a permutation matching the sequential hash order, stable under repartition") {
     val ids = (1L to 500L).toDF("id")
     def run(df: org.apache.spark.sql.DataFrame) =
