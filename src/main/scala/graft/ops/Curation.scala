@@ -408,6 +408,30 @@ object Curation {
     * Per-row generate+posexplode — embarrassingly parallel, no shuffle;
     * output size is ~len/stride rows per doc, linear in the corpus.
     */
+  /** Materialize fractional epoch weights as actual row repetition: each
+    * row appears `floor(epochs)` times, plus one more with probability
+    * `frac(epochs)` — decided by the row's seeded unit hash, so the
+    * realized corpus is deterministic in the key and E[copies] = epochs
+    * exactly. This is the APPLY step for [[Sampling.unimaxAlloc]] /
+    * [[domainMixture]] weights: upstream computes per-group epochs,
+    * this turns them into the epoch-expanded training view.
+    *
+    * Scale shape: pure map-side `explode(sequence(...))` — no shuffle,
+    * no state; rows with realized 0 copies are dropped before the
+    * explode. Output keeps every input column plus `copy` (1-based).
+    */
+  def epochUpsample(docs: DataFrame, idCol: String, epochs: Column,
+      seed: String): DataFrame = {
+    val frac = epochs - floor(epochs)
+    val nc = floor(epochs).cast("long") +
+      when(Hashing.hashUnit(col(idCol).cast("string"), seed) < frac, 1L)
+        .otherwise(0L)
+    docs.withColumn("_nc", nc)
+      .filter(col("_nc") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("_nc"))))
+      .drop("_nc")
+  }
+
   def slidingChunks(docs: DataFrame, idCol: String, toks: Column,
       maxLen: Int, stride: Int): DataFrame = {
     require(stride > 0 && maxLen >= stride,

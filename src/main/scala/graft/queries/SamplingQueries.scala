@@ -104,40 +104,77 @@ object SamplingQueries {
     * replays the ascending-size recursion with a recursive CTE on the
     * same exact integers.
     */
-  val q125Unimax: Q = {
-    val (budget, cap) = (30000L, 2)
+  private val UnimaxBudget = 30000L
+  private val UnimaxCap = 2
+  private val UnimaxAllocSql =
+    s"least($UnimaxCap * o.tokens, st.rem // (o.nl - o.i + 1))"
+  private val UnimaxEpochsSql = Exact.roundPortableSql(
+    s"CASE WHEN o.tokens > 0 THEN CAST($UnimaxAllocSql AS DOUBLE) / CAST(o.tokens AS DOUBLE) ELSE 0.0 END",
+    6)
+  /** The q125 recursion as reusable CTEs (ends needing a final SELECT). */
+  private val UnimaxCtes = {
     val toks = "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
-    val allocSql = s"least($cap * o.tokens, st.rem // (o.nl - o.i + 1))"
-    Q(
-      "q125_unimax_alloc",
-      s"""WITH RECURSIVE per AS (
-         |  SELECT lang, CAST(SUM(len(l)) AS BIGINT) AS tokens
-         |  FROM (SELECT lang, $toks AS l FROM documents) GROUP BY lang
-         |), ord AS (
-         |  SELECT lang, tokens,
-         |    CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
-         |    CAST(count(*) OVER () AS BIGINT) AS nl
-         |  FROM per
-         |), st AS (
-         |  SELECT CAST(1 AS BIGINT) AS i, CAST($budget AS BIGINT) AS rem
-         |  UNION ALL
-         |  SELECT st.i + 1, st.rem - $allocSql
-         |  FROM st JOIN ord o ON o.i = st.i
-         |)
-         |SELECT o.lang AS lang, o.tokens AS tokens, $allocSql AS alloc,
-         |  ${Exact.roundPortableSql(
-              s"CASE WHEN o.tokens > 0 THEN CAST($allocSql AS DOUBLE) / CAST(o.tokens AS DOUBLE) ELSE 0.0 END",
-              6)} AS epochs
-         |FROM ord o JOIN st ON st.i = o.i
-         |ORDER BY lang""".stripMargin) { (s, dir) =>
-      graft.ops.Sampling.unimaxAlloc(
-          Tables.documentsSpread(s, dir)
-            .select(col("lang"), graft.functions.TextAnalysis.tokens(col("text")).as("_t")),
-          "lang", size(col("_t")).cast("long"), budget, cap)
-        .orderBy("lang")
-    }
+    s"""per AS (
+       |  SELECT lang, CAST(SUM(len(l)) AS BIGINT) AS tokens
+       |  FROM (SELECT lang, $toks AS l FROM documents) GROUP BY lang
+       |), ord AS (
+       |  SELECT lang, tokens,
+       |    CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+       |    CAST(count(*) OVER () AS BIGINT) AS nl
+       |  FROM per
+       |), st AS (
+       |  SELECT CAST(1 AS BIGINT) AS i, CAST($UnimaxBudget AS BIGINT) AS rem
+       |  UNION ALL
+       |  SELECT st.i + 1, st.rem - $UnimaxAllocSql
+       |  FROM st JOIN ord o ON o.i = st.i
+       |)""".stripMargin
+  }
+
+  private def unimaxAllocDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Sampling.unimaxAlloc(
+      Tables.documentsSpread(s, dir)
+        .select(col("lang"), graft.functions.TextAnalysis.tokens(col("text")).as("_t")),
+      "lang", size(col("_t")).cast("long"), UnimaxBudget, UnimaxCap)
+
+  val q125Unimax: Q = Q(
+    "q125_unimax_alloc",
+    s"""WITH RECURSIVE $UnimaxCtes
+       |SELECT o.lang AS lang, o.tokens AS tokens, $UnimaxAllocSql AS alloc,
+       |  $UnimaxEpochsSql AS epochs
+       |FROM ord o JOIN st ON st.i = o.i
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    unimaxAllocDf(s, dir).orderBy("lang")
+  }
+
+  /** Deterministic epoch-expansion of the q125 allocation: every doc
+    * appears floor(epochs) times plus one more when its seeded unit hash
+    * lands under frac(epochs) — the map-only APPLY step that turns
+    * per-language epoch weights into the actual repeated training view.
+    */
+  val q126EpochUpsample: Q = Q(
+    "q126_epoch_upsample",
+    s"""WITH RECURSIVE $UnimaxCtes, ep AS (
+       |  SELECT o.lang AS lang, $UnimaxEpochsSql AS epochs
+       |  FROM ord o JOIN st ON st.i = o.i
+       |), nc AS (
+       |  SELECT doc_id, d.lang AS lang,
+       |    CAST(floor(epochs) AS BIGINT)
+       |      + CASE WHEN ${duckUnit("up1", "CAST(doc_id AS VARCHAR)")}
+       |          < epochs - floor(epochs) THEN 1 ELSE 0 END AS n
+       |  FROM documents d JOIN ep ON d.lang = ep.lang
+       |)
+       |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+       |FROM nc WHERE n > 0
+       |ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+    val alloc = unimaxAllocDf(s, dir).select("lang", "epochs")
+    graft.ops.Curation.epochUpsample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .join(broadcast(alloc), "lang"),
+        "doc_id", col("epochs"), "up1")
+      .select("doc_id", "lang", "copy")
+      .orderBy("doc_id", "copy")
   }
 
   val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample,
-    q114EpochShuffle, q125Unimax)
+    q114EpochShuffle, q125Unimax, q126EpochUpsample)
 }

@@ -249,6 +249,30 @@ object ScaleProbe {
       println(s"[probe]   coded: ${q.count()}, mean qerr: " +
         q.agg(avg(col("qerr_scaled"))).head().getDouble(0).toLong)
     }
+    t("adcTopK 50k vecs x 50 queries (LUT scan)") {
+      val cents = graft.ops.Quantize.pqSeedCentroids(emb, "vec_id", "embedding", 8, 16)
+      val n = graft.ops.Quantize.adcTopK(emb, "vec_id", "embedding", cents,
+        pmod(col("vec_id"), lit(1000L)) === 7, 10).count()
+      println(s"[probe]   result rows: $n")
+    }
+    t("dsirSelect 50k docs (4096 buckets, Gumbel-top-1000)") {
+      val d = graft.ops.Scoring.dsirSelect(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), pmod(col("doc_id"), lit(5L)) === 0,
+        4096, 1000)
+      println(s"[probe]   scored: ${d.count()}, selected: " +
+        d.filter(col("selected")).count())
+    }
+    t("ccnetBuckets 50k docs (per-lang LM + terciles)") {
+      val b = graft.ops.Scoring.ccnetBuckets(docs, "doc_id", "lang",
+        TextAnalysis.tokens(col("text")))
+      println(s"[probe]   bucketed: ${b.count()}")
+    }
+    t("stupidBackoff 50k docs (bigram LM from 80% slice)") {
+      val d = graft.ops.Scoring.stupidBackoff(docs, "doc_id",
+        TextAnalysis.tokens(col("text")),
+        graft.functions.Hashing.hash60(col("doc_id").cast("string"), "lm") % 5 =!= 0)
+      println(s"[probe]   scored: ${d.count()}")
+    }
     spark.stop()
   }
 }

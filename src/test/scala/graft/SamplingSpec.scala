@@ -94,6 +94,31 @@ class SamplingSpec extends SparkSuite {
     assert(out2 === Map("a" -> 200L, "b" -> 2000L, "c" -> 20000L))
   }
 
+  test("epochUpsample: floor copies plus hash-decided fractional copy, map-only") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) 2.5 else 0.25))
+      .toDF("id", "epochs")
+    val out = graft.ops.Curation.epochUpsample(docs, "id", col("epochs"), "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // epochs=2.5: every doc 2 or 3 copies; epochs=0.25: 0 or 1
+    (1L to 200L).foreach(i => assert(counts(i) == 2 || counts(i) == 3))
+    (201L to 400L).foreach(i => assert(counts.getOrElse(i, 0) <= 1))
+    // realized copies match the hash decision exactly
+    (1L to 400L).foreach { i =>
+      val u = graft.functions.Hashing.hash60Jvm(i.toString, "s1").toDouble /
+        1152921504606846976.0
+      val eps = if (i <= 200) 2.5 else 0.25
+      val expect = eps.toLong + (if (u < eps - eps.floor) 1 else 0)
+      assert(counts.getOrElse(i, 0) === expect, s"id $i")
+    }
+    // copy indexes are 1..n per doc
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq ===
+      (1L to counts(1L)).toSeq)
+    // law of large numbers sanity: fractional realization near 25%
+    val fracHits = (201L to 400L).count(i => counts.getOrElse(i, 0) == 1)
+    assert(fracHits > 25 && fracHits < 75)
+  }
+
   test("epochShuffle is a permutation matching the sequential hash order, stable under repartition") {
     val ids = (1L to 500L).toDF("id")
     def run(df: org.apache.spark.sql.DataFrame) =
