@@ -847,6 +847,35 @@ object CurationQueries {
     }
   }
 
+  /** Mergeable-sketch incremental distinct (DataSketches HLL): one HLL
+    * sketch per DAY of events, unioned into the month — the production
+    * shape where each ingest batch persists a tiny sketch and any window's
+    * distinct count is a register-max merge, never a re-scan. The
+    * estimate is NOT partitioning-deterministic (sparse→dense promotion
+    * depends on merge layout — CurationSpec shows 3007 vs 3011 on the
+    * same data), so only the verified 5% ENVELOPE crosses the gate
+    * boundary, never the estimate itself (lgConfigK=12 → ~1.6% rse).
+    */
+  val q127HllMerge: Q = Q(
+    "q127_hll_merge",
+    """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS merged_ok
+      |FROM events""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("_day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("_sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_est"))
+    val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.crossJoin(merged)
+      .select(col("n_days"), col("exact_users"),
+        (abs(col("_est") - col("exact_users")).cast("double")
+          <= greatest(col("exact_users").cast("double") * 0.05, lit(5.0)))
+          .as("merged_ok"))
+  }
+
   /** DSIR hashed-bigram importance resampling (Xie et al. NeurIPS'23):
     * target = src2/src3 docs, raw = whole corpus, 4096 feature buckets,
     * Gumbel-top-100 selection. The oracle mirrors the hash, both
@@ -958,5 +987,5 @@ object CurationQueries {
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
     q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
     q113SourceCap, q115LengthBuckets, q116RrfFusion, q118MooreLewis,
-    q120CompactionPlan, q122Dsir, q123CcnetBuckets)
+    q120CompactionPlan, q122Dsir, q123CcnetBuckets, q127HllMerge)
 }
