@@ -94,6 +94,26 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(asciiLower(c), "[^a-z0-9 .,!?']", " "), " +", " "))
 
+  /** HTML → text extraction (the web-crawl ingestion step): drop
+    * script/style subtrees wholesale, turn block-level closers into
+    * newlines so words don't fuse across paragraphs, strip every
+    * remaining tag, decode the five XML entities plus nbsp, squash
+    * whitespace. Pure per-row regexp/replace work — engine-portable (the
+    * patterns use only the Java ∩ RE2 regex subset: `(?is)` flags and
+    * lazy `.*?` mean the same in both), no UDF, fully codegen'd.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val blocksToBreaks = regexp_replace(noScript,
+      "(?i)</(p|div|h[1-6]|li|tr)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocksToBreaks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (e, (ent, ch)) => regexp_replace(e, ent, ch) }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
   /** PII-style masking: email-shaped tokens → `<email>`, digit runs of
     * `minDigits`+ → `<num>`. Pure per-row regexp work, engine-portable
     * (the patterns use only the regex subset Java and RE2 agree on).

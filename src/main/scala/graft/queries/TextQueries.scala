@@ -365,8 +365,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** HTML → text extraction over deterministically synthesized markup
+    * (the raw corpus is plain text, so the gate WRAPS each doc in
+    * head/style/script/entity-bearing HTML first — the q94 augmentation
+    * trick): script/style subtrees dropped, block closers → breaks, tags
+    * stripped, entities decoded, whitespace squashed. The oracle builds
+    * the same markup and mirrors the regex chain in RE2.
+    */
+  val q128HtmlExtract: Q = Q(
+    "q128_html_extract",
+    """SELECT doc_id, md5(txt) AS text_fp, CAST(length(txt) AS BIGINT) AS text_len
+      |FROM (
+      |  SELECT doc_id, trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+      |          '(?i)</(p|div|h[1-6]|li|tr)>|<br[^>]*>', chr(10), 'g'),
+      |        '<[^>]+>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&'),
+      |    '[ \t\r\n]+', ' ', 'g')) AS txt
+      |  FROM (
+      |    SELECT doc_id,
+      |      '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+      |      || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      |      || replace(text, ' the ', ' &amp; ')
+      |      || '</p><script>var x = 1 < 2;</script></body></html>' AS html
+      |    FROM documents)
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"),
+      regexp_replace(col("text"), " the ", " &amp; "),
+      lit("</p><script>var x = 1 < 2;</script></body></html>"))
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), TextAnalysis.htmlToText(html).as("_txt"))
+      .select(col("doc_id"), md5(col("_txt")).as("text_fp"),
+        length(col("_txt")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
-    q103SparseCosine, q109Blocklist)
+    q103SparseCosine, q109Blocklist, q128HtmlExtract)
 }

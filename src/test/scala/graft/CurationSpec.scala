@@ -414,6 +414,23 @@ class CurationSpec extends SparkSuite {
     assert(out(1)._3 > out(0)._3) // more betas (in-domain-distinctive) → higher
   }
 
+  test("htmlToText: script/style dropped, tags stripped, entities decoded, breaks kept as spaces") {
+    val rows = Seq(
+      (1L, "<html><head><style>p{x}</style><script src=\"a.js\">var y;</script></head>" +
+        "<body><h1>Title</h1><p>one&nbsp;two</p><p>3 &lt; 4 &amp;&amp; 5 &gt; 2</p>" +
+        "<div>a<br/>b</div></body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "<SCRIPT>\nmulti\nline\n</SCRIPT>keep <b>bold</b> &quot;q&quot; &#39;s&#39;"),
+      (4L, "a<p>unclosed tag content")
+    ).toDF("id", "html")
+    val out = rows.select(col("id"), TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Title one two 3 < 4 && 5 > 2 a b")
+    assert(out(2L) === "plain text, no markup")
+    assert(out(3L) === "keep bold \"q\" 's'")
+    assert(out(4L) === "a unclosed tag content")
+  }
+
   test("HLL sketch merge: union of per-group sketches tracks the global sketch and exact count") {
     // register max is associative, but DataSketches keeps small sketches
     // in sparse coupon mode (near-exact) and a union promotes to dense
