@@ -407,8 +407,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization (native [[graft.functions.UnicodeNormalize]]
+    * kernel vs DuckDB `nfc_normalize`): the corpus is ASCII, so the gate
+    * appends decomposed sequences (e+U+0301, i+U+0308) plus an
+    * already-composed é — the fingerprint proves composition happened
+    * (1-codepoint é) and idempotence; raw vs NFC lengths differ by
+    * exactly the two combining marks.
+    */
+  val q129NfcNormalize: Q = Q(
+    "q129_nfc_normalize",
+    """SELECT doc_id, md5(nfc) AS nfc_fp,
+      |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(nfc) AS BIGINT) AS n_chars_nfc
+      |FROM (
+      |  SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM (
+      |    SELECT doc_id,
+      |      text || ' caf' || 'e' || chr(769) || ' nai' || 'i' || chr(776)
+      |        || 've ' || chr(233) AS raw
+      |    FROM documents)
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // the three lit()s below carry REAL codepoints: e+U+0301 and i+U+0308
+    // (decomposed), then a precomposed U+00E9 - mirrors the oracle chr() calls
+    val raw = concat(col("text"), lit(" caf"), lit("é"), lit(" nai"),
+      lit("ï"), lit("ve "), lit("é"))
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), raw.as("_raw"),
+        graft.functions.UnicodeNormalize(raw, "NFC").as("_nfc"))
+      .select(col("doc_id"), md5(col("_nfc")).as("nfc_fp"),
+        length(col("_raw")).cast("long").as("n_chars_raw"),
+        length(col("_nfc")).cast("long").as("n_chars_nfc"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
-    q103SparseCosine, q109Blocklist, q128HtmlExtract)
+    q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize)
 }

@@ -172,6 +172,37 @@ class KernelParitySpec extends SparkSuite {
     assert(run(5) === plain)
   }
 
+  test("UnicodeNormalize matches java.text.Normalizer across forms, nulls, and codegen") {
+    import graft.functions.UnicodeNormalize
+    val cases = Seq(
+      "café",        // decomposed → composes under NFC
+      "café",         // already composed → NFC no-op
+      "naïve",       // combining diaeresis
+      "ﬁle",          // ﬁ ligature: NFC keeps, NFKC expands to "fi"
+      "① circled",    // ① : NFKC → "1"
+      "ascii only", "")
+    val df = (cases.map(Option(_)) :+ None).toDF("s")
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      val out = df.select(col("s"), UnicodeNormalize(col("s"), form).as("n"))
+        .collect()
+      out.foreach { r =>
+        val expect = Option(r.getString(0))
+          .map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.valueOf(form)))
+          .orNull
+        assert(r.getString(1) === expect, s"form=$form in=${r.getString(0)}")
+      }
+    }
+    // semantic spot checks
+    val nfc = df.select(UnicodeNormalize(col("s"), "NFC")).collect().map(_.getString(0))
+    assert(nfc(0) === "café" && nfc(0) === nfc(1))
+    val nfkc = df.select(UnicodeNormalize(col("s"), "NFKC")).collect().map(_.getString(0))
+    assert(nfkc(3) === "file" && nfkc(4) === "1 circled")
+    // bad form rejected at analysis
+    intercept[Exception] {
+      df.select(UnicodeNormalize(col("s"), "NFX")).collect()
+    }
+  }
+
   test("SortedIntersectSize randomized parity with hash-set intersection") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 40).map(i => s"w$i")
