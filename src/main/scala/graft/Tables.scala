@@ -20,18 +20,67 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which the
-    * Spark 4 vectorized reader rejects outright. Read nanos as Long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds with
-    * *integer* division — a double division would lose precision at ~1.7e18 ns.
-    * Truncation (not rounding) matches a ns→µs TIMESTAMP cast in ANSI engines.
+  /** The events table's `ts` column has drifted across testdata generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+    * via spark.sql.legacy.parquet.nanosAsLong, surfacing as INT64) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfacing as TIMESTAMP_NTZ).
+    * Never assume one encoding: sniff the loaded type and normalize to a
+    * session-TZ TimestampType in microseconds. All entry points pin the
+    * session TZ to UTC, so the NTZ cast preserves the wall-clock as UTC epoch
+    * — the same interpretation the DuckDB oracle gives a naive timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, "events"))
+  }
+
+  /** Normalize a drifting event-time column to TimestampType (micros).
+    *  - LongType: legacy INT64 nanos (via nanosAsLong) → integer-DIV to µs;
+    *    a double division would lose precision at ~1.7e18 ns, and truncation
+    *    (not rounding) matches a ns→µs TIMESTAMP cast in ANSI engines.
+    *  - TimestampNTZType: wall-clock reinterpreted in the session TZ (UTC).
+    *  - TimestampType: already what we want.
+    * Any other physical type is a hard, named error — fail here with the
+    * table/column/type rather than deep in Catalyst with DATATYPE_MISMATCH.
+    */
+  def normalizeTs(found: org.apache.spark.sql.types.DataType, table: String,
+      column: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    found match {
+      case LongType         => expr(s"timestamp_micros($column DIV 1000)")
+      case TimestampNTZType => col(column).cast(TimestampType)
+      case TimestampType    => col(column)
+      case other => throw new IllegalArgumentException(
+        s"graft.Tables: unsupported physical type for $table.$column: got " +
+          s"${other.sql}; supported: BIGINT (legacy int64-nanos), " +
+          "TIMESTAMP_NTZ (parquet micros), TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+
+  /** Guard against physical-type drift in driver-regenerated testdata: check
+    * each named column's loaded type against its supported set and fail with
+    * a single actionable message (table, column, found vs supported) instead
+    * of a deep Catalyst DATATYPE_MISMATCH ten operators downstream. Returns
+    * the frame unchanged so loaders can apply it inline.
+    */
+  def assertColumnTypes(df: DataFrame, table: String,
+      expected: (String, Set[org.apache.spark.sql.types.DataType])*): DataFrame = {
+    val problems = expected.flatMap { case (name, ok) =>
+      df.schema.find(_.name == name) match {
+        case None => Some(s"$table.$name: column missing from loaded schema")
+        case Some(f) if !ok.contains(f.dataType) =>
+          Some(s"$table.$name: got ${f.dataType.sql}; supported: " +
+            ok.map(_.sql).toSeq.sorted.mkString(", "))
+        case _ => None
+      }
+    }
+    if (problems.nonEmpty) throw new IllegalArgumentException(
+      "graft.Tables schema drift — " + problems.mkString("; "))
+    df
+  }
 
   /** Documents spread across the default parallelism: the testdata tables
     * are single-file single-row-group parquet (ONE input split), so any

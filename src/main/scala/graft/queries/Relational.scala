@@ -860,6 +860,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Hive-partitioned write + pruned selective read, gated with a built-in
+    * tripwire: the documents table is rewritten `partitionBy(source)`, read
+    * back with a partition-column predicate, and the gate THROWS unless the
+    * executed scan carries partition filters that actually shrink the file
+    * list (the layout lever that decides whether a selective read touches
+    * 3/20ths of a 100 TB table or all of it). The oracle checks the values;
+    * the tripwire checks the plan — a gate that silently read everything
+    * would still hash-match, so the plan assertion is part of the gate.
+    */
+  val q131PartitionPrune: Q = Q(
+    "q131_partition_prune",
+    """SELECT source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE source IN ('src0', 'src1', 'src2')
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("q131").toString
+    Tables.documents(s, dir)
+      .write.mode("overwrite").partitionBy("source").parquet(tmp)
+    val pruned = s.read.parquet(tmp)
+      .filter(col("source").isin("src0", "src1", "src2"))
+    // plan tripwire — fail loudly if the partition filter didn't reach the
+    // scan or didn't shrink the file list
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(throw new IllegalStateException(
+      "q131: no FileSourceScanExec in the executed plan"))
+    if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
+      "q131: partition filter did not reach the scan (partitionFilters empty)")
+    val kept = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
+    val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+    if (kept >= total) throw new IllegalStateException(
+      s"q131: partition pruning ineffective — scan reads $kept of $total files")
+    pruned.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -869,5 +909,6 @@ object Relational {
     q46UnpivotUserEvents, q53RankingSuite, q54FullOuterReconcile,
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
-    q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin)
+    q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
+    q131PartitionPrune)
 }

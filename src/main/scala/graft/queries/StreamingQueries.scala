@@ -206,8 +206,61 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Streaming CDC apply gated end-to-end: the q56 change set split into
+    * FOUR files and merged micro-batch by micro-batch via foreachBatch +
+    * latestWins (IncrementalMerge), each batch atomically rewriting the
+    * base snapshot. Tombstone retention makes the fold associative, so the
+    * final live view must equal the ONE-SHOT merge — the oracle is q56's
+    * MERGE-semantics SQL verbatim. This is the batch-incremental contract
+    * (SURVEY T1) made driver-checkable, not just spec-checked.
+    */
+  val q130IncrementalMerge: Q = Q(
+    "q130_incremental_merge",
+    """WITH all_rows AS (
+      |  SELECT c_custkey AS custkey, c_acctbal AS balance,
+      |    CAST(-1 AS BIGINT) AS ver_ts, CAST(-1 AS BIGINT) AS ver_id,
+      |    false AS deleted
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice,
+      |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)), o_orderkey,
+      |    (o_orderstatus = 'F')
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY custkey
+      |    ORDER BY ver_ts DESC, ver_id DESC) AS rn
+      |  FROM all_rows
+      |)
+      |SELECT custkey, balance, (ver_id >= 0) AS from_change
+      |FROM ranked WHERE rn = 1 AND NOT deleted
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("q130").toString
+    val basePath = s"$tmp/base.parquet"
+    val changesDir = s"$tmp/changes"
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_acctbal").as("balance"),
+      lit(-1L).as("ver_ts"), lit(-1L).as("ver_id"), lit(false).as("deleted"))
+    graft.io.SingleFile.writeParquetAtomic(base, basePath)
+    val changes = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_totalprice").as("balance"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ver_ts"),
+      col("o_orderkey").as("ver_id"),
+      (col("o_orderstatus") === "F").as("deleted"))
+    changes.repartition(4).write.mode("overwrite").parquet(changesDir)
+    val stream = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1) // one change file per micro-batch
+      .parquet(changesDir)
+    graft.streaming.IncrementalMerge.run(s, stream, basePath,
+      Seq("custkey"), Seq("ver_ts", "ver_id"), "deleted", "q130_merge")
+      .awaitTermination()
+    graft.streaming.IncrementalMerge.liveView(s, basePath, "deleted")
+      .select(col("custkey"), col("balance"), (col("ver_id") >= 0L).as("from_change"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
-    q77FmgwsSessions)
+    q77FmgwsSessions, q130IncrementalMerge)
 }

@@ -197,6 +197,33 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
 
+  /** The drain-vs-control invariants behind runToMemory's tripwire.
+    *  - Row count: a self-join scans the file source once PER SIDE, so the
+    *    ingested total must be a positive whole multiple of the file's rows.
+    *  - Event-time: the stream may track event-time over a FILTERED subset
+    *    (e.g. the join keeps only clicks/views), so its max can legitimately
+    *    trail the global max — the invariant is range containment: a µs↔ns
+    *    mix-up shifts the observed max 1000× outside the file's [min, max].
+    * `streamedMaxUs == Long.MinValue` means the query tracked no event-time
+    * (no watermark) — only the row-count invariant applies then.
+    */
+  def tripwire(queryName: String, streamedRows: Long, streamedMaxUs: Long,
+      ctlRows: Long, ctlRangeUs: Option[(Long, Long)]): Unit = {
+    if (streamedRows <= 0 || ctlRows <= 0 || streamedRows % ctlRows != 0)
+      throw new IllegalStateException(
+        s"graft streaming tripwire [$queryName]: source ingested " +
+          s"$streamedRows rows but the file holds $ctlRows — rows lost")
+    ctlRangeUs.foreach { case (ctlMinUs, ctlMaxUs) =>
+      if (streamedMaxUs != Long.MinValue &&
+          (streamedMaxUs < ctlMinUs - 1000000L || streamedMaxUs > ctlMaxUs + 1000000L))
+        throw new IllegalStateException(
+          s"graft streaming tripwire [$queryName]: max event-time " +
+            s"${streamedMaxUs}us outside the file's ts range " +
+            s"[$ctlMinUs, $ctlMaxUs]us — ts ingestion is corrupting " +
+            "event-times (wrong source schema?)")
+    }
+  }
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —
@@ -227,12 +254,21 @@ object EventStream {
       if (fs.getFileStatus(p).isFile) (p.getParent.toString, Some(p.getName))
       else (eventsDir, None)
     }
+    // The ts physical encoding has drifted across testdata generations
+    // (legacy INT64-nanos vs TIMESTAMP_MICROS-NTZ). A FileStreamSource needs
+    // a declared schema, and declaring the WRONG ts type silently corrupts
+    // every event-time (a 1000× shrink, not a crash) — so sniff the actual
+    // footer type with a one-file batch read and declare exactly that, then
+    // normalize through the same shared branch the batch loaders use.
+    val control = ss.read.option("pathGlobFilter", globFilter.getOrElse("*"))
+      .parquet(dir)
+    val tsType = control.schema("ts").dataType
     val reader = ss.readStream
       .schema(StructType(eventSchema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
     val stream = reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizeTs(tsType, "events-stream"))
     val q: StreamingQuery = transform(stream).writeStream
       .format("memory")
       .queryName(queryName)
@@ -240,6 +276,23 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination() // AvailableNow stops itself after the drain
+    // TRIPWIRE (round-6 incident): a mis-declared source schema corrupts
+    // event-times silently — q33/q34/q59/q69 produced plausible-looking
+    // WRONG answers for a full round. Before handing the sink table back,
+    // cross-check the drain against a batch control read of the same file:
+    // (a) the source must have ingested exactly the file's row count, and
+    // (b) if the query tracked event-time, its max must match the batch max
+    // ts (to the second) — a 1000× shrink lands in 1970 and crashes here.
+    val ctlTs = graft.Tables.normalizeTs(tsType, "events-control")
+    val ctl = control.agg(count(lit(1)), min(ctlTs), max(ctlTs)).head()
+    val streamedRows = q.recentProgress.map(_.numInputRows).sum
+    val streamedMaxUs = q.recentProgress.iterator
+      .flatMap(p => Option(p.eventTime.get("max")))
+      .map(s => java.time.Instant.parse(s).toEpochMilli * 1000L)
+      .foldLeft(Long.MinValue)(math.max)
+    tripwire(queryName, streamedRows, streamedMaxUs, ctl.getLong(0),
+      if (ctl.get(1) == null) None else Some((
+        ctl.getTimestamp(1).getTime * 1000L, ctl.getTimestamp(2).getTime * 1000L)))
     // Tear down the state-store maintenance pool while the RpcEnv is still
     // alive — it otherwise crashes after spark.stop() (see GraftBridge).
     org.apache.spark.sql.graft.GraftBridge.stopStateStore()
