@@ -22,11 +22,16 @@ import graft.functions.{Hashing, TextAnalysis}
 object Dedup {
 
   /** Auto sub-blocking (`subBlocks = 0`) splits a block once its
-    * population would exceed this many rows per chunk pair — ~16M
-    * candidate pairs per reducer at the default, a few seconds of
-    * merge-scan work.
+    * population would exceed this many rows per chunk pair. The budget is
+    * PAIRS per reducer, not rows: a chunk pair of `t` rows a side carries
+    * ~t² candidate pairs, so t = 512 caps a reducer at ~260k merge-scan
+    * Jaccard evaluations (sub-second) — the round-6 target of 4096 rows
+    * (~16M pairs, tens of seconds on one core) left mid-sized blocks
+    * serialized on single reducers while the rest of the cluster idled.
+    * Replication cost is s = ceil(maxBlock/512) copies of each row, paid
+    * only on blocks that exceed the target.
     */
-  val AutoSubBlockTarget: Long = 4096L
+  val AutoSubBlockTarget: Long = 512L
 
   def hash60(c: Column, seed: String, portable: Boolean): Column =
     if (portable) Hashing.hash60(c, seed)

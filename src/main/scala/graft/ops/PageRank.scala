@@ -42,16 +42,27 @@ object PageRank {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    // one prepared, co-partitioned edge table reused by every iteration
-    val edgesD = edges.join(deg, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edgesD.count()
 
     val nodes = edges.select(col("src").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // Partitioning choice is keyed to HOW the per-iteration join runs:
+    //  - rank table broadcastable (the common shape — node table orders of
+    //    magnitude smaller than the edge list): the join needs NO edge
+    //    partitioning, so pre-partition edges on DST, the aggregation key.
+    //    The broadcast join preserves the streamed side's partitioning and
+    //    the dst→v alias keeps it visible, so every iteration's groupBy
+    //    runs WITHOUT an exchange — zero per-iteration edge shuffles.
+    //  - rank table too big to broadcast (1e8+ nodes): partition on SRC so
+    //    the sort-merge join co-locates against the rank table instead,
+    //    and pay the groupBy shuffle.
+    val broadcastRanks = n <= 10000000L
+    // one prepared, co-partitioned edge table reused by every iteration
+    val edgesD = edges.join(deg, "src")
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesD.count()
     // Dangling guard (one anti-join, once, on the already-persisted edge
     // list): a violating edge list would otherwise silently leak rank mass
     // into nodes the iteration never ranks.
@@ -72,7 +83,8 @@ object PageRank {
       // integer division (DIV), NOT `/`: Spark's `/` is double division,
       // whose truncation can land one off when the rounded quotient
       // crosses an integer boundary
-      val contrib = edgesD.join(pr, edgesD("src") === pr("v"))
+      val prSide = if (broadcastRanks) broadcast(pr) else pr
+      val contrib = edgesD.join(prSide, edgesD("src") === pr("v"))
         .select(col("dst").as("v"), expr("r DIV d").as("c"))
         .groupBy("v")
         .agg(sum("c").as("s"))
