@@ -900,6 +900,58 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Bucketed co-located join, driver-gated with a plan tripwire: lineitem
+    * and orders are rewritten `bucketBy(8, orderkey)` + sortBy, joined with
+    * broadcast disabled, and the gate THROWS if ANY exchange appears in the
+    * executed join plan — the write-once-shuffle-never lever for repeated
+    * joins on a stable key (at 100 TB, re-shuffling the fact table per join
+    * is the dominant avoidable cost; bucketing pays it once at write time,
+    * and sortBy lets the merge join skip the per-task sort too). The oracle
+    * checks the join's values; the tripwire checks the physical plan.
+    */
+  val q132BucketedJoin: Q = Q(
+    "q132_bucketed_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val wh = java.nio.file.Files.createTempDirectory("q132").toString
+    s.sql("DROP TABLE IF EXISTS q132_ord")
+    s.sql("DROP TABLE IF EXISTS q132_cust")
+    Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/ord").saveAsTable("q132_ord")
+    Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/cust").saveAsTable("q132_cust")
+    // broadcast off so the no-exchange claim is about bucketing, not about
+    // the dimension being small; restore the caller's threshold after
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("q132_ord")
+        .join(s.table("q132_cust"), col("o_custkey") === col("c_custkey"))
+      joined.count() // materialize so AQE's final plan is the one inspected
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val nExchanges = finalPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.size
+      if (nExchanges != 0) throw new IllegalStateException(
+        s"q132: bucketed join shuffled ($nExchanges exchange(s)) — " +
+          "co-located bucketing is not being honored by the planner")
+      joined.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy("segment")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -910,5 +962,5 @@ object Relational {
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
-    q131PartitionPrune)
+    q131PartitionPrune, q132BucketedJoin)
 }

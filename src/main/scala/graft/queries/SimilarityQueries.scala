@@ -683,9 +683,58 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-cluster centroid similarity matrix: one distributed aggregate
+    * builds a scaled-integer SUM vector per label, then a tiny self-join
+    * compares the 10 centroids pairwise — the cluster-summarization /
+    * semantic-dedup diagnostic (which clusters are near-duplicates of each
+    * other?). Key trick for exactness: cos(sum_a/n_a, sum_b/n_b) ==
+    * cos(sum_a, sum_b) — the counts cancel — so the whole pipeline stays in
+    * exact BIGINT up to the final sqrt (6-dp rounded on both engines). The
+    * heavy stage is corpus-sized (one explode + one groupBy); the pairwise
+    * stage is k² over k = 10 labels. At 1e8+ rows per label the scaled sums
+    * approach Long range — mean-center or right-shift the scale first.
+    */
+  val q133CentroidSim: Q = Q(
+    "q133_centroid_sim",
+    s"""WITH sv AS (
+       |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+       |    unnest($DuckScaled) AS v
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s
+       |  FROM sv GROUP BY label, dim
+       |), cent AS (
+       |  SELECT label, list(s ORDER BY dim) AS c FROM sums GROUP BY label
+       |)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  CAST(floor((CAST(${duckDot("a.c", "b.c")} AS DOUBLE)
+       |    / (sqrt(CAST(${duckDot("a.c", "a.c")} AS DOUBLE))
+       |       * sqrt(CAST(${duckDot("b.c", "b.c")} AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)
+       |    / CAST(1000000 AS DOUBLE) AS sim
+       |FROM cent a JOIN cent b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
+    val sums = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(Similarity.scaled(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(sum("v").as("s"))
+    val cent = sums.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("s")))),
+        x => x("s")).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        graft.functions.Exact.roundPortable(
+          Similarity.dotScaled(col("ca"), col("cb")).cast("double") /
+            (sqrt(Similarity.dotScaled(col("ca"), col("ca")).cast("double")) *
+              sqrt(Similarity.dotScaled(col("cb"), col("cb")).cast("double"))),
+          6).as("sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
-    q124PqAdc)
+    q124PqAdc, q133CentroidSim)
 }

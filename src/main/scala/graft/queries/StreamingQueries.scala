@@ -264,8 +264,26 @@ object StreamingQueries {
       .orderBy("custkey")
   }
 
+  /** Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
+    * unlike q55's unbounded dropDuplicates (state grows with distinct keys
+    * forever), this operator evicts key state once the watermark passes —
+    * the only dedup a continuous production stream can afford. With a delay
+    * covering the whole drained file, eviction removes nothing the drain
+    * still needs, so the result must equal the batch DISTINCT exactly —
+    * gating the eviction-capable operator itself, not just its spec.
+    */
+  val q134StreamingDedupBounded: Q = Q(
+    "q134_streaming_dedup_bounded",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.distinctUserEventTypes(df, Some("100 days")),
+      "q134_mem", OutputMode.Append)
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
-    q77FmgwsSessions, q130IncrementalMerge)
+    q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded)
 }
