@@ -282,8 +282,38 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Multimodal decode path made driver-checkable: the synthetic media
+    * table (md5-derived 128-byte blobs) runs through the REAL executor-side
+    * decode shape — `mapPartitions` with a per-partition codec context
+    * (Media.decodeFrames) — and the gate emits the per-position byte sums
+    * recovered from the decoded float features. Recovery is exact:
+    * feature[k] = (Σ_{j<8} byte_{j,k}/255f)/8, and the accumulated float
+    * error (~1e-7) is three orders below the 1/2040 rounding slack, so
+    * round(feature·2040) is the integer Σ byte_{j,k} bit-for-bit. The
+    * oracle rebuilds the same sums from md5 hex directly — proving blob
+    * synthesis, the typed frame schema, and the decode fan-out end to end
+    * without a codec library in the container.
+    */
+  val q135MediaFeatures: Q = Q(
+    "q135_media_features",
+    """SELECT doc_id AS media_id, k AS pos,
+      |  CAST(sum(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || text), 2*k+1, 2)) AS INT)) AS BIGINT) AS byte_sum
+      |FROM documents, generate_series(0, 7) tj(j), generate_series(0, 15) tk(k)
+      |GROUP BY doc_id, k
+      |ORDER BY media_id, pos""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val decoded = Media.decodeFrames(s,
+      Media.syntheticMediaFromDocs(Tables.documents(s, dir)))
+    decoded.toDF()
+      .select(col("media_id"), posexplode(col("pixels")).as(Seq("pos", "f")))
+      .select(col("media_id"), col("pos"),
+        round(col("f").cast("double") * 2040).cast("long").as("byte_sum"))
+      .orderBy("media_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
-    q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded)
+    q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
+    q135MediaFeatures)
 }
