@@ -11,7 +11,7 @@ import graft.stages._
   * one driver process.
   *
   * Usage:
-  *   discover        <dataRoot> <manifestOut> [--full-hash] [--only-chunks c1,c2] [--since ISO8601]
+  *   discover        <dataRoot> <manifestOut> [--full-hash] [--only-chunks c1,c2] [--since ISO8601] [--all] [--stdout]
   *   validate        <manifest> <metaDir> <outDir> [--tolerance N] [--fps F] [--skip-video]
   *   stats           <statsJsonl> <outJson> [--valid-ids path] [--features f1,f2]
   *   align-transform <dataDir> <outDir> [--stats path] [--no-normalize]
@@ -50,7 +50,18 @@ object Main {
         fullHash = rest.contains("--full-hash"),
         onlyChunks = flag(rest, "--only-chunks").map(_.split(",").toSet))
       val delta = Discover.run(spark, dataRoot, manifestOut, cfg)
-      if (rest.contains("--stdout")) {
+      val tableCols = Seq("chunk", "episode_index", "status", "parquet_uri")
+      if (rest.contains("--all")) {
+        // reference `neura discover --all` (scripts/neura.py:60-63): print
+        // the FULL stored manifest, not the delta — same 4 columns, same
+        // sort; Polars' table repr truncates long frames, Spark's show(20)
+        // is the analogous display (row count printed above it).
+        val full = spark.read.parquet(manifestOut)
+          .select(tableCols.head, tableCols.tail: _*)
+          .orderBy("chunk", "episode_index")
+        println(s"manifest: ${full.count()} rows")
+        full.show(20, truncate = false)
+      } else if (rest.contains("--stdout")) {
         // JSONL delta emission (reference scripts/neura.py:66-74): one JSON
         // object per delta row, reference column order, nulls kept.
         import org.apache.spark.sql.functions.{col, struct, to_json}

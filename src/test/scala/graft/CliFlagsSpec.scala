@@ -58,6 +58,21 @@ class CliFlagsSpec extends SparkSuite {
       List("--train", "0.0", "--val", "0.0", "--test", "1.0")) === Set("test"))
   }
 
+  test("discover: --all prints the FULL stored manifest, not the delta") {
+    val root = buildRoot()
+    val manifest = s"$root/manifest.parquet"
+    cli.Main.run(spark, List("discover", root, manifest))
+    // second run has an EMPTY delta; --all must still print all 3 rows from
+    // the stored manifest (reference neura.py:60-63 reads the manifest back)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      cli.Main.run(spark, List("discover", root, manifest, "--all"))
+    }
+    val printed = out.toString
+    assert(printed.contains("manifest: 3 rows"), printed.take(200))
+    assert(printed.contains("episode_index"))
+  }
+
   test("stats: --features narrows the reduced feature set") {
     val root = buildRoot()
     val out = s"$root/gs_action.json"
