@@ -13,9 +13,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  // The loaders below assert the column types the engine's arithmetic
+  // depends on (round-6 lesson: the driver regenerates testdata between
+  // rounds, and a silent physical-type change either kills gates with deep
+  // Catalyst errors or — worse — silently changes results, e.g. a DECIMAL
+  // price would round cents differently). Temporal columns accept the
+  // date/timestamp family (downstream casts normalize); numeric and string
+  // columns are pinned. Schema-only checks — no data is read.
+  import org.apache.spark.sql.types._
+  private val temporal: Set[DataType] =
+    Set(DateType, TimestampType, TimestampNTZType)
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "lineitem"), "lineitem",
+      "l_orderkey" -> Set[DataType](LongType),
+      "l_quantity" -> Set[DataType](DoubleType),
+      "l_extendedprice" -> Set[DataType](DoubleType),
+      "l_discount" -> Set[DataType](DoubleType),
+      "l_shipdate" -> temporal)
+  def orders(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "orders"), "orders",
+      "o_orderkey" -> Set[DataType](LongType),
+      "o_custkey" -> Set[DataType](LongType),
+      "o_totalprice" -> Set[DataType](DoubleType),
+      "o_orderdate" -> temporal)
+  def customer(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "customer"), "customer",
+      "c_custkey" -> Set[DataType](LongType),
+      "c_acctbal" -> Set[DataType](DoubleType))
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -31,7 +56,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw = assertColumnTypes(load(s, d, "events"), "events",
+      "event_id" -> Set[DataType](LongType),
+      "user_id" -> Set[DataType](LongType),
+      "value" -> Set[DataType](DoubleType),
+      "event_type" -> Set[DataType](StringType))
     raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, "events"))
   }
 
@@ -58,7 +87,13 @@ object Tables {
           "TIMESTAMP_NTZ (parquet micros), TIMESTAMP")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "documents"), "documents",
+      "doc_id" -> Set[DataType](LongType),
+      "text" -> Set[DataType](StringType),
+      "source" -> Set[DataType](StringType),
+      "lang" -> Set[DataType](StringType),
+      "n_chars" -> Set[DataType](LongType))
 
   /** Guard against physical-type drift in driver-regenerated testdata: check
     * each named column's loaded type against its supported set and fail with
@@ -89,5 +124,13 @@ object Tables {
     */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "embeddings"), "embeddings",
+      "vec_id" -> Set[DataType](LongType),
+      // scaled-int math casts through double, so either float width loads
+      "embedding" -> Set[DataType](
+        ArrayType(FloatType), ArrayType(DoubleType),
+        ArrayType(FloatType, containsNull = false),
+        ArrayType(DoubleType, containsNull = false)),
+      "label" -> Set[DataType](IntegerType, LongType))
 }
