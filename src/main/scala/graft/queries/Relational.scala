@@ -447,6 +447,46 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** As-of FORWARD join: every purchase matched to the user's NEXT click
+    * at or after it (response attribution), via the same union + one-window
+    * merge as q44 with the frame flipped — `first_value IGNORE NULLS` over
+    * `ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING`. One key shuffle,
+    * no range explosion; tie contract mirrored in the oracle (left before
+    * right at equal ts, smallest event_id among equal right ts).
+    */
+  val q136AsofForward: Q = Q(
+    "q136_asof_forward",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, 1 AS side,
+      |    event_id AS tb, epoch_us(CAST(ts AS TIMESTAMP)) AS rts,
+      |    event_id AS cid, CAST(NULL AS BIGINT) AS eid
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 0,
+      |    event_id, NULL, NULL, event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts_us, side, eid,
+      |    first_value(rts IGNORE NULLS) OVER w AS asof_ts_us,
+      |    first_value(cid IGNORE NULLS) OVER w AS click_id
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tb
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, ts_us, eid AS event_id, asof_ts_us, click_id
+      |FROM c WHERE side = 0
+      |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    val clicks = base.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id")
+    graft.ops.AsOfJoin.forward(purchases, clicks, "user_id", "ts_us",
+      "event_id", Seq("event_id" -> "click_id"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Range join (extension surface — no Spark built-in): lineitems
     * matched to IRREGULAR quantity bands `[lo, hi)` via the bucketized
     * equi-join (ops/RangeJoin) instead of an un-plannable theta join.
@@ -962,5 +1002,5 @@ object Relational {
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
-    q131PartitionPrune, q132BucketedJoin)
+    q131PartitionPrune, q132BucketedJoin, q136AsofForward)
 }

@@ -67,6 +67,43 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.getAs[String]("match_tag") === null)
   }
 
+  private def bruteForceFwd(tolerance: Option[Long]): Map[Long, Option[Long]] =
+    lefts.map { case (k, lts, lid) =>
+      val candidates = rights.filter { case (rk, rts, _, _) =>
+        rk == k && rts >= lts && tolerance.forall(t => rts - lts <= t)
+      }
+      // earliest ts wins; among equal ts, SMALLEST tiebreak id wins
+      val best = candidates.sortBy { case (_, rts, rid, _) => (rts, rid) }.headOption
+      lid -> best.map(_._3)
+    }.toMap
+
+  private def runFwd(tolerance: Option[Long]): Map[Long, Option[Long]] = {
+    val l = lefts.toDF("k", "ts", "id")
+    val r = rights.toDF("k", "ts", "id", "tag")
+    AsOfJoin.forward(l, r, "k", "ts", "id",
+      Seq("id" -> "match_id", "tag" -> "match_tag"), tolerance)
+      .collect()
+      .map(row => row.getAs[Long]("id") ->
+        Option(row.getAs[Any]("match_id")).map(_.asInstanceOf[Long]))
+      .toMap
+  }
+
+  test("forward as-of join matches brute force (no tolerance and with horizon)") {
+    assert(runFwd(None) === bruteForceFwd(None))
+    val bounded = runFwd(Some(50L))
+    assert(bounded === bruteForceFwd(Some(50L)))
+    assert(runFwd(None).values.flatten.size > bounded.values.flatten.size)
+  }
+
+  test("forward as-of: a right row AT the left timestamp matches") {
+    val l = Seq((1L, 100L, 10L)).toDF("k", "ts", "id")
+    val r = Seq((1L, 100L, 30L, Some("now")), (1L, 110L, 31L, Some("later")))
+      .toDF("k", "ts", "id", "tag")
+    val out = AsOfJoin.forward(l, r, "k", "ts", "id",
+      Seq("id" -> "match_id", "tag" -> "match_tag")).collect().head
+    assert(out.getAs[Long]("match_id") === 30L)
+  }
+
   test("non-numeric tiebreak column resolves equal-ts ties deterministically") {
     // Two right rows at the same ts; the larger STRING tiebreak must win
     // (pre-fix, the unconditional cast-to-long nulled every string id).
