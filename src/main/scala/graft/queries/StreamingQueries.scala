@@ -311,9 +311,32 @@ object StreamingQueries {
       .orderBy("media_id", "pos")
   }
 
+  /** Exactly-once across a stop/restart: the hourly aggregation drained in
+    * two checkpointed queries (file 1, stop, file 2 arrives, resume). The
+    * file-source commit log must not replay file 1 and the state store must
+    * restore its counts — the final Complete-mode emission equals the
+    * one-shot batch answer over all events (q33's oracle verbatim). Replay
+    * doubles counts, state loss halves them; both break the hash.
+    */
+  val q137StreamRestart: Q = Q(
+    "q137_stream_restart",
+    """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events WHERE event_id % 4 = 0
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    // a 1/4 slice: the contract under test is recovery (no replay, no state
+    // loss), which needs two checkpointed drains, not the full volume
+    EventStream.runWithRestart(s, s"$dir/events.parquet",
+      EventStream.hourlyAgg, "q137_mem",
+      rowFilter = col("event_id") % 4 === 0)
+      .orderBy("hour_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
-    q135MediaFeatures)
+    q135MediaFeatures, q137StreamRestart)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -222,6 +222,57 @@ object EventStream {
             s"[$ctlMinUs, $ctlMaxUs]us — ts ingestion is corrupting " +
             "event-times (wrong source schema?)")
     }
+  }
+
+  /** Checkpointed stop/restart drain — the exactly-once recovery contract.
+    * The events file is split in two; the FIRST query drains file 1 with an
+    * explicit checkpoint and stops; file 2 then lands in the source
+    * directory and a SECOND query (same checkpoint, same transform) resumes:
+    * the file-source commit log must skip file 1 (no double counting) and
+    * the state store must restore file 1's aggregation state (no lost
+    * counts). Complete mode re-emits the full recovered state into the
+    * fresh memory sink, so the final table must equal the one-shot batch
+    * answer over BOTH files — either failure mode (replay or state loss)
+    * breaks the oracle hash. Memory sink + checkpoint is the documented
+    * debug-recovery combination for Complete mode.
+    */
+  def runWithRestart(spark: SparkSession, eventsPath: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      statePartitions: Int = 4,
+      rowFilter: Column = lit(true)): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val inDir = s"$tmp/in"
+    val ckpt = s"$tmp/ckpt"
+    val src = ss.read.parquet(eventsPath).filter(rowFilter)
+    val tsType = src.schema("ts").dataType
+    val half = pmod(xxhash64(col("event_id")), lit(2))
+    graft.io.SingleFile.writeParquetAtomic(
+      src.filter(half === 0), s"$inDir/part1.parquet")
+    def drain(qn: String): Unit = {
+      val stream = ss.readStream
+        .schema(StructType(eventSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f)))
+        .parquet(inDir)
+        .withColumn("ts", graft.Tables.normalizeTs(tsType, "events-restart"))
+      val q = transform(stream).writeStream
+        .format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(queryName + "_pre") // drains file 1, commits it in the source log
+    graft.io.SingleFile.writeParquetAtomic(
+      src.filter(half === 1), s"$inDir/part2.parquet")
+    drain(queryName) // resumes from the checkpoint: file 2 only + restored state
+    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    ss.table(queryName)
   }
 
   /** Drive a streaming DataFrame from the static events parquet through a
