@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = driver AND all executor threads share this one heap; 8g
+  // starved the persist/shuffle-heavy gates into GC thrash (2x run-to-run
+  // bench variance on a 125 GiB idle host). 24g keeps spills off the hot
+  // path while leaving room for a concurrent verify JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
