@@ -98,23 +98,44 @@ object Tables {
   /** Guard against physical-type drift in driver-regenerated testdata: check
     * each named column's loaded type against its supported set and fail with
     * a single actionable message (table, column, found vs supported) instead
-    * of a deep Catalyst DATATYPE_MISMATCH ten operators downstream. Returns
-    * the frame unchanged so loaders can apply it inline.
+    * of a deep Catalyst DATATYPE_MISMATCH ten operators downstream.
+    *
+    * Benign drift is CONFORMED, not fatal (the round-6 lesson cuts both
+    * ways — a hard assert on INT32 vs INT64 would recreate the dead-gate
+    * disaster on the next regeneration): when the supported set names a
+    * canonical integral (LongType) or floating (DoubleType) type, any
+    * narrower member of the same family loads fine and is cast up to the
+    * canonical type, so downstream arithmetic sees one width everywhere.
+    * DECIMAL is deliberately NOT accepted for double columns — decimal
+    * aggregation semantics differ from IEEE double on both engines, and
+    * that drift deserves a loud stop, not a silent cast.
     */
   def assertColumnTypes(df: DataFrame, table: String,
       expected: (String, Set[org.apache.spark.sql.types.DataType])*): DataFrame = {
-    val problems = expected.flatMap { case (name, ok) =>
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val floating: Set[DataType] = Set(FloatType, DoubleType)
+    def widened(ok: Set[DataType], found: DataType): Option[DataType] =
+      if (ok.contains(LongType) && integral.contains(found)) Some(LongType)
+      else if (ok.contains(DoubleType) && floating.contains(found)) Some(DoubleType)
+      else None
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val casts = scala.collection.mutable.ArrayBuffer.empty[(String, DataType)]
+    expected.foreach { case (name, ok) =>
       df.schema.find(_.name == name) match {
-        case None => Some(s"$table.$name: column missing from loaded schema")
-        case Some(f) if !ok.contains(f.dataType) =>
-          Some(s"$table.$name: got ${f.dataType.sql}; supported: " +
-            ok.map(_.sql).toSeq.sorted.mkString(", "))
-        case _ => None
+        case None => problems += s"$table.$name: column missing from loaded schema"
+        case Some(f) if ok.contains(f.dataType) => ()
+        case Some(f) => widened(ok, f.dataType) match {
+          case Some(canonical) => casts += (name -> canonical)
+          case None =>
+            problems += s"$table.$name: got ${f.dataType.sql}; supported: " +
+              ok.map(_.sql).toSeq.sorted.mkString(", ")
+        }
       }
     }
     if (problems.nonEmpty) throw new IllegalArgumentException(
       "graft.Tables schema drift — " + problems.mkString("; "))
-    df
+    casts.foldLeft(df) { case (d, (name, t)) =>
+      d.withColumn(name, org.apache.spark.sql.functions.col(name).cast(t)) }
   }
 
   /** Documents spread across the default parallelism: the testdata tables

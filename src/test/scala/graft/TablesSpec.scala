@@ -142,4 +142,21 @@ class TablesSpec extends SparkSuite {
     assert(e.getMessage.contains("events.value"))
     assert(e.getMessage.contains("DOUBLE"))
   }
+
+  test("benign narrower numerics are conformed up, not fatal") {
+    // INT32 key + FLOAT value: same families as the canonical types — the
+    // loader must widen them to LONG/DOUBLE instead of killing every gate
+    // on the next testdata regeneration
+    import spark.implicits._
+    val d = tmpDir("num-widen")
+    Seq((1, 1.5f), (2, 2.5f)).toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val df = spark.read.parquet(s"$d/events.parquet")
+    val out = Tables.assertColumnTypes(df, "events",
+      "event_id" -> Set[DataType](LongType),
+      "value" -> Set[DataType](DoubleType))
+    assert(out.schema("event_id").dataType === LongType)
+    assert(out.schema("value").dataType === DoubleType)
+    assert(out.agg(sum("event_id")).head().getLong(0) === 3L)
+  }
 }
