@@ -334,9 +334,34 @@ object StreamingQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** The decode→resize chain end-to-end: q135's decoded 16-float features
+    * resampled to 4 bins (fixed-width averaging — the deterministic
+    * stand-in for pixel-space interpolation). Recovery trick as q135's,
+    * one level up: resized[r] = (Σ_{k∈4r..4r+3} feature[k])/4, so
+    * round(resized·4·2040) is the exact 32-byte group sum (float error
+    * still three orders under the rounding slack). Oracle groups the md5
+    * bytes by k DIV 4.
+    */
+  val q138MediaResize: Q = Q(
+    "q138_media_resize",
+    """SELECT doc_id AS media_id, k // 4 AS pos,
+      |  CAST(sum(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || text), 2*k+1, 2)) AS INT)) AS BIGINT) AS byte_sum
+      |FROM documents, generate_series(0, 7) tj(j), generate_series(0, 15) tk(k)
+      |GROUP BY doc_id, k // 4
+      |ORDER BY media_id, pos""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val decoded = Media.decodeFrames(s,
+      Media.syntheticMediaFromDocs(Tables.documents(s, dir)))
+    Media.resizeFeatures(s, decoded, targetLen = 4)
+      .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "f")))
+      .select(col("media_id"), col("pos"),
+        round(col("f").cast("double") * 4 * 2040).cast("long").as("byte_sum"))
+      .orderBy("media_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
-    q135MediaFeatures, q137StreamRestart)
+    q135MediaFeatures, q137StreamRestart, q138MediaResize)
 }
