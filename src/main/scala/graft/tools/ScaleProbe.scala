@@ -189,6 +189,19 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"[probe] embeddings: ${emb.count()}")
+    t("centroid-sim 50k vecs (q133 shape: explode+groupBy → k² pairwise)") {
+      val sums = emb.select(col("label"),
+          posexplode(Similarity.scaled(col("embedding"))).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(sum("v").as("s"))
+      val cent = sums.groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("s")))),
+          x => x("s")).as("c"))
+      val a = cent.select(col("label").as("la"), col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("c").as("cb"))
+      val n = a.join(b, col("la") < col("lb"))
+        .select(Similarity.dotScaled(col("ca"), col("cb"))).count()
+      println(s"[probe]   centroid pairs: $n")
+    }
     t("signLshTopK 50k vecs") {
       val n = Similarity.signLshTopK(emb, "vec_id", "embedding",
         col("vec_id") % 250 === 0, 5, 4, "lsh1").count()
