@@ -487,6 +487,33 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Semi-structured VARIANT path (Spark 4): the props JSON parsed into the
+    * binary VariantType (`parse_json`) and fields read back with typed
+    * `variant_get` — the open-schema alternative to q58's declared-schema
+    * `from_json` (no schema up front; shredded field access at scan speed).
+    * Same engine-visible contract, different decode path, both gated.
+    */
+  val q139VariantProps: Q = Q(
+    "q139_variant_props",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_res,
+      |  count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events
+      |WHERE props IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY k_res""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("props").isNotNull)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        col("value"))
+      .groupBy((col("k") % 7).as("k_res"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy("k_res")
+  }
+
   /** Range join (extension surface — no Spark built-in): lineitems
     * matched to IRREGULAR quantity bands `[lo, hi)` via the bucketized
     * equi-join (ops/RangeJoin) instead of an un-plannable theta join.
@@ -1002,5 +1029,6 @@ object Relational {
     q56CdcUpsert, q58PropsExtract, q60UserJourneys, q71ZOrder,
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
-    q131PartitionPrune, q132BucketedJoin, q136AsofForward)
+    q131PartitionPrune, q132BucketedJoin, q136AsofForward,
+    q139VariantProps)
 }
