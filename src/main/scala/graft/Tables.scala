@@ -41,10 +41,33 @@ object Tables {
     assertColumnTypes(load(s, d, "customer"), "customer",
       "c_custkey" -> Set[DataType](LongType),
       "c_acctbal" -> Set[DataType](DoubleType))
-  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
-  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  // The four dimension tables get the same drift tripwire as the facts
+  // (round-7 advice #7: these were raw `load`, a side door for the next
+  // regeneration to revive the round-6 failure mode). Key columns accept
+  // either integral width unchanged (gates that output them raw must keep
+  // the physical type the oracle sees); money columns are pinned DOUBLE.
+  def supplier(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "supplier"), "supplier",
+      "s_suppkey" -> Set[DataType](IntegerType, LongType),
+      "s_name" -> Set[DataType](StringType),
+      "s_nationkey" -> Set[DataType](IntegerType, LongType),
+      "s_acctbal" -> Set[DataType](DoubleType))
+  def part(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "part"), "part",
+      "p_partkey" -> Set[DataType](IntegerType, LongType),
+      "p_name" -> Set[DataType](StringType),
+      "p_brand" -> Set[DataType](StringType),
+      "p_size" -> Set[DataType](IntegerType, LongType),
+      "p_retailprice" -> Set[DataType](DoubleType))
+  def nation(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "nation"), "nation",
+      "n_nationkey" -> Set[DataType](IntegerType, LongType),
+      "n_name" -> Set[DataType](StringType),
+      "n_regionkey" -> Set[DataType](IntegerType, LongType))
+  def region(s: SparkSession, d: String): DataFrame =
+    assertColumnTypes(load(s, d, "region"), "region",
+      "r_regionkey" -> Set[DataType](IntegerType, LongType),
+      "r_name" -> Set[DataType](StringType))
   /** The events table's `ts` column has drifted across testdata generations:
     * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
     * via spark.sql.legacy.parquet.nanosAsLong, surfacing as INT64) and

@@ -105,7 +105,12 @@ object Cluster {
     * centers are the component minima.
     */
   def alternatingStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      // observer for scale probes: (round, edge count after the round,
+      // seconds) — per-round shuffle volume IS the edge count, so the hook
+      // makes the O(log n) round bound and the shrinking per-round work
+      // measurable without instrumenting the loop from outside
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = pairs.sparkSession
     val chain = new CheckpointChain(spark)
     val nodesChain = new CheckpointChain(spark)
@@ -144,6 +149,7 @@ object Cluster {
     var converged = prevFp._1 == 0L // no edges at all = already a fixpoint
     var i = 0
     while (!converged && i < maxIter) {
+      val roundT0 = System.nanoTime()
       // large-star: m = min over the full neighborhood (incl. self);
       // rewire strictly-larger neighbors to m
       val mLarge = edges.groupBy("src")
@@ -164,6 +170,7 @@ object Cluster {
       converged = fp._1 == prevFp._1 && fp._2.compareTo(prevFp._2) == 0
       prevFp = fp
       i += 1
+      onRound(i, fp._1, (System.nanoTime() - roundT0) / 1e9)
     }
     require(converged, s"alternatingStar did not converge in $maxIter rounds")
     val out = chain.next(currentLabels) // frees the final edge round too

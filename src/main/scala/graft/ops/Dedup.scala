@@ -33,6 +33,106 @@ object Dedup {
     */
   val AutoSubBlockTarget: Long = 512L
 
+  /** Cap on per-bucket sub-chunk count for the bucket-keyed joins
+    * ([[minhashLshPairs]], [[crossMinhashLshPairs]],
+    * [[simhashHammingPairs]]). Higher than [[jaccardPairs]]'s global cap
+    * of 16 because the per-bucket scheme replicates ONLY hot-bucket rows:
+    * a viral 70k-member bucket at s=64 costs 64× replication of those 70k
+    * rows (4.5M rows — trivial) while spreading its ~2.4B candidate pairs
+    * over 64² = 4096 reducers (~0.6M pairs each).
+    */
+  val MaxBucketSubChunks: Int = 64
+
+  /** Per-bucket pairs-aware sub-chunking for a bucket-keyed SELF-join —
+    * the hot-bucket guard for the LSH band joins. A band-bucket self-join
+    * shuffles on the bucket key alone, so t near-identical documents in
+    * one bucket put t²/2 candidate pairs through ONE reducer (viral
+    * duplicates are exactly this shape: a 705-member cluster at sf0.1 ⇒
+    * ~70k members at 100×, ~2.4B pairs on one core).
+    *
+    * Same replicated-triangular decomposition as [[jaccardPairs]] (side A
+    * replicates under (bucket, c, 0..s-1), side B under (bucket, 0..s-1,
+    * c); a pair with chunks (cx, cy) meets on EXACTLY (bucket, cx, cy) —
+    * every pair once, no dedup pass), but the chunk count s is PER BUCKET:
+    * s = ceil(population / [[AutoSubBlockTarget]]), capped at
+    * [[MaxBucketSubChunks]]. Only over-budget buckets are listed in the
+    * broadcast "hot plan" (≤ rows/512 entries by construction — a bucket
+    * must exceed 512 rows to appear, so the plan is always a vanishing
+    * fraction of the table); cold buckets join against nothing and keep
+    * s=1. When NO bucket is over budget the fast path returns the inputs
+    * untouched — the common case pays one map-side-combined count over the
+    * already-persisted key table and nothing else, and the join plan is
+    * identical to the unguarded one.
+    *
+    * Returns the two join sides plus the join key columns
+    * (`bucketCols` or `bucketCols ++ (_ca, _cb)`).
+    */
+  private def chunkedSelfJoinSides(keys: DataFrame, bucketCols: Seq[String],
+      idCol: String): (DataFrame, DataFrame, Seq[String]) = {
+    val counts = keys.groupBy(bucketCols.map(col): _*).count()
+    val maxRow = counts.agg(max("count")).head()
+    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxBucket <= AutoSubBlockTarget) (keys, keys, bucketCols)
+    else {
+      val hot = broadcast(counts.filter(col("count") > AutoSubBlockTarget)
+        .withColumn("_s", least(lit(MaxBucketSubChunks),
+          ceil(col("count").cast("double") / AutoSubBlockTarget)).cast("int"))
+        .drop("count"))
+      val withS = keys.join(hot, bucketCols, "left")
+        .withColumn("_s", coalesce(col("_s"), lit(1)))
+      val chunk = pmod(xxhash64(col(idCol)), col("_s")).cast("int")
+      val reps = explode(sequence(lit(0), col("_s") - 1))
+      val a = withS.withColumn("_ca", chunk).withColumn("_cb", reps).drop("_s")
+      val b = withS.withColumn("_ca", reps).withColumn("_cb", chunk).drop("_s")
+      (a, b, bucketCols ++ Seq("_ca", "_cb"))
+    }
+  }
+
+  /** Cross-join flavor of [[chunkedSelfJoinSides]]: left×right bucket join
+    * with per-bucket 2-D chunking. For a bucket with L left rows and R
+    * right rows, left chunks into s_l = ceil(L/target) and right into
+    * s_r = ceil(R/target); each left row replicates across the right's
+    * chunks and vice versa, so a (l, r) pair meets on exactly
+    * (bucket, chunk_l, chunk_r) and per-reducer work is bounded by
+    * ~target² pairs. The hot plan holds only buckets over budget on
+    * EITHER side and is broadcast; the all-cold fast path returns the
+    * inputs untouched. The plan join is inner on the counts pair, which
+    * also prunes bucket rows with no counterpart on the other side —
+    * those produce no pairs anyway.
+    */
+  private def chunkedCrossJoinSides(ls: DataFrame, rs: DataFrame,
+      bucketCols: Seq[String], leftId: String, rightId: String)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    val lc = ls.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_lc"))
+    val rc = rs.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_rc"))
+    val both = lc.join(rc, bucketCols)
+    val maxRow = both.agg(max("_lc"), max("_rc")).head()
+    val maxL = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxR = if (maxRow.isNullAt(1)) 0L else maxRow.getLong(1)
+    if (maxL <= AutoSubBlockTarget && maxR <= AutoSubBlockTarget) (ls, rs, bucketCols)
+    else {
+      def sOf(c: Column): Column = least(lit(MaxBucketSubChunks),
+        ceil(c.cast("double") / AutoSubBlockTarget)).cast("int")
+      val hot = broadcast(both
+        .filter(col("_lc") > AutoSubBlockTarget || col("_rc") > AutoSubBlockTarget)
+        .select(bucketCols.map(col) ++
+          Seq(sOf(col("_lc")).as("_sl"), sOf(col("_rc")).as("_sr")): _*))
+      val l2 = ls.join(hot, bucketCols, "left")
+        .withColumn("_sl", coalesce(col("_sl"), lit(1)))
+        .withColumn("_sr", coalesce(col("_sr"), lit(1)))
+        .withColumn("_cl", pmod(xxhash64(col(leftId)), col("_sl")).cast("int"))
+        .withColumn("_cr", explode(sequence(lit(0), col("_sr") - 1)))
+        .drop("_sl", "_sr")
+      val r2 = rs.join(hot, bucketCols, "left")
+        .withColumn("_sl", coalesce(col("_sl"), lit(1)))
+        .withColumn("_sr", coalesce(col("_sr"), lit(1)))
+        .withColumn("_cl", explode(sequence(lit(0), col("_sl") - 1)))
+        .withColumn("_cr", pmod(xxhash64(col(rightId)), col("_sr")).cast("int"))
+        .drop("_sl", "_sr")
+      (l2, r2, bucketCols ++ Seq("_cl", "_cr"))
+    }
+  }
+
   def hash60(c: Column, seed: String, portable: Boolean): Column =
     if (portable) Hashing.hash60(c, seed)
     else abs(xxhash64(lit(seed), c))
@@ -220,13 +320,18 @@ object Dedup {
     * Σ bucket² — tuned by (bands × rowsPerBand) against the target
     * similarity threshold.
     */
-  /** Shared prep for the LSH joins: shingle-sorted base + exploded
-    * (band, bucket) rows, both persisted (see the barrier notes in
-    * [[minhashLshPairs]]).
+  /** Shared prep for the LSH joins: the shingle-sorted base plus the
+    * exploded (id, band, bucket) key table, both persisted (see the
+    * barrier notes in [[minhashLshPairs]]). The key table deliberately
+    * does NOT carry the shingle arrays: the candidate join + distinct
+    * shuffles up to bands × Σ bucket² rows, and moving the token payload
+    * through that shuffle is the dominant byte cost at corpus scale — the
+    * payload re-joins AFTER the distinct, when only |unique pairs| rows
+    * remain (measured on the 10k-duplicate-spam ScaleProbe entry).
     */
   private def bandedShingles(df: DataFrame, idCol: String, shinglesCol: String,
       bands: Int, rowsPerBand: Int, seed: String,
-      portable: Boolean): DataFrame = {
+      portable: Boolean): (DataFrame, DataFrame) = {
     val base = df
       .filter(size(col(shinglesCol)) > 0)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -236,9 +341,10 @@ object Dedup {
       if (portable) graft.functions.MinHashBandKeys(col(shinglesCol), bands, rowsPerBand, seed)
       else lshBandKeys(minhashSignature(col(shinglesCol), bands * rowsPerBand, seed, portable),
         bands, rowsPerBand)
-    base
-      .select(col(idCol), col(shinglesCol), posexplode(bandKeysCol).as(Seq("band", "bucket")))
+    val keys = base
+      .select(col(idCol), posexplode(bandKeysCol).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (base, keys)
   }
 
   /** Cross-corpus MinHash+LSH near-dup: (left_id, right_id, jac) pairs
@@ -256,18 +362,24 @@ object Dedup {
   def crossMinhashLshPairs(left: DataFrame, right: DataFrame, idCol: String,
       shinglesCol: String, bands: Int, rowsPerBand: Int, seed: String,
       threshold: Double, portable: Boolean = true): DataFrame = {
-    val ls = bandedShingles(left, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
-      .select(col("band"), col("bucket"), col(idCol).as("id_left"),
-        col(shinglesCol).as("toks_a"))
-    val rs = bandedShingles(right, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
-      .select(col("band"), col("bucket"), col(idCol).as("id_right"),
-        col(shinglesCol).as("toks_b"))
+    val (lBase, lKeys) = bandedShingles(left, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
+    val (rBase, rKeys) = bandedShingles(right, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
+    val ls0 = lKeys.select(col("band"), col("bucket"), col(idCol).as("id_left"))
+    val rs0 = rKeys.select(col("band"), col("bucket"), col(idCol).as("id_right"))
+    // hot-bucket guard: per-bucket 2-D chunking bounds any reducer at
+    // ~target² candidate pairs even when one bucket goes viral
+    val (ls, rs, joinKeys) = chunkedCrossJoinSides(ls0, rs0,
+      Seq("band", "bucket"), "id_left", "id_right")
+    // narrow candidate pairs first; token payloads re-join after the distinct
+    val candidates = ls.join(rs, joinKeys)
+      .select("id_left", "id_right")
+      .dropDuplicates("id_left", "id_right")
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
     val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
-    ls.join(rs, Seq("band", "bucket"))
-      .select("id_left", "id_right", "toks_a", "toks_b")
-      .dropDuplicates("id_left", "id_right")
+    candidates
+      .join(lBase.select(col(idCol).as("id_left"), col(shinglesCol).as("toks_a")), "id_left")
+      .join(rBase.select(col(idCol).as("id_right"), col(shinglesCol).as("toks_b")), "id_right")
       .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jac") >= threshold)
       .select(col("id_left"), col("id_right"), col("jac"))
@@ -295,18 +407,23 @@ object Dedup {
     // kernel (bit-identical to the composed signature → band-keys
     // pipeline — see its scaladoc for why the composed form is
     // pathological).
-    val sigs = bandedShingles(df, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
-    val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-      col(shinglesCol).as("toks_a"))
-    val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-      col(shinglesCol).as("toks_b"))
+    val (base, keys) = bandedShingles(df, idCol, shinglesCol, bands, rowsPerBand, seed, portable)
+    // hot-bucket guard: per-bucket replicated-triangular sub-chunking —
+    // a viral bucket's t²/2 pairs spread over s² reducers instead of one
+    val (ka, kb, joinKeys) = chunkedSelfJoinSides(keys, Seq("band", "bucket"), idCol)
+    val a = ka.select(joinKeys.map(col) :+ col(idCol).as("id_a"): _*)
+    val b = kb.select(joinKeys.map(col) :+ col(idCol).as("id_b"): _*)
+    // narrow candidate pairs first; token payloads re-join after the distinct
+    val candidates = a.join(b, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
     val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "toks_a", "toks_b")
-      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(base.select(col(idCol).as("id_a"), col(shinglesCol).as("toks_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col(shinglesCol).as("toks_b")), "id_b")
       .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -364,11 +481,14 @@ object Dedup {
           shiftright(col(simhashCol), i * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "bval")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = keys.select(col("band"), col("bval"),
-      col(idCol).as("id_a"), col(simhashCol).as("sh_a"))
-    val b = keys.select(col("band"), col("bval"),
-      col(idCol).as("id_b"), col(simhashCol).as("sh_b"))
-    a.join(b, Seq("band", "bval"))
+    // hot-bucket guard: identical signatures all land in the SAME band
+    // buckets, so duplicate spam concentrates here too
+    val (ka, kb, joinKeys) = chunkedSelfJoinSides(keys, Seq("band", "bval"), idCol)
+    val a = ka.select((joinKeys.map(col) :+ col(idCol).as("id_a")) :+
+      col(simhashCol).as("sh_a"): _*)
+    val b = kb.select((joinKeys.map(col) :+ col(idCol).as("id_b")) :+
+      col(simhashCol).as("sh_b"): _*)
+    a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))

@@ -54,10 +54,18 @@ object PageRank {
     //    The broadcast join preserves the streamed side's partitioning and
     //    the dst→v alias keeps it visible, so every iteration's groupBy
     //    runs WITHOUT an exchange — zero per-iteration edge shuffles.
-    //  - rank table too big to broadcast (1e8+ nodes): partition on SRC so
-    //    the sort-merge join co-locates against the rank table instead,
-    //    and pay the groupBy shuffle.
-    val broadcastRanks = n <= 10000000L
+    //  - rank table too big to broadcast: partition on SRC so the
+    //    sort-merge join co-locates against the rank table instead, and
+    //    pay the groupBy shuffle.
+    // Cutoff: a (long, long) row costs ~64 B in the driver-built hashed
+    // relation, so 1M nodes ≈ 64 MB re-broadcast per iteration — about the
+    // most a driver should absorb every round (the superseded iteration's
+    // broadcast is reclaimed by ContextCleaner once `chain.unpersist` +
+    // the `pr` reassignment drop the last plan reference, so transient
+    // accumulation is bounded by one round's table, not `iters` of them).
+    // The round-7 10M cutoff risked ~640 MB/round re-broadcasts and
+    // driver memory pressure right at the threshold.
+    val broadcastRanks = n <= 1000000L
     // one prepared, co-partitioned edge table reused by every iteration
     val edgesD = edges.join(deg, "src")
       .repartition(if (broadcastRanks) col("dst") else col("src"))

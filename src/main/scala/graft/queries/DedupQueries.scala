@@ -491,8 +491,76 @@ object DedupQueries {
     }
   }
 
+  /** Duplicate-spam LSH dedup — the hot-bucket guard's ENGAGED path made
+    * driver-checkable (round-7 verdict #1: viral duplicates put t²/2
+    * candidate pairs through one band-bucket join key; the per-bucket
+    * replicated-triangular sub-chunking in Dedup.chunkedSelfJoinSides must
+    * spread that work WITHOUT changing the result set). The corpus is the
+    * first 200 documents plus 600 copies of doc 7's text under fresh ids —
+    * every spam band bucket holds 601 rows, over the 512-row pair budget,
+    * so the guard provably engages at sf0.01. The oracle replays the full
+    * q27 MinHash pipeline over the same spam-augmented corpus; output is
+    * the per-source pair aggregate (a per-pair error anywhere shifts some
+    * id_a's count or jac sum).
+    */
+  val q141LshHotBucket: Q = {
+    val bands = 4; val rows = 3; val seed = "mh"
+    val jacRaw = "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(sh_a || sh_b))"
+    Q(
+      "q141_lsh_hot_bucket",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT 1000000 + g AS doc_id,
+         |    (SELECT text FROM documents WHERE doc_id = 7) AS text
+         |  FROM generate_series(0, 599) t(g)
+         |), docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM corpus)
+         |), sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, ${bands * rows - 1}),
+         |      h -> list_min(list_transform(sh,
+         |        s -> CAST(('0x' || substring(md5('$seed:' || CAST(h AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM docs WHERE len(sh) > 0
+         |), bnd AS (
+         |  SELECT doc_id, sh, b,
+         |    md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+         |  FROM sigs, generate_series(0, ${bands - 1}) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bnd a JOIN bnd b ON a.b = b.b AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT id_a, CAST(floor(($jacRaw) * 1000000 + 0.5) AS BIGINT) AS jac_e6
+         |  FROM cand WHERE $jacRaw >= 0.5
+         |)
+         |SELECT id_a, count(*) AS n_pairs, CAST(sum(jac_e6) AS BIGINT) AS sum_jac_e6
+         |FROM pr GROUP BY id_a ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val spamText = base.filter(col("doc_id") === 7)
+        .select(col("text").as("spam_text")) // 1-row broadcast scalar
+      val spam = s.range(600).select((col("id") + 1000000L).as("doc_id"))
+        .crossJoin(broadcast(spamText))
+        .select(col("doc_id"), col("spam_text").as("text"))
+      val corpus = base.unionByName(spam)
+        .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+      Dedup.minhashLshPairs(corpus, "doc_id", "_sh", bands, rows, seed, 0.5,
+          portable = true)
+        .groupBy("id_a")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("jac") * 1000000 + 0.5)).cast("long").as("sum_jac_e6"))
+        .orderBy("id_a")
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
-    q102LshRecall, q105SplitLeakage, q112SimhashBands)
+    q102LshRecall, q105SplitLeakage, q112SimhashBands, q141LshHotBucket)
 }

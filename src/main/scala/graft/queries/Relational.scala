@@ -501,7 +501,7 @@ object Relational {
       |FROM events
       |WHERE props IS NOT NULL
       |GROUP BY 1
-      |ORDER BY k_res""".stripMargin) { (s, dir) =>
+      |ORDER BY k_res NULLS FIRST""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .filter(col("props").isNotNull)
       .select(
@@ -944,27 +944,32 @@ object Relational {
       |WHERE source IN ('src0', 'src1', 'src2')
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("q131").toString
-    Tables.documents(s, dir)
-      .write.mode("overwrite").partitionBy("source").parquet(tmp)
-    val pruned = s.read.parquet(tmp)
-      .filter(col("source").isin("src0", "src1", "src2"))
-    // plan tripwire — fail loudly if the partition filter didn't reach the
-    // scan or didn't shrink the file list
-    val scan = pruned.queryExecution.executedPlan.collectFirst {
-      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-    }.getOrElse(throw new IllegalStateException(
-      "q131: no FileSourceScanExec in the executed plan"))
-    if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
-      "q131: partition filter did not reach the scan (partitionFilters empty)")
-    val kept = scan.relation.location.listFiles(
-      scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
-    val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
-    if (kept >= total) throw new IllegalStateException(
-      s"q131: partition pruning ineffective — scan reads $kept of $total files")
-    pruned.groupBy("source")
-      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
-      .orderBy("source")
+    graft.io.TempDirs.withTempDir("q131") { tmpDir =>
+      val tmp = tmpDir.toString
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      val pruned = s.read.parquet(tmp)
+        .filter(col("source").isin("src0", "src1", "src2"))
+      // plan tripwire — fail loudly if the partition filter didn't reach the
+      // scan or didn't shrink the file list
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(throw new IllegalStateException(
+        "q131: no FileSourceScanExec in the executed plan"))
+      if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
+        "q131: partition filter did not reach the scan (partitionFilters empty)")
+      val kept = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
+      val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      if (kept >= total) throw new IllegalStateException(
+        s"q131: partition pruning ineffective — scan reads $kept of $total files")
+      // localCheckpoint pins the rows before withTempDir deletes the staging
+      // layout the plan reads from
+      pruned.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+        .localCheckpoint()
+    }
   }
 
   /** Bucketed co-located join, driver-gated with a plan tripwire: lineitem
@@ -984,24 +989,31 @@ object Relational {
       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, dir) =>
-    val wh = java.nio.file.Files.createTempDirectory("q132").toString
-    s.sql("DROP TABLE IF EXISTS q132_ord")
-    s.sql("DROP TABLE IF EXISTS q132_cust")
+    val wh = java.nio.file.Files.createTempDirectory("q132")
+    // unique table names: repeated/concurrent gate runs in one session must
+    // not race on DROP TABLE / saveAsTable (round-7 advice)
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (tOrd, tCust) = (s"q132_ord_$run", s"q132_cust_$run")
     Tables.orders(s, dir).select("o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$wh/ord").saveAsTable("q132_ord")
+      .option("path", s"$wh/ord").saveAsTable(tOrd)
     Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
       .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$wh/cust").saveAsTable("q132_cust")
+      .option("path", s"$wh/cust").saveAsTable(tCust)
     // broadcast off so the no-exchange claim is about bucketing, not about
-    // the dimension being small; restore the caller's threshold after
+    // the dimension being small; the threshold is restored only AFTER the
+    // gated result is materialized, so the execution the oracle checks is
+    // the same one the tripwire certified (round-7 advice)
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = s.table("q132_ord")
-        .join(s.table("q132_cust"), col("o_custkey") === col("c_custkey"))
-      joined.count() // materialize so AQE's final plan is the one inspected
-      val finalPlan = joined.queryExecution.executedPlan match {
+      val joined = s.table(tOrd)
+        .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+      // execute THIS QueryExecution (not a derived count's) so the plan we
+      // inspect is the plan that actually ran — AQE finalizes on execution
+      val joinedQe = joined.queryExecution
+      joinedQe.toRdd.count()
+      val finalPlan = joinedQe.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
         case p => p
@@ -1012,11 +1024,100 @@ object Relational {
       if (nExchanges != 0) throw new IllegalStateException(
         s"q132: bucketed join shuffled ($nExchanges exchange(s)) — " +
           "co-located bucketing is not being honored by the planner")
+      // materialize the gated aggregate inside the no-broadcast window
+      // (localCheckpoint is eager), so the returned frame is pinned results,
+      // not a plan that re-executes after the threshold is restored
       joined.groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("sum_price_cents"))
         .orderBy("segment")
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        .localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql(s"DROP TABLE IF EXISTS $tOrd")
+      s.sql(s"DROP TABLE IF EXISTS $tCust")
+      graft.io.TempDirs.deleteRecursively(wh)
+    }
+  }
+
+  /** Collect across AQE stage boundaries: QueryStageExec nodes are leaves
+    * whose actual plan lives in `plan`, not `children` — a plain collect on
+    * an executed adaptive plan misses everything below the first exchange.
+    */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
+  /** Runtime bloom-filter injection (`InjectRuntimeFilter`), driver-gated
+    * with a plan tripwire (round-7 verdict #4 — previously spec-only in
+    * AdaptiveSpec): a selective dim filter is turned into a bloom filter
+    * built from the creation side and pushed onto the FACT scan, so the
+    * shuffle moves only rows that might join — at 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~matching sliver when the dim predicate is selective but not
+    * broadcast-small. Gate THROWS unless the EXECUTED plan carries a
+    * `BloomFilterMightContain` on the fact side; the oracle checks the
+    * join's values against a plain join.
+    */
+  val q140BloomInject: Q = Q(
+    "q140_bloom_inject",
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val confs = Seq(
+      // broadcast off: with a broadcast-able dim the planner ships the dim
+      // itself (strictly better); the bloom path is FOR the non-broadcast
+      // regime, so the gate pins that regime explicitly
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // sf-sized thresholds: the production defaults (10 MB creation side /
+      // 10 GB application-side scan) gate the identical rewrite at cluster
+      // scale — the rule, not the thresholds, is what the gate certifies
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      // execute THIS QueryExecution so the inspected adaptive plan is the
+      // one that ran (same contract as q131/q132)
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val blooms = deepCollect(qe.executedPlan) {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+      }
+      if (blooms.isEmpty) throw new IllegalStateException(
+        "q140: no BloomFilterMightContain in the executed plan — the " +
+          "runtime bloom-filter injection did not fire")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -1030,5 +1131,5 @@ object Relational {
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
-    q139VariantProps)
+    q139VariantProps, q140BloomInject)
 }

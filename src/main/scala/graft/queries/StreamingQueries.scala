@@ -235,7 +235,8 @@ object StreamingQueries {
       |FROM ranked WHERE rn = 1 AND NOT deleted
       |ORDER BY custkey""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("q130").toString
+    graft.io.TempDirs.withTempDir("q130") { tmpDir =>
+    val tmp = tmpDir.toString
     val basePath = s"$tmp/base.parquet"
     val changesDir = s"$tmp/changes"
     val base = Tables.customer(s, dir).select(
@@ -259,9 +260,13 @@ object StreamingQueries {
     graft.streaming.IncrementalMerge.run(s, stream, basePath,
       Seq("custkey"), Seq("ver_ts", "ver_id"), "deleted", "q130_merge")
       .awaitTermination()
+    // localCheckpoint pins the merged rows before withTempDir deletes the
+    // base/changes staging the plan reads from
     graft.streaming.IncrementalMerge.liveView(s, basePath, "deleted")
       .select(col("custkey"), col("balance"), (col("ver_id") >= 0L).as("from_change"))
       .orderBy("custkey")
+      .localCheckpoint()
+    }
   }
 
   /** Watermark-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):

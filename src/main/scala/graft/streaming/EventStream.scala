@@ -272,6 +272,9 @@ object EventStream {
       src.filter(half === 1), s"$inDir/part2.parquet")
     drain(queryName) // resumes from the checkpoint: file 2 only + restored state
     org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    // the memory-sink table is driver-resident — the staged input files and
+    // the checkpoint are no longer needed once the drain committed
+    graft.io.TempDirs.deleteRecursively(tmp)
     ss.table(queryName)
   }
 

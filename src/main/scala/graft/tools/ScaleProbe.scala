@@ -53,6 +53,38 @@ object ScaleProbe {
       println(s"[probe]   pairs: ${p.count()}")
       p
     }
+    // duplicate-spam hazard case (round-7 verdict #1): 10k copies of ONE
+    // doc — every band bucket holds all 10k rows, ~50M pairs that an
+    // unguarded band join would push through 4 reducers; the per-bucket
+    // sub-chunking must spread them over ~s²=400 chunk-pairs per band
+    val spam = spark.range(10000L).select(
+        (col("id") + 90000000L).as("doc_id"),
+        lit("viral copy pasta spreads everywhere online fast again").as("text"))
+      .withColumn("_sh", graft.functions.WordShinglesExpr(col("text"), 2))
+      .unionByName(sh.limit(5000).select("doc_id", "text", "_sh"))
+      .repartition(64).cache()
+    println(s"[probe] spam corpus: ${spam.count()}")
+    t("minhashLsh duplicate spam: 10k copies of one doc (+5k normal)") {
+      val n = Dedup.minhashLshPairs(spam, "doc_id", "_sh", 4, 3, "mh", 0.5).count()
+      println(s"[probe]   pairs: $n (spam cluster alone = ${10000L * 9999L / 2})")
+    }
+    t("simhashHamming duplicate spam: 10k identical signatures (+5k normal)") {
+      val sigs = spam.select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.tokens(col("text")), 60, "sh",
+          portable = false).as("_s"))
+      val n = Dedup.simhashHammingPairs(sigs, "doc_id", "_s", 60, 3).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("crossMinhashLsh duplicate spam: 10k-copy batch vs 5k corpus + 1k copies") {
+      val corpus = spam.filter(col("doc_id") < 90000000L)
+        .unionByName(spam.filter(col("doc_id") >= 90000000L).limit(1000))
+      val batch = spam.filter(col("doc_id") >= 90000000L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("_sh"))
+      val n = Dedup.crossMinhashLshPairs(corpus, batch, "doc_id", "_sh",
+        4, 3, "mh", 0.5).count()
+      println(s"[probe]   cross pairs: $n")
+    }
+    spam.unpersist()
     t("cluster the 50k-doc LSH pair set (alternatingStar)") {
       val labels = graft.ops.Cluster.alternatingStar(lshPairs, "id_a", "id_b")
       println(s"[probe]   nodes: ${labels.count()}, components: " +
@@ -62,6 +94,28 @@ object ScaleProbe {
       val c = graft.ops.Cluster.clusters(docs, "doc_id", lshPairs, "id_a", "id_b")
       println(s"[probe]   rows: ${c.count()}, canonical: " +
         c.filter(col("is_canonical")).count())
+    }
+    // 100× closure probe (round-7 verdict #6): q49/q97's cost ceiling is
+    // the near-dup graph itself, so push the closure two orders past the
+    // sf0.1 pair set (1M) with adversarial component shapes — a 2M-node
+    // CHAIN (diameter 2M: label propagation would need 2M rounds), a
+    // 2M-node random tree, and a 2M-edge random background. The per-round
+    // hook prints edge count (= next round's shuffle volume) and seconds:
+    // O(log n) rounds with shrinking work is the pass criterion.
+    t("alternatingStar 100×: 6M edges, 2M-node chain + tree + random mega-components") {
+      val chainE = spark.range(1999999L)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      val treeE = spark.range(1L, 2000000L)
+        .select((col("id") + 2000000L).as("id_a"),
+          (pmod(xxhash64(col("id")), col("id")) + 2000000L).as("id_b"))
+      val rndE = spark.range(2000000L).select(
+        (pmod(xxhash64(col("id"), lit(1)), lit(2000000L)) + 4000000L).as("id_a"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(2000000L)) + 4000000L).as("id_b"))
+      val edges = chainE.unionByName(treeE).unionByName(rndE)
+      val labels = graft.ops.Cluster.alternatingStar(edges, "id_a", "id_b",
+        onRound = (r, e, s) => println(f"[probe]   round $r%2d: $e%9d edges ($s%5.1f s)"))
+      println(s"[probe]   nodes: ${labels.count()}, components: " +
+        labels.select("cluster").distinct().count())
     }
     t("cluster 2M-node / 5M-edge random graph (alternatingStar)") {
       val e = spark.range(5000000L).select(

@@ -56,6 +56,49 @@ class OpsSpec extends SparkSuite {
     assert(fast.contains((0L, 3L)))
   }
 
+  // Hot-bucket guard (duplicate spam): every band bucket holds the full
+  // spam set, far over AutoSubBlockTarget=512, so the per-bucket
+  // sub-chunking engages — the result set must be EXACTLY the unguarded
+  // one (all C(n,2) spam pairs, each once, nothing else).
+  private lazy val spamDocs = {
+    val spam = (0L until 600L).map(i => (i, "viral copy pasta spreads everywhere online fast"))
+    val rest = (600L until 650L).map(i => (i, s"unique$i alpha$i beta$i gamma$i delta$i"))
+    (spam ++ rest).toDF("doc_id", "text")
+  }
+
+  test("minhashLshPairs: viral duplicate bucket → exact pair set under sub-chunking") {
+    val sh = spamDocs.withColumn("_sh",
+      TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2))
+    val pairs = Dedup.minhashLshPairs(sh, "doc_id", "_sh", 4, 3, "t", 0.5)
+    val agg = pairs.agg(count(lit(1)), min("jac"), max("id_b")).head()
+    assert(agg.getLong(0) === 600L * 599L / 2)   // every spam pair, exactly once
+    assert(agg.getDouble(1) === 1.0)             // all identical
+    assert(agg.getLong(2) < 600L)                // no unique doc leaked in
+  }
+
+  test("simhashHammingPairs: viral signature bucket → exact pair set under sub-chunking") {
+    val sigs = spamDocs.select(col("doc_id"),
+      when(col("doc_id") < 600, lit(0x2AAAL))
+        .otherwise(shiftleft(col("doc_id"), 20)).as("sh"))
+    val pairs = Dedup.simhashHammingPairs(sigs, "doc_id", "sh", 16, 3)
+    val spamPairs = pairs.filter(col("id_a") < 600 && col("id_b") < 600)
+    assert(spamPairs.count() === 600L * 599L / 2)
+    assert(spamPairs.agg(max("hamming")).head().getInt(0) === 0)
+    assert(pairs.count() === pairs.dropDuplicates("id_a", "id_b").count())
+  }
+
+  test("crossMinhashLshPairs: viral bucket on both sides → exact L×R pair set") {
+    val sh = spamDocs.withColumn("_sh",
+      TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2))
+    val left = sh
+    val right = sh.filter(col("doc_id") < 600)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val pairs = Dedup.crossMinhashLshPairs(left, right, "doc_id", "_sh", 4, 3, "t", 0.5)
+    val agg = pairs.agg(count(lit(1)), min("jac")).head()
+    assert(agg.getLong(0) === 600L * 600L)       // every cross pair, exactly once
+    assert(agg.getDouble(1) === 1.0)
+  }
+
   test("simhash: identical texts equal, near-dups close, different far") {
     val sigs = docs.withColumn("_sh",
       Dedup.simhash(TextAnalysis.tokens(col("text")), 16, "s1"))

@@ -143,6 +143,33 @@ class TablesSpec extends SparkSuite {
     assert(e.getMessage.contains("DOUBLE"))
   }
 
+  test("dimension tables load under the tripwire; key widths pass unchanged") {
+    // supplier/part/nation/region get the same drift guard as the facts
+    // (round-7 advice #7) — and the INTEGER keys the current testdata ships
+    // must pass through UNCHANGED (gates output them raw; widening would
+    // flip the schema the oracle compares against)
+    val d = "/root/testdata/sf0.001"
+    assert(Tables.supplier(spark, d).schema("s_acctbal").dataType === DoubleType)
+    assert(Tables.part(spark, d).schema("p_retailprice").dataType === DoubleType)
+    val nk = Tables.nation(spark, d).schema("n_nationkey").dataType
+    assert(nk === IntegerType || nk === LongType)
+    assert(Tables.nation(spark, d).schema("n_nationkey").dataType ===
+      spark.read.parquet(s"$d/nation.parquet").schema("n_nationkey").dataType)
+    assert(Tables.region(spark, d).count() > 0)
+  }
+
+  test("dimension-table drift (DECIMAL money column) fails loudly") {
+    import spark.implicits._
+    val d = tmpDir("supp-drift")
+    Seq((1L, "s1", 1, BigDecimal(10.5))).toDF(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.supplier(spark, d)
+    }
+    assert(e.getMessage.contains("supplier.s_acctbal"))
+  }
+
   test("benign narrower numerics are conformed up, not fatal") {
     // INT32 key + FLOAT value: same families as the canonical types — the
     // loader must widen them to LONG/DOUBLE instead of killing every gate
