@@ -1120,6 +1120,245 @@ object Relational {
     }
   }
 
+  /** Dynamic partition pruning (DPP), driver-gated with a plan tripwire:
+    * the documents table is rewritten hive-partitioned by `source`, joined
+    * to a small dimension whose SELECTIVE predicate is on a NON-partition
+    * column (`grp = 1` — derivable only by running the dim side), and the
+    * gate THROWS unless the executed fact scan carries a
+    * `DynamicPruningExpression` in its partition filters AND the runtime
+    * partition count actually shrank. q131 gates STATIC pruning (predicate
+    * literally on the partition column); DPP is the star-schema version —
+    * at 100 TB the dim filter is almost never on the partition column
+    * itself, and without DPP the fact side reads every partition before
+    * the join throws 3/4 of them away. The dim is written to parquet and
+    * read back so the build side is a real scan (the shape the rule serves),
+    * not a foldable local relation.
+    */
+  val q143DppPrune: Q = Q(
+    "q143_dpp_prune",
+    """WITH dim AS (
+      |  SELECT DISTINCT source,
+      |    CAST(substring(source, 4) AS INT) % 4 AS grp
+      |  FROM documents
+      |)
+      |SELECT d.source, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN dim ON dim.source = d.source
+      |WHERE dim.grp = 1
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin) { (s, dir) =>
+    graft.io.TempDirs.withTempDir("q143") { tmpDir =>
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").partitionBy("source")
+        .parquet(s"$tmpDir/fact")
+      docs.select(col("source")).distinct()
+        .withColumn("grp", expr("CAST(substring(source, 4) AS INT) % 4"))
+        .write.mode("overwrite").parquet(s"$tmpDir/dim")
+      val fact = s.read.parquet(s"$tmpDir/fact")
+      val dim = s.read.parquet(s"$tmpDir/dim").filter(col("grp") === 1)
+        .select(col("source").as("dim_source"))
+      val joined = fact.join(dim, col("source") === col("dim_source"))
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val scans = deepCollect(qe.executedPlan) {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.partitionSchema.exists(_.name == "source") => sc
+      }
+      val dppScan = scans.find(_.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+        .getOrElse(throw new IllegalStateException(
+          "q143: no DynamicPruningExpression on the partitioned fact scan — " +
+            "dynamic partition pruning did not fire"))
+      val partsRead = dppScan.metrics.get("numPartitions").map(_.value)
+      val totalParts = docs.select("source").distinct().count()
+      partsRead.foreach { n =>
+        if (n >= totalParts) throw new IllegalStateException(
+          s"q143: DPP ineffective — fact scan read $n of $totalParts partitions")
+      }
+      joined.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+        .localCheckpoint()
+    }
+  }
+
+  /** AQE skew-join split, driver-gated with a plan tripwire: a 90%-one-key
+    * fact (lineitem keyed to a single hot value) sort-merge-joins a
+    * 100-key dim with broadcast disabled, skew thresholds scaled to the
+    * test corpus, and the gate THROWS unless the executed SortMergeJoin is
+    * marked `isSkewJoin` — AQE's runtime answer to the hot-key problem
+    * (the hot post-shuffle partition is split into chunks, the matching
+    * dim partition replicated per chunk). The thresholds are sf-sized; the
+    * RULE is what the gate certifies — at 100 TB the defaults (256 MB
+    * partition threshold, factor 5) gate the identical rewrite. This is
+    * the runtime twin of q40's deterministic salting: salting restructures
+    * the plan ahead of time, AQE repairs it after the map stage measures
+    * the actual sizes. The oracle replays the skewed-key derivation and
+    * the join on an engine with no AQE — values must be identical because
+    * the split changes scheduling, never semantics.
+    */
+  val q144SkewSplit: Q = Q(
+    "q144_skew_split",
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+      |              ELSE l_orderkey % 100 END AS key,
+      |    l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |  FROM lineitem
+      |), dim AS (
+      |  SELECT o_orderkey % 100 AS key, count(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT f.l_returnflag, count(*) AS n,
+      |  CAST(sum(f.price_cents * d.n_orders) AS BIGINT) AS weighted_cents
+      |FROM fact f JOIN dim d ON d.key = f.key
+      |GROUP BY f.l_returnflag
+      |ORDER BY f.l_returnflag""".stripMargin) { (s, dir) =>
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // sf-sized thresholds (defaults: 256MB/factor 5 — right for 100 TB,
+      // unreachable for a 60k-row test corpus). Factor 1 + 16KB floor:
+      // the hot partition (~90% of the fact, ~500KB of shuffle bytes)
+      // trips both conditions at sf0.01 and above.
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("key"),
+        col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+        // AQE splits a skewed reduce partition at MAP-task boundaries — a
+        // one-file test corpus produces ONE map task, which is unsplittable
+        // by construction. 16 map tasks mimic the many-task map stage any
+        // real fact table has; at cluster scale this repartition is absent.
+        .repartition(16)
+      val dim = Tables.orders(s, dir)
+        .groupBy((col("o_orderkey") % 100).as("key"))
+        .agg(count(lit(1)).as("n_orders"))
+        // pin the dim: OptimizeSkewedJoin matches a bare shuffle stage
+        // directly under each Sort — a final-aggregate between Sort and
+        // the exchange (the unpinned plan) defeats the pattern, because
+        // splitting an aggregation's input would duplicate its rows
+        .localCheckpoint()
+      val joined = fact.join(dim, Seq("key"))
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val skewed = deepCollect(qe.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.isSkewJoin => j
+      }
+      if (skewed.isEmpty) throw new IllegalStateException(
+        "q144: no skew-marked SortMergeJoin in the executed plan — " +
+          "AQE skew-join split did not fire")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents") * col("n_orders")).as("weighted_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE post-shuffle partition coalescing, driver-gated with a plan
+    * tripwire: a small aggregation runs with the session's 32 shuffle
+    * partitions, and the gate THROWS unless the executed plan's
+    * AQEShuffleRead coalesced them below the static number — the lever
+    * that keeps `spark.sql.shuffle.partitions` sized for the LARGEST
+    * stage (at 100 TB: tens of thousands) without paying thousands of
+    * near-empty tasks on every small intermediate stage. The oracle
+    * checks the aggregation's values: coalescing changes task count,
+    * never results.
+    */
+  val q145AqeCoalesce: Q = Q(
+    "q145_aqe_coalesce",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val agg = Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("o_orderpriority")
+      val qe = agg.queryExecution
+      qe.toRdd.count()
+      val staticParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val reads = deepCollect(qe.executedPlan) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      if (reads.isEmpty) throw new IllegalStateException(
+        "q145: no AQEShuffleRead in the executed plan — AQE coalescing " +
+          "is not active")
+      if (!reads.exists(_.partitionSpecs.size < staticParts))
+        throw new IllegalStateException(
+          s"q145: AQE did not coalesce below the static $staticParts " +
+            s"partitions (specs: ${reads.map(_.partitionSpecs.size).mkString(",")})")
+      agg.localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Per-group top-k with WindowGroupLimit pushdown, driver-gated with a
+    * plan tripwire: the rank-filter idiom (`row_number() ≤ k`) must plan a
+    * `WindowGroupLimit` below the shuffle — each map task keeps only its
+    * local top-k per group BEFORE the exchange, so the shuffle moves
+    * O(groups·k) rows instead of the whole fact table. At 100 TB the
+    * difference is shuffling ~MBs vs the corpus. q03 uses the idiom for
+    * values; this gate pins the physical plan so a Spark upgrade or conf
+    * drift that silently reverts to full-shuffle window ranking fails
+    * loudly.
+    */
+  val q146WindowTopK: Q = Q(
+    "q146_window_topk",
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rk
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, price_cents, rk
+      |FROM ranked WHERE rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    val topk = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .orderBy("o_custkey", "rk")
+    val qe = topk.queryExecution
+    qe.toRdd.count()
+    val limits = deepCollect(qe.executedPlan) {
+      case l: org.apache.spark.sql.execution.window.WindowGroupLimitExec => l
+    }
+    if (limits.isEmpty) throw new IllegalStateException(
+      "q146: no WindowGroupLimit in the executed plan — the rank filter " +
+        "is shuffling the full table before ranking")
+    topk.localCheckpoint()
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1131,5 +1370,6 @@ object Relational {
     q72ObservedQuality, q74ValueHistogram, q78RunningSum,
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
-    q139VariantProps, q140BloomInject)
+    q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
+    q145AqeCoalesce, q146WindowTopK)
 }

