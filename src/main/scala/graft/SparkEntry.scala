@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
-      CorpusQueries.all ++ GraphQueries.all ++ CurationQueries.all
+      CorpusQueries.all ++ GraphQueries.all ++ CurationQueries.all ++
+      BpeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

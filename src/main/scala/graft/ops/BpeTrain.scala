@@ -51,8 +51,9 @@ object BpeTrain {
     */
   private def applyMerge(syms: Column, left: String, right: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(left) && x === lit(right),
+      // get() is 0-based and NULL-safe on the empty accumulator — ANSI
+      // element_at(-1) throws before when() can guard it
+      when(get(acc, size(acc) - 1) === lit(left) && x === lit(right),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
         .otherwise(concat(acc, array(x))))
 
@@ -70,12 +71,16 @@ object BpeTrain {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (step <- 0 until nMerges if !exhausted) {
-      // weighted adjacent-pair counts over the vocab table
+      // weighted adjacent-pair counts over the vocab table. Index-free
+      // zip_with over shifted slices: sequence(1, size-1) would run
+      // DESCENDING [1,0] for single-symbol words and element_at(syms, 0)
+      // throws under ANSI; slice() degrades to [] instead.
+      val syms = col("syms")
       val pairCounts = vocab
-        .select(col("freq"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .select(col("freq"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
       // argmax with total-order tiebreak; TakeOrdered(1), not a sort
