@@ -1359,6 +1359,64 @@ object Relational {
     topk.localCheckpoint()
   }
 
+  /** AQE runtime join-strategy conversion, driver-gated with a plan
+    * tripwire: the STATIC broadcast threshold is disabled (the planner
+    * sees an unknown-sized join and picks sort-merge) while the ADAPTIVE
+    * threshold stays on — when the filtered dim's true size materializes
+    * at runtime, AQE replans the SMJ into a broadcast-hash join. The gate
+    * THROWS unless the executed plan carries a BroadcastHashJoin, which
+    * under a -1 static threshold can ONLY have come from the runtime
+    * conversion. This is the stats-blind-ETL lever at 100 TB: intermediate
+    * outputs have no catalog statistics, so compile-time planning cannot
+    * know the dim shrank to broadcast size — the runtime measurement can.
+    * The oracle checks the join's values; strategy never changes results.
+    */
+  val q149AqeBroadcast: Q = Q(
+    "q149_aqe_broadcast",
+    """SELECT l.l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin) { (s, dir) =>
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+        .select("o_orderkey")
+        // pin: the conversion needs a materialized stage whose runtime
+        // size AQE can measure below the adaptive threshold
+        .localCheckpoint()
+      val joined = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linestatus", "l_extendedprice")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val bhj = deepCollect(qe.executedPlan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      if (bhj.isEmpty) throw new IllegalStateException(
+        "q149: no BroadcastHashJoin in the executed plan — AQE did not " +
+          "convert the stats-blind sort-merge join at runtime")
+      joined.groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+        .orderBy("l_linestatus")
+        .localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1371,5 +1429,5 @@ object Relational {
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
-    q145AqeCoalesce, q146WindowTopK)
+    q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast)
 }

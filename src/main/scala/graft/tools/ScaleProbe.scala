@@ -267,6 +267,23 @@ object ScaleProbe {
         0.35, Similarity.dotScaled(sc, sc))
       println(s"[probe]   rows: ${d.count()}, kept: ${d.filter(col("kept")).count()}")
     }
+    t("dbscan 50k vecs (label-blocked eps-graph, 10 identical replicas/point)") {
+      // the replicated corpus is the dense-blob hazard case: every point
+      // has ≥9 cos=1.0 copies, so everything clusters — the probe times
+      // the eps-graph (sub-chunked), the core-core closure, and the
+      // corpus-sized border/noise join under maximum density
+      val d = graft.ops.Density.dbscan(emb, "vec_id", "embedding",
+        col("label"), 0.35, 3, subBlocks = 8)
+      val roles = d.groupBy("role").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[probe]   $roles")
+    }
+    t("bpeTrain 12 merges over 50k docs (vocab-sized rounds)") {
+      val (m, vocab) = graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.wordFreq(docs, "text"), 12)
+      vocab.unpersist(blocking = false)
+      println(s"[probe]   merges: ${m.size}, last: ${m.lastOption.getOrElse("-")}")
+    }
     t("simhashHammingPairs 50k docs (60-bit sigs, 15-bit pigeonhole bands)") {
       // production config: wide signatures keep band buckets sparse
       // (50k docs / 2^15 buckets ≈ 1.5 per bucket) — the 16-bit gate
