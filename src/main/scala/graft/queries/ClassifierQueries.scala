@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Hashing, TextAnalysis}
+import graft.ops.NaiveBayes
+
+/** Trained-classifier gates: multinomial Naive Bayes language ID over the
+  * documents table (train + held-out inference). The oracle replays the
+  * exact same counts and scaled-int log arithmetic in DuckDB, so both the
+  * model table and every per-document argmax hash-match.
+  */
+object ClassifierQueries {
+
+  private val DuckToks =
+    "list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> len(t) > 0)"
+
+  private def duckHash(seed: String, e: String): String =
+    s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
+
+  /** Scaled-int ln in DuckDB — twin of NaiveBayes.lnMicros. */
+  private def duckLnMicros(num: String, den: String): String =
+    s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+  /** NB training on the full corpus (label = lang): the add-one-smoothed
+    * per-(class, term) likelihood table in exact micros.
+    */
+  val q150NbTrain: Q = Q(
+    "q150_nb_train",
+    s"""WITH tok AS (
+       |  SELECT lang AS label, unnest($DuckToks) AS term FROM documents
+       |), counts AS (
+       |  SELECT label, term, count(*) AS cnt FROM tok GROUP BY label, term
+       |), v AS (SELECT count(DISTINCT term) AS v FROM counts),
+       |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY label)
+       |SELECT c.label, c.term, c.cnt,
+       |  ${duckLnMicros("c.cnt + 1", "tot.tot + v.v")} AS lpm
+       |FROM counts c JOIN tot USING (label) CROSS JOIN v
+       |ORDER BY label, term""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val (likelihood, _) =
+      NaiveBayes.train(docs, "doc_id", "lang", TextAnalysis.tokens(col("text")))
+    likelihood.orderBy("label", "term")
+  }
+
+  /** NB held-out inference: hash-split the corpus 80/20, train on the 80%,
+    * classify the 20%, report prediction vs truth per held-out doc. The
+    * oracle replays the split, the smoothed model, the per-class unseen
+    * backoff, the exact micro-sum scores, and the (score desc, label asc)
+    * argmax tiebreak.
+    */
+  val q151NbClassify: Q = {
+    val split = duckHash("nbsplit", "CAST(doc_id AS VARCHAR)")
+    Q(
+      "q151_nb_classify",
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, $DuckToks AS toks, $split % 5 = 0 AS test
+         |  FROM documents
+         |), tok AS (
+         |  SELECT label, term, count(*) AS cnt FROM (
+         |    SELECT lang AS label, unnest(toks) AS term FROM docs WHERE NOT test
+         |  ) GROUP BY label, term
+         |), v AS (SELECT count(DISTINCT term) AS v FROM tok),
+         |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM tok GROUP BY label),
+         |ndocs AS (
+         |  SELECT lang AS label, count(*) AS n_docs FROM docs WHERE NOT test GROUP BY lang
+         |), n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM ndocs),
+         |stats AS (
+         |  SELECT label,
+         |    ${duckLnMicros("n_docs", "n.n")} AS prior_lpm,
+         |    ${duckLnMicros("1", "tot.tot + v.v")} AS unseen_lpm
+         |  FROM ndocs JOIN tot USING (label) CROSS JOIN v CROSS JOIN n
+         |), lik AS (
+         |  SELECT label, term, ${duckLnMicros("cnt + 1", "tot.tot + v.v")} AS lpm
+         |  FROM tok JOIN tot USING (label) CROSS JOIN v
+         |), testtok AS (
+         |  SELECT doc_id, lang, unnest(toks) AS term FROM docs WHERE test
+         |), scored AS (
+         |  SELECT t.doc_id, any_value(t.lang) AS lang, s.label,
+         |    any_value(s.prior_lpm) + CAST(SUM(COALESCE(l.lpm, s.unseen_lpm)) AS BIGINT) AS score_lpm
+         |  FROM testtok t CROSS JOIN stats s
+         |  LEFT JOIN lik l ON l.label = s.label AND l.term = t.term
+         |  GROUP BY t.doc_id, s.label
+         |)
+         |SELECT doc_id, pred_lang, lang, pred_lang = lang AS correct, score_lpm
+         |FROM (
+         |  SELECT doc_id, label AS pred_lang, lang, score_lpm,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_lpm DESC, label ASC) AS rn
+         |  FROM scored
+         |) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documentsSpread(s, dir)
+        .withColumn("test",
+          Hashing.hash60(col("doc_id").cast("string"), "nbsplit") % 5 === 0)
+      val toks = TextAnalysis.tokens(col("text"))
+      val (likelihood, classStats) =
+        NaiveBayes.train(docs.where(!col("test")), "doc_id", "lang", toks)
+      NaiveBayes.classify(docs.where(col("test")), "doc_id", toks,
+          likelihood, classStats)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("pred_label").as("pred_lang"), col("lang"),
+          (col("pred_label") === col("lang")).as("correct"), col("score_lpm"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q150NbTrain, q151NbClassify)
+}
