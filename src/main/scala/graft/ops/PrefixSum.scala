@@ -61,4 +61,39 @@ object PrefixSum {
     }(Encoders.row(outSchema))
     result
   }
+
+  /** Append `outCol` = 1-based global row number in `orderCols` order
+    * (which must be a total order — ties would make the numbering
+    * partition-dependent). Same two-pass shape as [[exclusive]] with a
+    * constant weight of 1, generalized to a composite sort key: one range
+    * shuffle, an O(partitions) driver collect of per-partition counts, and
+    * a map-only rescan. This is the scalable `row_number() OVER (ORDER BY
+    * …)` — the built-in window form funnels every row through one reducer.
+    */
+  def rowNumber(df: DataFrame, orderCols: Seq[String], outCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val key = orderCols.map(col)
+    val sorted = df.repartitionByRange(n, key: _*)
+      .sortWithinPartitions(key: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = sorted.toDF().rdd
+      .mapPartitions { rows =>
+        Iterator((TaskContext.getPartitionId(), rows.size.toLong))
+      }
+      .collect()
+      .toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    sorted.mapPartitions { rows =>
+      var running = offsets(TaskContext.getPartitionId())
+      rows.map { r =>
+        running += 1L
+        Row.fromSeq(r.toSeq :+ running)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -564,8 +564,56 @@ object DedupQueries {
     }
   }
 
+  /** L-bounded word suffix array + adjacent-LCP repeat profile (Lee et al.
+    * ACL'22 exact-substring dedup signal): per doc, the LONGEST span
+    * (chars, capped at 64) starting at one of its word boundaries that
+    * recurs verbatim anywhere in the corpus, plus the count of word
+    * positions whose repeat ≥ 32 chars. The oracle rebuilds the suffix
+    * array with a plain ORDER BY and replays the first-mismatch LCP as a
+    * correlated min-scan.
+    */
+  val q152SuffixRepeats: Q = {
+    val (maxLen, dupLen) = (64, 32)
+    Q(
+      "q152_suffix_repeats",
+      s"""WITH sfx AS (
+         |  SELECT doc_id, i AS off, substring(text, CAST(i AS INT), $maxLen) AS w
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) t
+         |  WHERE substring(text, CAST(i AS INT), 1) != ' '
+         |    AND (i = 1 OR substring(text, CAST(i AS INT) - 1, 1) = ' ')
+         |), sa AS (
+         |  SELECT doc_id, off, w,
+         |    row_number() OVER (ORDER BY w, doc_id, off) AS rank
+         |  FROM sfx
+         |), pairs AS (
+         |  SELECT a.rank AS r,
+         |    coalesce(
+         |      (SELECT min(t.i) - 1
+         |       FROM (SELECT unnest(generate_series(1, least(len(a.w), len(b.w)))) AS i) t
+         |       WHERE substring(a.w, CAST(t.i AS INT), 1) != substring(b.w, CAST(t.i AS INT), 1)),
+         |      least(len(a.w), len(b.w))) AS lcp
+         |  FROM sa a JOIN sa b ON b.rank = a.rank + 1
+         |), rep AS (
+         |  SELECT sa.doc_id,
+         |    greatest(coalesce(p1.lcp, 0), coalesce(p2.lcp, 0)) AS rep_len
+         |  FROM sa
+         |  LEFT JOIN pairs p1 ON p1.r = sa.rank - 1
+         |  LEFT JOIN pairs p2 ON p2.r = sa.rank
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_suffixes,
+         |  CAST(max(rep_len) AS BIGINT) AS max_rep_len,
+         |  CAST(SUM(CASE WHEN rep_len >= $dupLen THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |FROM rep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.SuffixArray.repeatProfile(
+          Tables.documentsSpread(s, dir), "doc_id", "text", maxLen, dupLen)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
-    q102LshRecall, q105SplitLeakage, q112SimhashBands, q141LshHotBucket)
+    q102LshRecall, q105SplitLeakage, q112SimhashBands, q141LshHotBucket,
+    q152SuffixRepeats)
 }
