@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous label-propagation community detection (Raghavan et al.,
+  * Phys. Rev. E 2007) made deterministic: every node starts with its own id
+  * as label; each round every node adopts the label most frequent among its
+  * neighbors, ties broken by SMALLEST label; the round count is FIXED (a
+  * contract, not a convergence test). Classic LPA breaks ties randomly and
+  * updates asynchronously — both are non-reproducible under distributed
+  * execution, so this variant pins both choices, making the result exactly
+  * replayable by an unrolled SQL oracle (same contract philosophy as
+  * [[PageRank]]).
+  *
+  * Scale design (identical to PageRank's): the symmetrized edge list is
+  * shuffled ONCE onto dst and persisted; each round joins the nodes-sized
+  * label table (broadcast under the same 1M-node cutoff) and aggregates
+  * per (dst, label) with map-side combine — zero per-round edge shuffles on
+  * the broadcast path. The argmax is `max(struct(cnt, -label))`, a single
+  * aggregate, not a per-group sort. Lineage is cut with CheckpointChain so
+  * plan depth stays O(1) in rounds.
+  */
+object LabelProp {
+
+  /** Run `rounds` fixed rounds over an undirected graph given as a directed
+    * edge list (the op symmetrizes + dedups internally). Returns
+    * (node_id, community) for every node incident to an edge.
+    */
+  def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edgesDf.sparkSession
+    val dir = edgesDf.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val broadcastLabels = n <= 1000000L
+    val edgesD = edges
+      .repartition(if (broadcastLabels) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesD.count()
+
+    var lab = nodes.withColumn("label", col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lab.count()
+    var chain = List(lab)
+    val ckpt = new CheckpointChain(spark)
+    for (i <- 1 to rounds) {
+      val labSide = if (broadcastLabels) broadcast(lab) else lab
+      val next0 = edgesD.join(labSide, edgesD("src") === lab("v"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("v2"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v2").as("v"), (-col("m.nl")).as("label"))
+      val next =
+        if (i % 4 == 0) ckpt.next(next0)
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      chain.foreach(_.unpersist(false))
+      chain = if (i % 4 == 0) Nil else List(next)
+      lab = next
+    }
+    lab.select(col("v").as("node_id"), col("label").as("community"))
+  }
+
+  /** In-memory reference for tests (same synchronous min-tiebreak rule). */
+  def runRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val es = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = es.groupBy(_._1).map { case (v, g) => v -> g.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (v, ns) =>
+        val freq = ns.groupBy(lab).map { case (l, g) => (l, g.size) }
+        v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+}

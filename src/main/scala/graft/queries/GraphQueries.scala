@@ -45,5 +45,96 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q76PageRank)
+  /** Deterministic synchronous label propagation, 4 fixed rounds over the
+    * part↔supplier bipartite graph: most-frequent neighbor label, ties to
+    * the smallest. The oracle unrolls the rounds as chained CTEs with a
+    * (cnt DESC, label ASC) row_number argmax — exactly the contract the
+    * engine's max(struct(cnt, -label)) aggregate implements.
+    */
+  val q153LabelProp: Q = {
+    val rounds = 4
+    val head =
+      """WITH dir AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir
+        |  ) WHERE src != dst
+        |), lp0 AS (SELECT DISTINCT src AS v, src AS label FROM edges)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""lp$i AS (
+         |  SELECT v, label FROM (
+         |    SELECT dst AS v, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT e.dst, p.label, count(*) AS cnt
+         |          FROM edges e JOIN lp${i - 1} p ON p.v = e.src
+         |          GROUP BY e.dst, p.label)
+         |  ) WHERE rn = 1)""".stripMargin
+    }
+    val sql =
+      (head +: steps).mkString(",\n") +
+        s"""
+           |SELECT l.v AS node_id, l.label AS community, s.sz AS community_size
+           |FROM lp$rounds l
+           |JOIN (SELECT label, count(*) AS sz FROM lp$rounds GROUP BY label) s
+           |  USING (label)
+           |ORDER BY node_id""".stripMargin
+
+    Q("q153_label_prop", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val edges = li.select(
+        (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val lab = graft.ops.LabelProp.run(edges, "src", "dst", rounds)
+      val sizes = lab.groupBy("community").agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "community")
+        .select("node_id", "community", "community_size")
+        .orderBy("node_id")
+    }
+  }
+
+  /** Per-node triangle counts on the part co-occurrence graph (parts
+    * sharing an order), via degree-ordered orientation — every step an
+    * equi-join, out-degree capped at O(√m) so no hub blow-up at scale. The
+    * oracle replays orientation, wedge enumeration, and closure with
+    * row-value tuple comparisons.
+    */
+  val q154Triangles: Q = Q(
+    "q154_triangles",
+    """WITH dir AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |  WHERE l1.l_partkey < l2.l_partkey
+      |), und AS (
+      |  SELECT src, dst FROM dir UNION SELECT dst, src FROM dir
+      |), deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+      |ori AS (
+      |  SELECT u.src AS u, u.dst AS w, dw.d AS dw_d
+      |  FROM und u JOIN deg ds ON ds.v = u.src JOIN deg dw ON dw.v = u.dst
+      |  WHERE (ds.d, u.src) < (dw.d, u.dst)
+      |), wedges AS (
+      |  SELECT a.u, a.w AS v, b.w
+      |  FROM ori a JOIN ori b ON a.u = b.u
+      |  WHERE (a.dw_d, a.w) < (b.dw_d, b.w)
+      |), tri AS (
+      |  SELECT w1.u, w1.v, w1.w
+      |  FROM wedges w1 JOIN ori o ON o.u = w1.v AND o.w = w1.w
+      |), credits AS (
+      |  SELECT u AS node_id FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri
+      |)
+      |SELECT d.v AS node_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+      |FROM deg d LEFT JOIN
+      |  (SELECT node_id, count(*) AS n FROM credits GROUP BY node_id) c
+      |  ON c.node_id = d.v
+      |ORDER BY node_id""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .distinct()
+    graft.ops.Triangles.perNode(edges, "src", "dst").orderBy("node_id")
+  }
+
+  val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles)
 }
