@@ -611,9 +611,52 @@ object DedupQueries {
     }
   }
 
+  /** Sorted-neighborhood ER blocking (Hernández–Stolfo): records sorted by
+    * a fuzzy key (first 3 tokens of the sorted token set — shuffle-robust
+    * for bag-of-words near-dups), candidates limited to a window of 8 in
+    * sort order, verified by exact token-set Jaccard ≥ 0.5. Candidate count
+    * is O(n·w) even when every record shares one key — the skew case where
+    * hash blocking goes quadratic.
+    */
+  val q156SortedNeighborhood: Q = {
+    val (w, t) = (8, 0.5)
+    Q(
+      "q156_sorted_neighborhood",
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($DuckToks) AS toks FROM documents
+         |), k AS (
+         |  SELECT doc_id, toks,
+         |    array_to_string(list_sort(toks)[1:3], ' ') AS key FROM d
+         |), r AS (
+         |  SELECT doc_id, toks,
+         |    row_number() OVER (ORDER BY key, doc_id) AS rank FROM k
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+         |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < $w
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(floor(jac * 1000000 + 0.5) AS BIGINT) AS jac_e6
+         |FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+         |      / len(list_distinct(ta || tb)) AS jac
+         |  FROM cand)
+         |WHERE jac >= $t
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      graft.ops.Blocking.sortedNeighborhood(
+          Tables.documentsSpread(s, dir), "doc_id",
+          concat_ws(" ", slice(array_sort(array_distinct(toks)), 1, 3)),
+          toks, w, t)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jac") * 1000000 + 0.5).cast("long").as("jac_e6"))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
     q102LshRecall, q105SplitLeakage, q112SimhashBands, q141LshHotBucket,
-    q152SuffixRepeats)
+    q152SuffixRepeats, q156SortedNeighborhood)
 }

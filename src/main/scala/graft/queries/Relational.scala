@@ -1417,6 +1417,33 @@ object Relational {
     }
   }
 
+  /** 2D skyline (Pareto front) of parts maximizing (p_size,
+    * p_retailprice): no other part is ≥ on both axes and > on one. The
+    * engine runs the O(n) two-pass group-max + descending running-max plan
+    * (ops.Skyline); the oracle replays the same decomposition with a
+    * frame-excluded window max, which is provably the dominance test in 2D.
+    */
+  val q155Skyline: Q = Q(
+    "q155_skyline",
+    """WITH pts AS (
+      |  SELECT p_partkey, p_size, p_retailprice FROM part
+      |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      |), g AS (SELECT p_size, max(p_retailprice) AS gy FROM pts GROUP BY p_size),
+      |r AS (
+      |  SELECT p_size, gy, max(gy) OVER (ORDER BY p_size DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS em
+      |  FROM g)
+      |SELECT p.p_partkey, p.p_size, p.p_retailprice
+      |FROM pts p JOIN r USING (p_size)
+      |WHERE p.p_retailprice = r.gy AND (r.em IS NULL OR r.em < p.p_retailprice)
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    graft.ops.Skyline.front2(
+        Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+        "p_size", "p_retailprice")
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1429,5 +1456,5 @@ object Relational {
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
-    q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast)
+    q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline)
 }
