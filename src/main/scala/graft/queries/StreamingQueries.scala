@@ -364,9 +364,59 @@ object StreamingQueries {
       .orderBy("media_id", "pos")
   }
 
+  /** Perceptual image hash (pHash) over the synthetic media blobs: exact
+    * integer 2D DCT (separable row/column passes against a literal
+    * round(1024·cos) basis), bit per coefficient vs the coefficient
+    * median, 63-bit hash — plus the per-hash collision count (distance-0
+    * duplicate groups). The oracle replays the full integer DCT chain from
+    * the md5 pixel synthesis, so every hash bit is driver-checked.
+    */
+  val q157Phash: Q = {
+    import graft.multimodal.Phash
+    val rowVals = (for { u <- 0 until Phash.Keep; n <- 0 until Phash.Rows }
+      yield s"($u, $n, ${Phash.basis(n, u, Phash.Rows)})").mkString(", ")
+    val colVals = (for { v <- 0 until Phash.Keep; n <- 0 until Phash.Cols }
+      yield s"($v, $n, ${Phash.basis(n, v, Phash.Cols)})").mkString(", ")
+    Q(
+      "q157_phash",
+      s"""WITH rowb(u, r, wr) AS (VALUES $rowVals),
+         |colb(v, c, wc) AS (VALUES $colVals),
+         |pix AS (
+         |  SELECT doc_id AS media_id, j AS r, k AS c,
+         |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || text), 2*k+1, 2)) AS BIGINT) AS x
+         |  FROM documents, generate_series(0, ${Phash.Rows - 1}) tj(j),
+         |    generate_series(0, ${Phash.Cols - 1}) tk(k)
+         |), t1 AS (
+         |  SELECT media_id, u, c, CAST(SUM(wr * x) AS BIGINT) AS t
+         |  FROM pix JOIN rowb ON rowb.r = pix.r GROUP BY media_id, u, c
+         |), y AS (
+         |  SELECT media_id, u, v, CAST(SUM(wc * t) AS BIGINT) AS y
+         |  FROM t1 JOIN colb ON colb.c = t1.c GROUP BY media_id, u, v
+         |  HAVING NOT (u = 0 AND v = 0)
+         |), med AS (
+         |  SELECT media_id, list_sort(list(y))[32] AS med FROM y GROUP BY media_id
+         |), ph AS (
+         |  SELECT y.media_id,
+         |    CAST(SUM(CASE WHEN y.y > med.med
+         |      THEN (CAST(1 AS BIGINT) << CAST(u * ${Phash.Keep} + v - 1 AS INT))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM y JOIN med ON med.media_id = y.media_id
+         |  GROUP BY y.media_id
+         |)
+         |SELECT media_id, phash,
+         |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+         |FROM ph ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Media.syntheticMediaFromDocs(Tables.documents(s, dir))
+      val ph = Phash.phash(s, media)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      ph.withColumn("n_same_hash", count(lit(1)).over(w))
+        .orderBy("media_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
-    q135MediaFeatures, q137StreamRestart, q138MediaResize)
+    q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash)
 }
