@@ -136,5 +136,46 @@ object GraphQueries {
     graft.ops.Triangles.perNode(edges, "src", "dst").orderBy("node_id")
   }
 
-  val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles)
+  /** k-core peeling (8 fixed rounds, k=80) on the part co-occurrence
+    * graph: surviving nodes and their in-core degree. The oracle unrolls
+    * every peel round as a chained CTE (degree filter + two key joins) —
+    * exactly the engine's per-round semi-join contract.
+    */
+  val q158KCore: Q = {
+    // k=80 cascades for 5 rounds at sf0.01 (143 nodes peel, 1857 survive)
+    // and stabilizes well inside the 8-round contract
+    val (k, rounds) = (80, 8)
+    // MATERIALIZED: each round references its predecessor three times, so
+    // an inlining planner would otherwise expand the chain 3^rounds-fold
+    // (same lesson as the BPE oracle)
+    val head =
+      """WITH dir AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM dir UNION SELECT dst, src FROM dir
+        |)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN (SELECT src AS v FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $k) ka ON ka.v = e.src
+         |  JOIN (SELECT src AS v FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $k) kb ON kb.v = e.dst)""".stripMargin
+    }
+    val sql = (head +: steps).mkString(",\n") +
+      s"\nSELECT src AS node_id, count(*) AS core_deg FROM e$rounds GROUP BY src ORDER BY node_id"
+    Q("q158_kcore", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .distinct()
+      graft.ops.KCore.run(edges, "src", "dst", k, rounds).orderBy("node_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore)
 }
