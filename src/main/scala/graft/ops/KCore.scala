@@ -39,28 +39,51 @@ object KCore {
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+      // pre-partition on src: the per-round degree groupBy and the src-side
+      // semi-join then run exchange-free; only the (small, broadcast) keep
+      // table moves per round
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    var edgeCount = edges.count()
     var chain = List(edges)
     val ckpt = new CheckpointChain(spark)
-    for (i <- 1 to rounds) {
-      val keep = edges.groupBy(col("src").as("v"))
+    var i = 1
+    var stable = false
+    while (i <= rounds && !stable) {
+      // persist + count the keep table: it feeds BOTH semi-joins (without
+      // the pin the degree aggregation would run twice per round) and its
+      // count decides broadcastability (same 1M-node cutoff rationale as
+      // PageRank/LabelProp — broadcast keeps rounds edge-shuffle-free)
+      val keep0 = edges.groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
         .select("v")
-      // drop every edge with a peeled endpoint (two semi-joins; the dst
-      // side reuses the same broadcast/shuffled keep table)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val keepCount = keep0.count()
+      val keep = if (keepCount <= 1000000L) broadcast(keep0) else keep0
+      // drop every edge with a peeled endpoint (two semi-joins)
       val next0 = edges
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-      val next =
-        if (i % 4 == 0) ckpt.next(next0)
-        else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      // cut lineage EVERY round (not every 4 like PageRank/LabelProp):
+      // each round references the previous edge plan THREE times (degree
+      // agg + both semi-joins), so the un-cut logical plan grows 3^rounds
+      // and Catalyst analysis/rendering — not execution — dominates wall
+      // clock within a handful of rounds. Fan-out 1 ops can afford lazy
+      // cuts; fan-out 3 cannot.
+      val next = ckpt.next(next0)
+      val nextCount = next.count()
+      keep0.unpersist(false)
       chain.foreach(_.unpersist(false))
-      chain = if (i % 4 == 0) Nil else List(next)
+      chain = Nil
       edges = next
+      // early exit: peeling is idempotent once no edge was dropped, so the
+      // remaining rounds are identity maps — the result is EXACTLY the
+      // R-round contract, just without paying for the no-op rounds
+      stable = nextCount == edgeCount
+      edgeCount = nextCount
+      i += 1
     }
     // report the post-R-rounds state verbatim (no extra filter): identical
     // to the true k-core whenever peeling stabilized within R rounds

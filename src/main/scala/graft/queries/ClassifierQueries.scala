@@ -50,11 +50,12 @@ object ClassifierQueries {
     * backoff, the exact micro-sum scores, and the (score desc, label asc)
     * argmax tiebreak.
     */
-  val q151NbClassify: Q = {
+  /** Shared oracle core: the held-out NB prediction table as a `pred` CTE
+    * (q151 emits it row-wise; q159 aggregates it into per-class metrics).
+    */
+  private val NbPredCore: String = {
     val split = duckHash("nbsplit", "CAST(doc_id AS VARCHAR)")
-    Q(
-      "q151_nb_classify",
-      s"""WITH docs AS (
+    s"""WITH docs AS (
          |  SELECT doc_id, lang, $DuckToks AS toks, $split % 5 = 0 AS test
          |  FROM documents
          |), tok AS (
@@ -82,28 +83,85 @@ object ClassifierQueries {
          |  FROM testtok t CROSS JOIN stats s
          |  LEFT JOIN lik l ON l.label = s.label AND l.term = t.term
          |  GROUP BY t.doc_id, s.label
-         |)
-         |SELECT doc_id, pred_lang, lang, pred_lang = lang AS correct, score_lpm
-         |FROM (
-         |  SELECT doc_id, label AS pred_lang, lang, score_lpm,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_lpm DESC, label ASC) AS rn
-         |  FROM scored
-         |) WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documentsSpread(s, dir)
-        .withColumn("test",
-          Hashing.hash60(col("doc_id").cast("string"), "nbsplit") % 5 === 0)
-      val toks = TextAnalysis.tokens(col("text"))
-      val (likelihood, classStats) =
-        NaiveBayes.train(docs.where(!col("test")), "doc_id", "lang", toks)
-      NaiveBayes.classify(docs.where(col("test")), "doc_id", toks,
-          likelihood, classStats)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(col("doc_id"), col("pred_label").as("pred_lang"), col("lang"),
-          (col("pred_label") === col("lang")).as("correct"), col("score_lpm"))
-        .orderBy("doc_id")
-    }
+         |), pred AS (
+         |  SELECT doc_id, pred_lang, lang, score_lpm
+         |  FROM (
+         |    SELECT doc_id, label AS pred_lang, lang, score_lpm,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score_lpm DESC, label ASC) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |)""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(q150NbTrain, q151NbClassify)
+  /** Shared engine core: the held-out prediction table
+    * (doc_id, pred_lang, lang, score_lpm).
+    */
+  private def nbPredictions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documentsSpread(s, dir)
+      .withColumn("test",
+        Hashing.hash60(col("doc_id").cast("string"), "nbsplit") % 5 === 0)
+    val toks = TextAnalysis.tokens(col("text"))
+    val (likelihood, classStats) =
+      NaiveBayes.train(docs.where(!col("test")), "doc_id", "lang", toks)
+    NaiveBayes.classify(docs.where(col("test")), "doc_id", toks,
+        likelihood, classStats)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("pred_label").as("pred_lang"), col("lang"),
+        col("score_lpm"))
+  }
+
+  val q151NbClassify: Q = Q(
+    "q151_nb_classify",
+    s"""$NbPredCore
+       |SELECT doc_id, pred_lang, lang, pred_lang = lang AS correct, score_lpm
+       |FROM pred
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    nbPredictions(s, dir)
+      .select(col("doc_id"), col("pred_lang"), col("lang"),
+        (col("pred_lang") === col("lang")).as("correct"), col("score_lpm"))
+      .orderBy("doc_id")
+  }
+
+  /** Classifier evaluation: per-class tp/fp/fn/support from the held-out
+    * predictions — the confusion-matrix audit that accompanies any trained
+    * filter before it gates a corpus. Raw integer counts (precision/recall
+    * are driver-side divisions of these), so the gate is exact.
+    */
+  val q159NbEval: Q = Q(
+    "q159_nb_eval",
+    s"""$NbPredCore,
+       |conf AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+       |cls AS (SELECT lang AS c FROM conf UNION SELECT pred_lang FROM conf),
+       |tpx AS (SELECT lang AS c, SUM(n) AS tp FROM conf WHERE lang = pred_lang GROUP BY 1),
+       |tn AS (SELECT lang AS c, SUM(n) AS support FROM conf GROUP BY 1),
+       |pn AS (SELECT pred_lang AS c, SUM(n) AS predn FROM conf GROUP BY 1)
+       |SELECT c AS lang, CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+       |  CAST(coalesce(predn, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+       |  CAST(coalesce(support, 0) - coalesce(tp, 0) AS BIGINT) AS fn,
+       |  CAST(coalesce(support, 0) AS BIGINT) AS support
+       |FROM cls LEFT JOIN tpx USING (c) LEFT JOIN tn USING (c)
+       |  LEFT JOIN pn USING (c)
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val conf = nbPredictions(s, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .persist()
+    val cls = conf.select(col("lang").as("c"))
+      .unionByName(conf.select(col("pred_lang").as("c"))).distinct()
+    val tp = conf.where(col("lang") === col("pred_lang"))
+      .select(col("lang").as("c"), col("n").as("tp"))
+    val support = conf.groupBy(col("lang").as("c")).agg(sum("n").as("support"))
+    val predn = conf.groupBy(col("pred_lang").as("c")).agg(sum("n").as("predn"))
+    cls.join(tp, Seq("c"), "left")
+      .join(support, Seq("c"), "left")
+      .join(predn, Seq("c"), "left")
+      .select(col("c").as("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predn"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q150NbTrain, q151NbClassify, q159NbEval)
 }
