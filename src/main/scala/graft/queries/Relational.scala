@@ -1444,6 +1444,41 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Hourly gap-fill + forward fill over the event stream: one row per
+    * (event_type, hour) in the type's own observed range, zero counts on
+    * silent hours, and the running last non-null hourly cents total — the
+    * densify primitive under drift monitors and rate curves. The oracle
+    * builds the same per-key spine with generate_series and replays the
+    * IGNORE NULLS running last.
+    */
+  val q160GapFill: Q = Q(
+    "q160_gap_fill",
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |    count(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1
+      |), spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds
+      |)
+      |SELECT s.event_type, epoch_ms(s.hour) AS hour_start,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+      |  CAST(last_value(h.cents IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.hour
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_cents
+      |FROM spine s LEFT JOIN hourly h
+      |  ON h.event_type = s.event_type AND h.hour = s.hour
+      |ORDER BY s.event_type, hour_start""".stripMargin) { (s, dir) =>
+    graft.ops.TimeSeries.gapFillHourly(
+        Tables.events(s, dir), "event_type", "ts",
+        sum(graft.functions.Exact.cents(col("value"))), "cents")
+      .select(col("event_type"), unix_millis(col("hour")).as("hour_start"),
+        col("n_events"), col("filled_cents"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1456,5 +1491,6 @@ object Relational {
     q79RevenueShare, q106BloomSemiJoin, q108BloomAntiJoin,
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
-    q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline)
+    q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
+    q160GapFill)
 }
