@@ -981,11 +981,43 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source quantile normalization: calibrate every source's score
+    * distribution onto the pooled corpus distribution (norm = the global
+    * order statistic at the doc's within-source percent rank), so one
+    * quality threshold means the same thing across sources. The oracle
+    * replays the percent rank, the portable round-half-up index, and the
+    * pooled ranking.
+    */
+  val q161QuantileNorm: Q = Q(
+    "q161_quantile_norm",
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+      |  FROM d
+      |), g AS (
+      |  SELECT n_chars AS gscore,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS gidx
+      |  FROM d
+      |), n AS (SELECT count(*) AS n FROM d)
+      |SELECT r.doc_id, r.source, r.n_chars,
+      |  CAST(g.gscore AS BIGINT) AS norm_n_chars
+      |FROM r CROSS JOIN n
+      |JOIN g ON g.gidx = CAST(floor(r.pr * (n.n - 1) + 0.5) AS BIGINT) + 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Calibrate.quantileNormalize(
+        Tables.documentsSpread(s, dir), "doc_id", "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("norm_n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80Decontaminate, q81TokenBudget, q82DupSpans,
     q83DomainMixture, q84QualityBands, q85ApproxDistinct, q86DocChunks,
     q87Bm25, q88UnigramLogprob, q89IncrementalDedup, q90MixtureSample,
     q91IqrOutliers, q92Normalize, q93SourceProfile, q94Redact,
     q95CurationPipeline, q96ApproxQuantiles, q97KeepBest, q104Winsorize,
     q113SourceCap, q115LengthBuckets, q116RrfFusion, q118MooreLewis,
-    q120CompactionPlan, q122Dsir, q123CcnetBuckets, q127HllMerge)
+    q120CompactionPlan, q122Dsir, q123CcnetBuckets, q127HllMerge,
+    q161QuantileNorm)
 }
