@@ -1040,6 +1040,83 @@ object Relational {
     }
   }
 
+  /** Cost-based join reorder, driver-gated with a plan tripwire: the query
+    * is WRITTEN in the worst order (fact ⋈ fact first, the selective
+    * filtered dim last); with CBO + ANALYZE'd column stats the optimizer
+    * must rewrite the join tree to start from the selective dim — the
+    * make-or-break lever for multi-join star queries at 100 TB, where all
+    * intermediate sizes depend on which join runs first. The gate THROWS
+    * unless (a) the stats-blind plan keeps the written fact-fact order
+    * (calibrating that the rewrite can only come from the cost model) and
+    * (b) the CBO plan's innermost join touches the dim. The oracle checks
+    * the values; DuckDB's own optimizer is free to pick any order — the
+    * CONTRACT is the result set.
+    */
+  val q162CboReorder: Q = Q(
+    "q162_cbo_reorder",
+    """SELECT o.o_custkey % 8 AS bucket, count(*) AS n,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_nationkey = 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val wh = java.nio.file.Files.createTempDirectory("q162")
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (tLi, tOrd, tCust) = (s"q162_li_$run", s"q162_ord_$run", s"q162_cust_$run")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").option("path", s"$wh/li").saveAsTable(tLi)
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").option("path", s"$wh/ord").saveAsTable(tOrd)
+    Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .write.mode("overwrite").option("path", s"$wh/cust").saveAsTable(tCust)
+    Seq(tLi, tOrd, tCust).foreach { t =>
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val query =
+      s"""SELECT o.o_custkey % 8 AS bucket, count(*) AS n,
+         |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         |FROM $tLi l JOIN $tOrd o ON l.l_orderkey = o.o_orderkey
+         |JOIN $tCust c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_nationkey = 3
+         |GROUP BY 1""".stripMargin
+    // left-to-right catalog-table order of the optimized join tree's leaves
+    def leafOrder(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table)
+        case _ => None
+      }
+    val (prevCbo, prevReorder) = (
+      s.conf.get("spark.sql.cbo.enabled"),
+      s.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val blindOrder = leafOrder(s.sql(query))
+      if (blindOrder.take(2).toSet != Set(tLi, tOrd))
+        throw new IllegalStateException(
+          s"q162: stats-blind plan no longer keeps the written fact-fact " +
+            s"order ($blindOrder) — the gate's calibration premise broke")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val cboDf = s.sql(query)
+      val cboOrder = leafOrder(cboDf)
+      if (!cboOrder.take(2).contains(tCust))
+        throw new IllegalStateException(
+          s"q162: CBO join reorder did not pull the selective dim into the " +
+            s"innermost join (leaf order $cboOrder) — stats are not driving " +
+            "the join tree")
+      // materialize inside the CBO window so the checked values come from
+      // the certified plan
+      cboDf.orderBy("bucket").localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      Seq(tLi, tOrd, tCust).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.TempDirs.deleteRecursively(wh)
+    }
+  }
+
   /** Collect across AQE stage boundaries: QueryStageExec nodes are leaves
     * whose actual plan lives in `plan`, not `children` — a plain collect on
     * an executed adaptive plan misses everything below the first exchange.
@@ -1492,5 +1569,5 @@ object Relational {
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
-    q160GapFill)
+    q160GapFill, q162CboReorder)
 }
