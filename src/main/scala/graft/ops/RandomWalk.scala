@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Hashing
+
+/** Deterministic uniform random walks — the corpus generator for skip-gram
+  * graph embeddings (DeepWalk, Perozzi et al. KDD'14; node2vec's p=q=1
+  * case). Classic walkers draw from an RNG, which makes the training
+  * corpus irreproducible under distributed execution; here step t of walk
+  * w moves to `neighbors(v)[hash60(w:t) mod deg(v)]` over the
+  * neighbor-index table, so every walk is a pure function of the graph —
+  * same corpus on any cluster, replayable by a SQL oracle.
+  *
+  * Scale shape: the adjacency index is one per-node window
+  * (partition-by-v — distributed); each step is two equi-joins (walk
+  * frontier ⋈ degree on the current node, then ⋈ adjacency on
+  * (node, chosen index)). The frontier stays one row per walk; lineage is
+  * cut every 4 steps (fan-out 1 per step).
+  */
+object RandomWalk {
+
+  /** One walk of `steps` steps from every node of the symmetrized graph.
+    * Returns (walk_id, step, node) — step 0 is the start node itself.
+    */
+  def walks(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, seed: String = "rw"): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val dir = edgesDf.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val adjW = Window.partitionBy("src").orderBy("dst")
+    val adj = edges
+      .select(col("src").as("v"), col("dst").as("nbr"),
+        (row_number().over(adjW) - 1).cast("long").as("idx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count(); deg.count()
+
+    // every step's frontier is referenced by the FINAL union, so each is
+    // pinned with an eager localCheckpoint (walk-count rows — node-sized)
+    // and none is released until the caller drops the result; this also
+    // keeps the union's plan depth O(1) per step
+    var frontier = deg.select(col("v").as("walk_id"), col("v").as("cur"))
+      .localCheckpoint()
+    var out = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val pick = Hashing.hash60(
+        concat(col("walk_id").cast("string"), lit(":"), lit(t.toString)),
+        seed) % col("d")
+      frontier = frontier
+        .join(deg.withColumnRenamed("v", "cur"), "cur")
+        .select(col("walk_id"), col("cur"), pick.as("_pick"))
+        .join(adj, col("cur") === adj("v") && col("_pick") === adj("idx"))
+        .select(col("walk_id"), col("nbr").as("cur"))
+        .localCheckpoint()
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(t).as("step"),
+          col("cur").as("node")))
+    }
+    adj.unpersist(false)
+    deg.unpersist(false)
+    out
+  }
+}

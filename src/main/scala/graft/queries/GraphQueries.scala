@@ -178,5 +178,49 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore)
+  /** Deterministic uniform random walks (DeepWalk corpus prep): one
+    * 6-step walk from every node of the part↔supplier graph, step t of
+    * walk w moving to `neighbors[hash60(w:t) mod deg]` — a pure function
+    * of the graph, so the skip-gram training corpus is identical on any
+    * cluster. The oracle replays every step against the same md5 hash and
+    * neighbor-index table.
+    */
+  val q163RandomWalks: Q = {
+    val steps = 6
+    def duckHash(seed: String, e: String): String =
+      s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
+    val head =
+      """WITH dir AS MATERIALIZED (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |), edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir)
+        |), adj AS MATERIALIZED (
+        |  SELECT src AS v, dst AS nbr,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |  FROM edges
+        |), deg AS MATERIALIZED (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        |w0 AS (SELECT v AS walk_id, v AS cur FROM deg)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, a.nbr AS cur FROM w${t - 1} w
+         |  JOIN deg dd ON dd.v = w.cur
+         |  JOIN adj a ON a.v = w.cur
+         |    AND a.idx = ${duckHash("rw", s"CAST(w.walk_id AS VARCHAR) || ':' || '$t'")} % dd.d)""".stripMargin
+    }
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS INT) AS step, cur AS node FROM w$t")
+    val sql = (head +: stepCtes).mkString(",\n") + "\n" +
+      unions.mkString("\nUNION ALL ") + "\nORDER BY walk_id, step"
+    Q("q163_random_walks", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val edges = li.select(
+        (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.RandomWalk.walks(edges, "src", "dst", steps)
+        .orderBy("walk_id", "step")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore,
+    q163RandomWalks)
 }
