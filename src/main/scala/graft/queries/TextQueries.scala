@@ -59,21 +59,46 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Stopword language-ID vs the labeled lang column, with agreement flag.
-    * Argmax with lexicographic-first tiebreak, encoded portably as
-    * `max(hits * 8 + reversed-lang-rank)` so both engines agree bit-for-bit.
+  /** Shared stopword language-ID encoding (q22 emits it row-wise; q165
+    * folds it into the agreement statistic): argmax with
+    * lexicographic-first tiebreak, encoded portably as
+    * `max(hits * 8 + reversed-lang-rank)` so both engines agree
+    * bit-for-bit.
     */
-  val q22LangId: Q = {
-    val langs = TextAnalysis.Stopwords.toSeq.sortBy(_._1) // de, en, es, fr
-    val k = langs.size
-    def duckHits(words: Seq[String]): String =
+  private object LangIdHeur {
+    val langs: Seq[(String, Seq[String])] =
+      TextAnalysis.Stopwords.toSeq.sortBy(_._1) // de, en, es, fr, zh
+    val k: Int = langs.size
+    private def duckHits(words: Seq[String]): String =
       s"len(list_filter($DuckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
-    val codesSql = langs.zipWithIndex.map { case ((l, ws), i) =>
+    val codesSql: String = langs.zipWithIndex.map { case ((_, ws), i) =>
       s"${duckHits(ws)} * 8 + ${k - 1 - i}"
     }.mkString("greatest(", ", ", ")")
-    val langCaseSql = langs.zipWithIndex.map { case ((l, _), i) =>
+    val langCaseSql: String = langs.zipWithIndex.map { case ((l, _), i) =>
       s"WHEN ${k - 1 - i} THEN '$l'"
     }.mkString("CASE best_code % 8 ", " ", " END")
+    val predSql: String =
+      s"CASE WHEN best_code // 8 > 0 THEN $langCaseSql ELSE 'und' END"
+    /** Spark twin: (doc_id, lang, pred_lang) from documents. */
+    def pred(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val toks = TextAnalysis.tokens(col("text"))
+      val codes = langs.zipWithIndex.map { case ((_, words), i) =>
+        TextAnalysis.lexiconHits(toks, words).cast("long") * 8 + (k - 1 - i)
+      }
+      val predLang = langs.zipWithIndex
+        .foldLeft(lit(null).cast("string")) { case (acc, ((l, _), i)) =>
+          when(col("_best_code") % 8 === (k - 1 - i), lit(l)).otherwise(acc)
+        }
+      Tables.documentsSpread(s, dir)
+        .withColumn("_best_code", greatest(codes: _*))
+        .withColumn("_score", expr("_best_code DIV 8"))
+        .withColumn("pred_lang", when(col("_score") > 0, predLang).otherwise("und"))
+    }
+  }
+
+  val q22LangId: Q = {
+    import LangIdHeur.{codesSql, langCaseSql}
     Q(
       "q22_lang_id",
       s"""SELECT doc_id, lang,
@@ -82,19 +107,7 @@ object TextQueries {
          |  (lang = CASE WHEN best_code // 8 > 0 THEN $langCaseSql ELSE 'und' END) AS agree
          |FROM (SELECT doc_id, lang, $codesSql AS best_code FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = TextAnalysis.tokens(col("text"))
-      val codes = langs.zipWithIndex.map { case ((_, words), i) =>
-        TextAnalysis.lexiconHits(toks, words).cast("long") * 8 + (k - 1 - i)
-      }
-      val bestCode = greatest(codes: _*)
-      val predLang = langs.zipWithIndex
-        .foldLeft(lit(null).cast("string")) { case (acc, ((l, _), i)) =>
-          when(col("_best_code") % 8 === (k - 1 - i), lit(l)).otherwise(acc)
-        }
-      Tables.documentsSpread(s, dir)
-        .withColumn("_best_code", bestCode)
-        .withColumn("_score", expr("_best_code DIV 8"))
-        .withColumn("pred_lang", when(col("_score") > 0, predLang).otherwise("und"))
+      LangIdHeur.pred(s, dir)
         .select(
           col("doc_id"), col("lang"), col("pred_lang"),
           col("_score").as("score"),
@@ -440,8 +453,90 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic data augmentation: seeded ~10% token dropout — the
+    * reproducible form of the text-augmentation pass (random dropout would
+    * make every training corpus rebuild different). Token at 0-based
+    * position i survives iff hash60("doc:i") % 10 != 0, a pure function of
+    * (doc, position) the oracle replays with an index lambda.
+    */
+  val q164Augment: Q = {
+    def duckHash(seed: String, e: String): String =
+      s"CAST(('0x' || substring(md5('$seed' || ':' || $e), 1, 15)) AS BIGINT)"
+    Q(
+      "q164_augment",
+      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  array_to_string(kept, ' ') AS aug_text
+         |FROM (
+         |  SELECT doc_id, toks,
+         |    list_filter(toks, (t, i) ->
+         |      ${duckHash("augdrop", "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 10 != 0) AS kept
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Hashing
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documentsSpread(s, dir)
+        .withColumn("_toks", toks)
+        .withColumn("_kept", filter(col("_toks"), (_, i) =>
+          Hashing.hash60(
+            concat(col("doc_id").cast("string"), lit(":"), i.cast("string")),
+            "augdrop") % 10 =!= 0))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_toks"),
+          size(col("_kept")).cast("long").as("n_kept"),
+          concat_ws(" ", col("_kept")).as("aug_text"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Cohen's kappa between the stopword langID heuristic and the gold
+    * label — chance-corrected agreement, the metric that tells a curation
+    * team whether a cheap labeler beats guessing before it gates a corpus.
+    * All inputs are integer confusion counts; kappa_e6 uses a fixed IEEE
+    * sequence both engines compute identically.
+    */
+  val q165Kappa: Q = {
+    import LangIdHeur.{codesSql, predSql}
+    Q(
+      "q165_labeler_kappa",
+      s"""WITH pred AS (
+         |  SELECT lang, $predSql AS pred_lang
+         |  FROM (SELECT lang, $codesSql AS best_code FROM documents)
+         |), conf AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM conf),
+         |diag AS (
+         |  SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS d FROM conf
+         |  WHERE lang = pred_lang
+         |), rt AS (SELECT lang AS lbl, CAST(SUM(n) AS BIGINT) AS r FROM conf GROUP BY 1),
+         |ct AS (SELECT pred_lang AS lbl, CAST(SUM(n) AS BIGINT) AS c FROM conf GROUP BY 1),
+         |rc AS (SELECT CAST(coalesce(SUM(r * c), 0) AS BIGINT) AS rc FROM rt JOIN ct USING (lbl))
+         |SELECT tot.nn AS n_docs, diag.d AS sum_diag, rc.rc AS sum_rowcol,
+         |  CAST(floor(1000000.0 * (tot.nn * diag.d - rc.rc)
+         |    / (tot.nn * tot.nn - rc.rc) + 0.5) AS BIGINT) AS kappa_e6
+         |FROM tot, diag, rc""".stripMargin) { (s, dir) =>
+      val pred = LangIdHeur.pred(s, dir).select(col("lang"), col("pred_lang"))
+      val conf = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .persist()
+      val tot = conf.agg(sum("n").as("nn"))
+      val diag = conf.where(col("lang") === col("pred_lang"))
+        .agg(coalesce(sum("n"), lit(0L)).as("d"))
+      val rt = conf.groupBy(col("lang").as("lbl")).agg(sum("n").as("r"))
+      val ct = conf.groupBy(col("pred_lang").as("lbl")).agg(sum("n").as("c"))
+      val rc = rt.join(ct, "lbl")
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("rc"))
+      tot.crossJoin(diag).crossJoin(rc)
+        .select(col("nn").as("n_docs"), col("d").as("sum_diag"),
+          col("rc").as("sum_rowcol"),
+          floor(lit(1000000.0) * (col("nn") * col("d") - col("rc"))
+            / (col("nn") * col("nn") - col("rc")) + 0.5)
+            .cast("long").as("kappa_e6"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
-    q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize)
+    q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize,
+    q164Augment, q165Kappa)
 }
