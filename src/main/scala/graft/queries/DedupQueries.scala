@@ -654,9 +654,43 @@ object DedupQueries {
     }
   }
 
+  /** Exact set-similarity join with prefix filtering (AllPairs/PPJoin):
+    * ALL pairs with token Jaccard ≥ 0.6, no blocking heuristic, no recall
+    * loss. The oracle is the BRUTE-FORCE all-pairs definition — so the
+    * gate proves prefix-filter completeness, not merely that the engine
+    * replays its own pipeline. Gated on a 1/10 doc slice: the corpus's
+    * near-dup clusters make the TRUE result set Ω(cluster²) (7.1M pairs
+    * corpus-wide at sf0.1 — real answers, not candidate waste), and the
+    * completeness proof is slice-size-independent.
+    */
+  val q166PrefixJoin: Q = {
+    val theta = 0.6
+    Q(
+      "q166_prefix_join",
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($DuckToks) AS toks FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(a.toks || b.toks)) AS jac
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+         |)
+         |SELECT id_a, id_b, CAST(floor(jac * 1000000 + 0.5) AS BIGINT) AS jac_e6
+         |FROM p WHERE jac >= $theta ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.ops.PrefixJoin.jaccardPairs(
+          Tables.documentsSpread(s, dir).where(col("doc_id") % 10 === 0),
+          "doc_id", TextAnalysis.tokens(col("text")), theta)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jac") * 1000000 + 0.5).cast("long").as("jac_e6"))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   val all: Seq[Q] = Seq(q25ExactDedup, q26JaccardNearDup, q27MinhashLsh,
     q28Simhash, q40SaltedSkewJoin, q42RollupCensus, q47CubeCensus,
     q48IntersectDocs, q49DedupClusters, q75Containment, q101PassageDedup,
     q102LshRecall, q105SplitLeakage, q112SimhashBands, q141LshHotBucket,
-    q152SuffixRepeats, q156SortedNeighborhood)
+    q152SuffixRepeats, q156SortedNeighborhood, q166PrefixJoin)
 }
