@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
       CorpusQueries.all ++ GraphQueries.all ++ CurationQueries.all ++
-      BpeQueries.all ++ ClassifierQueries.all
+      BpeQueries.all ++ ClassifierQueries.all ++ BehaviorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

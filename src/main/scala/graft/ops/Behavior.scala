@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over an event log: ordered-funnel conversion,
+  * weekly cohort retention, and first-order (Markov) transition counts —
+  * the session-level signals a training-data pipeline computes over its
+  * interaction telemetry (reference neura pipeline keeps per-episode event
+  * ordering for the same reason; see validate_one.py's monotonic-ts check).
+  *
+  * Scale contracts shared by all three:
+  *  - exactly ONE shuffle keyed on the user (funnel: groupBy; retention:
+  *    groupBy; transitions: a user-partitioned window) — the event table is
+  *    never re-shuffled per step/week/state, so 100 TB of events move once;
+  *  - all time arithmetic is integer microseconds/days (no calendar or
+  *    float math), so results replay bit-for-bit on any ANSI engine;
+  *  - outputs are tiny (per-user rows or per-bucket counts), never
+  *    event-sized.
+  */
+object Behavior {
+
+  /** Ordered funnel with a per-step conversion window: step i counts only
+    * if its event lands STRICTLY after step i-1's time and within
+    * `windowUs` of it. Per user, the earliest qualifying completion is
+    * taken greedily in event-time order (the classic "first touch" funnel
+    * contract — deterministic, and replayable in SQL as a chain of
+    * windowed MIN CTEs).
+    *
+    * One groupBy(user) shuffle; each user's (ts, type) pairs — projected
+    * down to the funnel's own event types first — are sorted and folded
+    * with a higher-order aggregate (per-row work, no per-step join or
+    * re-shuffle). Emits one row per DISTINCT user in `events` (funnel
+    * non-starters included with zeroed times): (user, t0_us..tk_us epoch
+    * micros — 0 where the step was never reached — and steps_completed).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct: $steps")
+    val nullT = lit(null).cast("bigint")
+    val init = struct(steps.indices.map(i => nullT.as(s"t$i")): _*)
+    val folded = events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("et"))
+          .as("_e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("_e"))).as("evs"))
+      .withColumn("_f", aggregate(col("evs"), init, (acc, ev) => {
+        val ts = ev.getField("ts_us")
+        val et = ev.getField("et")
+        // Each event can fire at most one branch (step types are distinct),
+        // and step i gates on the UPDATED step i-1 time so a click later in
+        // the same fold sees the view that opened its window; the strict
+        // `>` keeps a same-microsecond pair from double-counting one event.
+        var prev: Column = null
+        val fields = steps.zipWithIndex.map { case (st, i) =>
+          val cur = acc.getField(s"t$i")
+          val open =
+            if (i == 0) lit(true)
+            else prev.isNotNull && ts > prev && ts <= prev + lit(windowUs)
+          val nt = when(cur.isNull && et === lit(st) && open, ts).otherwise(cur)
+          prev = nt
+          nt.as(s"t$i")
+        }
+        struct(fields: _*)
+      }))
+    val users = events.select(col(userCol)).distinct()
+    val stepCols = steps.indices.map(i =>
+      coalesce(col("_f").getField(s"t$i"), lit(0L)).as(s"t${i}_us"))
+    val completed = steps.indices
+      .map(i => when(col("_f").getField(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    users.join(folded, Seq(userCol), "left")
+      .select(col(userCol) +: stepCols :+
+        coalesce(completed, lit(0L)).as("steps_completed"): _*)
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their FIRST
+    * event (absolute week index = epoch-day DIV 7 — pure integer, no
+    * calendar), counted once per later week they return. No self-join:
+    * one groupBy(user) collects each user's distinct active days, the
+    * distinct week OFFSETS are derived per row from the user's own min
+    * day, and a second small groupBy counts users per (cohort, offset).
+    * The (user, offset) pairs are distinct by construction, so the final
+    * count is a plain count, never a countDistinct shuffle of event rows.
+    */
+  def retentionWeekly(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val perUser = events
+      // integer DIV, not float division: a float quotient at an exact day
+      // boundary is a correctness hazard, not a style choice
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("_day"))
+      .groupBy(col(userCol))
+      .agg(min(col("_day")).as("_d0"), collect_set(col("_day")).as("_days"))
+      .select(col(userCol), expr("_d0 DIV 7").as("cohort_week"),
+        explode(array_distinct(
+          transform(col("_days"), d => ((d - col("_d0")) / 7).cast("long"))))
+          .as("week_offset"))
+    perUser.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order transition counts: how often event type A is immediately
+    * followed by type B within a user's event-time-ordered stream (the
+    * Markov-chain sufficient statistic behind next-action models and
+    * anomaly scores). `__start__` rows count each user's first event.
+    * One user-partitioned lag window (distributes across users) plus one
+    * tiny |types|² aggregation; ties on ts break by `idCol` so the order —
+    * and therefore every count — is deterministic.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_ts_us"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("_ts_us"))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .groupBy(coalesce(col("_prev"), lit("__start__")).as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -163,5 +163,46 @@ object ClassifierQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q150NbTrain, q151NbClassify, q159NbEval)
+  /** χ² feature selection (Yang & Pedersen ICML'97): top-20 most
+    * class-indicative terms per language from document-presence 2×2
+    * contingencies — the vocabulary pruner run before classifier training.
+    * Counts are exact BIGINT and the χ² score is ONE pinned IEEE sequence
+    * (no ln), so the oracle replays it bit-for-bit; ties break on term.
+    */
+  val q171Chi2Terms: Q = Q(
+    "q171_chi2_terms",
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, unnest(list_distinct($DuckToks)) AS term
+       |  FROM documents
+       |), tc AS (
+       |  SELECT term, lang AS label, count(*) AS a FROM p GROUP BY 1, 2
+       |), tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS ttot FROM tc GROUP BY 1),
+       |ct AS (SELECT lang AS label, count(*) AS nc FROM documents GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |en AS (
+       |  SELECT tc.label, tc.term, tc.a, tt.ttot - tc.a AS b,
+       |    ct.nc - tc.a AS c, nn.n - ct.nc - (tt.ttot - tc.a) AS d, nn.n AS n
+       |  FROM tc JOIN tt USING (term) JOIN ct USING (label) CROSS JOIN nn
+       |  WHERE tt.ttot < nn.n
+       |), sc AS (
+       |  SELECT label, term, a, b, c, d,
+       |    CAST(floor(
+       |      ((CAST(n AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)) * CAST(a*d - b*c AS DOUBLE)) /
+       |      (((CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)) * CAST(a+c AS DOUBLE)) * CAST(b+d AS DOUBLE))
+       |      * 1000000 + 0.5) AS BIGINT) AS chi2_micros
+       |  FROM en
+       |)
+       |SELECT label, CAST(rnk AS BIGINT) AS rnk, term, a, b, c, d, chi2_micros
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY label ORDER BY chi2_micros DESC, term) AS rnk
+       |  FROM sc
+       |) WHERE rnk <= 20
+       |ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+    graft.ops.FeatureSelect.chiSquaredTopK(Tables.documentsSpread(s, dir),
+        "doc_id", "lang", TextAnalysis.tokens(col("text")), k = 20)
+      .orderBy("label", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(q150NbTrain, q151NbClassify, q159NbEval, q171Chi2Terms)
 }

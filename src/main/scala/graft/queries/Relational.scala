@@ -1556,6 +1556,34 @@ object Relational {
       .orderBy("event_type", "hour_start")
   }
 
+  /** CUBE grouping sets with grouping_id: all four aggregation levels of
+    * (returnflag, linestatus) in ONE pass — Spark plans the cube as an
+    * Expand (4× replication) feeding a partially-aggregated shuffle, so
+    * the fact table is scanned once and only (groups × levels) rows move,
+    * not 4× the corpus. Subtotal NULLs are coalesced to 'ALL' and the
+    * grouping_id bitmask (identical semantics in DuckDB's GROUPING())
+    * keeps the levels distinguishable and the sort deterministic.
+    */
+  val q167CubeGrouping: Q = Q(
+    "q167_cube_grouping",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, rflag, lstatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_rows"),
+        sum(cents(col("l_quantity"))).as("qty_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n_rows"), col("qty_cents"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1569,5 +1597,5 @@ object Relational {
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
-    q160GapFill, q162CboReorder)
+    q160GapFill, q162CboReorder, q167CubeGrouping)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Behavior
+
+/** Funnel / retention / transitions vs hand cases and a sequential
+  * reference implementation on a seeded random event log.
+  */
+class BehaviorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def evDf(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "event_id", "us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+
+  /** Sequential greedy first-touch funnel walk (the contract's
+    * definition), one user at a time.
+    */
+  private def refFunnel(rows: Seq[(Long, Long, Long, String)],
+      steps: Seq[String], w: Long): Map[Long, Seq[Long]] =
+    rows.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.map(e => (e._3, e._4)).sorted
+      val t = Array.fill[Option[Long]](steps.size)(None)
+      for ((ts, et) <- sorted) {
+        val i = steps.indexOf(et)
+        if (i >= 0 && t(i).isEmpty &&
+          (i == 0 || t(i - 1).exists(p => ts > p && ts <= p + w)))
+          t(i) = Some(ts)
+      }
+      u -> t.toSeq.map(_.getOrElse(0L))
+    }
+
+  test("funnel hand case: window gates each step, non-starters zeroed") {
+    val h = 3600000000L // 1 h in µs
+    val rows = Seq[(Long, Long, Long, String)](
+      // u1 completes all three inside 2 h windows
+      (1L, 1L, 0L, "view"), (1L, 2L, h, "click"), (1L, 3L, 2 * h, "purchase"),
+      // u2's click lands outside the window → steps stop at 1
+      (2L, 4L, 0L, "view"), (2L, 5L, 3 * h, "click"),
+      // u3 clicks BEFORE any view → click can't count; purchase w/o click
+      (3L, 6L, 0L, "click"), (3L, 7L, h, "view"), (3L, 8L, 2 * h, "purchase"),
+      // u4 never enters the funnel types
+      (4L, 9L, 0L, "error"))
+    val got = Behavior.funnel(evDf(rows), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 2 * h)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, h, 2 * h, 3L),
+      (2L, 0L, 0L, 0L, 1L),
+      (3L, h, 0L, 0L, 1L),
+      (4L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("funnel matches the sequential reference on a seeded random log") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val rows = (0 until 600).map { i =>
+      ((rnd.nextInt(40) + 1).toLong, i.toLong,
+        rnd.nextLong(1000000000L), types(rnd.nextInt(types.size)))
+    }
+    val steps = Seq("view", "click", "purchase")
+    val w = 200000000L
+    val got = Behavior.funnel(evDf(rows), "user_id", "ts", "event_type",
+        steps, w)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val want = refFunnel(rows, steps, w)
+    assert(got.keySet === rows.map(_._1).toSet)
+    for ((u, ts) <- want) assert(got(u) === ts, s"user $u")
+  }
+
+  test("retention: per-user week offsets from the user's own first day") {
+    val day = 86400000000L
+    val rows = Seq[(Long, Long, Long, String)](
+      // A: days 0, 8, 15 → cohort_week 0, offsets 0,1,2
+      (1L, 1L, 0L, "x"), (1L, 2L, 8 * day, "x"), (1L, 3L, 15 * day, "x"),
+      // B: days 10, 24 → cohort_week 1, offsets 0,2
+      (2L, 4L, 10 * day, "x"), (2L, 5L, 24 * day, "x"),
+      // C: two events same week as first → single offset-0 row
+      (3L, 6L, 1 * day, "x"), (3L, 7L, 2 * day, "x"))
+    val got = Behavior.retentionWeekly(evDf(rows), "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 2L), // A and C start in week 0
+      (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("transitions: lag per user, ties on ts break by event id") {
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, 1L, 0L, "a"), (1L, 2L, 5L, "b"), (1L, 3L, 5L, "c"), // tie: b then c
+      (2L, 4L, 0L, "b"))
+    val got = Behavior.transitions(evDf(rows), "user_id", "ts",
+        "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("__start__", "a", 1L), ("a", "b", 1L), ("b", "c", 1L),
+      ("__start__", "b", 1L)))
+  }
+}
