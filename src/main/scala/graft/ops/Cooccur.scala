@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item co-occurrence counting — the SPPMI / item2vec statistic: for every
+  * unordered item pair, how many users interacted with both (Levy &
+  * Goldberg NeurIPS'14 use exactly this matrix as the embedding
+  * factorization target).
+  *
+  * The hazard at scale is the per-user quadratic: a crawler account that
+  * touched 10⁶ items would emit 5·10¹¹ pairs. The cap is therefore part
+  * of the operator contract, not a tuning flag: each user contributes
+  * only their `maxItemsPerUser` most-interacted items (ties broken on the
+  * item id, so the kept set is deterministic and SQL-replayable), giving
+  * a hard O(users · m²) bound on emitted pairs. The cap filter itself is
+  * the rank-filter idiom (map-side WindowGroupLimit — the full
+  * (user, item) table never shuffles twice).
+  *
+  * Plan: one groupBy(user, item) count, one per-user top-m rank filter,
+  * one self-equi-join on user (item_a < item_b), one pair aggregation.
+  */
+object Cooccur {
+
+  def itemPairs(df: DataFrame, userCol: String, itemCol: String,
+      maxItemsPerUser: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_cnt").desc, col(itemCol))
+    val kept = df
+      .groupBy(col(userCol), col(itemCol))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") <= maxItemsPerUser)
+      .select(col(userCol), col(itemCol))
+    val a = kept.select(col(userCol), col(itemCol).as("item_a"))
+    val b = kept.select(col(userCol), col(itemCol).as("item_b"))
+    a.join(b, Seq(userCol))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -103,5 +103,39 @@ object BehaviorQueries {
       .orderBy("from_type", "to_type")
   }
 
-  val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions)
+  /** Item co-occurrence counts (the item2vec / SPPMI statistic) over the
+    * props.k item id, with the per-user quadratic capped at the 40
+    * most-interacted items (count desc, item asc — deterministic and
+    * replayed by the oracle's row_number). One groupBy, one rank filter,
+    * one user-keyed self-join, one pair aggregation.
+    */
+  val q173Cooccurrence: Q = Q(
+    "q173_cooccurrence",
+    """WITH ui AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), kept AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY c DESC, item) AS r
+      |    FROM ui
+      |  ) WHERE r <= 40
+      |)
+      |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+      |FROM kept a JOIN kept b
+      |  ON a.user_id = b.user_id AND a.item < b.item
+      |GROUP BY 1, 2
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    val ui = Tables.events(s, dir)
+      .select(col("user_id"),
+        from_json(col("props"), propsSchema).getField("k").as("item"))
+    graft.ops.Cooccur.itemPairs(ui, "user_id", "item", maxItemsPerUser = 40)
+      .orderBy("item_a", "item_b")
+  }
+
+  val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
+    q173Cooccurrence)
 }

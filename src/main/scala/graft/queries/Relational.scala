@@ -1584,6 +1584,62 @@ object Relational {
       .orderBy("gid", "rflag", "lstatus")
   }
 
+  /** 24-hour trailing moving count/sum per event type — the RANGE-frame
+    * sliding window, computed with [[graft.ops.SlidingAgg]]'s sliced
+    * decomposition: events route to 4-day slices (+ a ≤25 % boundary
+    * replica), so parallelism is keys × slices instead of one task per
+    * event type, and the result is provably identical to the global RANGE
+    * window the oracle runs.
+    */
+  val q172SlidingWindow: Q = Q(
+    "q172_sliding_window",
+    """SELECT event_id, event_type, ts_us,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_win,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS sum_win
+      |FROM (
+      |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, ts_us, event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("cents"))
+    graft.ops.SlidingAgg.trailing(ev, "event_type", col("ts_us"),
+        col("cents"), lookbackUs = 86400000000L, sliceUs = 4 * 86400000000L)
+      .select("event_id", "event_type", "ts_us", "n_win", "sum_win")
+      .orderBy("event_type", "ts_us", "event_id")
+  }
+
+  /** Join-key skew profile over lineitem's part key: top-20 heaviest keys
+    * with exact integer permille share and ×100-of-mean load — the
+    * measurement that justifies q40's salting and q144's AQE skew
+    * thresholds. Top-k is a TakeOrdered, never a one-reducer window.
+    */
+  val q174SkewProfile: Q = Q(
+    "q174_skew_profile",
+    """WITH c AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c
+      |)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, key, cnt,
+      |  cnt * 1000 // total AS permille,
+      |  cnt * n_keys * 100 // total AS mean_multiple_x100
+      |FROM (
+      |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+      |  FROM c
+      |) CROSS JOIN t
+      |WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin) { (s, dir) =>
+    graft.ops.SkewProbe.keyProfile(Tables.lineitem(s, dir),
+        col("l_partkey"), topK = 20)
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1597,5 +1653,6 @@ object Relational {
     q131PartitionPrune, q132BucketedJoin, q136AsofForward,
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
-    q160GapFill, q162CboReorder, q167CubeGrouping)
+    q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
+    q174SkewProfile)
 }
