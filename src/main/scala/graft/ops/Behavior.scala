@@ -104,6 +104,30 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Trailing N-day active users (the WAU/MAU curve): for each day,
+    * distinct users with ≥1 event in [day−N+1, day]. Exact, via bounded
+    * explode: distinct (user, day) pairs (one groupBy) each project into
+    * the N target days they keep the user active in, then a second
+    * distinct + count. Shuffle volume is N × the distinct activity table
+    * (users × active days), never N × the raw event log. Target days run
+    * through lastActiveDay+N−1 — the window trails until the last
+    * activity ages out.
+    */
+  def rollingActiveDaily(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    events
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("_day"))
+      .distinct()
+      .select(col(userCol),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** First-order transition counts: how often event type A is immediately
     * followed by type B within a user's event-time-ordered stream (the
     * Markov-chain sufficient statistic behind next-action models and

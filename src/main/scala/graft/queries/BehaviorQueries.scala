@@ -136,6 +136,121 @@ object BehaviorQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** Overlapping-interval merge per user: each event spans [ts, ts +
+    * value minutes]; the sweep (running-max front + group sum) compacts
+    * overlapping-or-touching spans into coverage intervals. The oracle
+    * replays the identical two-window sweep.
+    */
+  val q175IntervalMerge: Q = Q(
+    "q175_interval_merge",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + CAST(round(value * 100) AS BIGINT) * 600000 AS hi
+      |  FROM events
+      |), sw AS (
+      |  SELECT user_id, lo, hi,
+      |    max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS front
+      |  FROM iv
+      |), g AS (
+      |  SELECT user_id, lo, hi,
+      |    CAST(SUM(CASE WHEN front IS NULL OR lo > front THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY lo, hi
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM sw
+      |)
+      |SELECT user_id, min(lo) AS merged_lo, max(hi) AS merged_hi,
+      |  count(*) AS n_merged
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, merged_lo""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.ops.Intervals.merge(
+        ev.select(col("user_id"), unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) +
+            graft.functions.Exact.cents(col("value")) * 600000L).as("hi")),
+        "user_id", col("lo"), col("hi"))
+      .orderBy("user_id", "merged_lo")
+  }
+
+  /** Trailing 7-day active users (the WAU curve) — exact, via the bounded
+    * (user, day) explode, never a sliding countDistinct over raw events.
+    */
+  val q176RollingActive: Q = Q(
+    "q176_rolling_active",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |), ex AS (
+      |  SELECT DISTINCT user_id, day + o.o AS day2
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+      |)
+      |SELECT day2 AS day, count(*) AS n_active
+      |FROM ex GROUP BY 1
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    Behavior.rollingActiveDaily(Tables.events(s, dir), "user_id", "ts", 7)
+      .orderBy("day")
+  }
+
+  /** Debounce per (user, type): keep an event only if it lands more than
+    * 24 h after the last KEPT event of its key — sequential kept-state, a
+    * fold no window frame can express; the oracle replays it with an
+    * ordered list_reduce.
+    */
+  val q177Debounce: Q = Q(
+    "q177_debounce",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, event_type, count(*) AS n_events,
+      |    list(ts_us ORDER BY ts_us, event_id) AS l
+      |  FROM e GROUP BY 1, 2
+      |)
+      |SELECT user_id, event_type, n_events,
+      |  CAST(len(k) AS BIGINT) AS n_kept,
+      |  k[1] AS first_kept, k[len(k)] AS last_kept
+      |FROM (
+      |  SELECT user_id, event_type, n_events,
+      |    list_reduce(list_transform(l, x -> [x]),
+      |      (a, b) -> a || CASE WHEN b[1] - a[len(a)] > 86400000000
+      |        THEN [b[1]] ELSE [] END) AS k
+      |  FROM g
+      |)
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    graft.ops.Signal.debounce(Tables.events(s, dir),
+        Seq("user_id", "event_type"), unix_micros(col("ts")), col("event_id"),
+        tolUs = 86400000000L)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Per-user EWMA (α = 0.2) of the event value in (ts, id) order — the
+    * drift monitor; both engines fold the identical pinned IEEE sequence
+    * acc + α(x − acc), so the final doubles are bit-equal.
+    */
+  val q178Ewma: Q = Q(
+    "q178_ewma",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, count(*) AS n,
+      |    list(value ORDER BY ts_us, event_id) AS l
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT user_id, n, list_reduce(l, (a, b) -> a + 0.2 * (b - a)) AS ewma
+      |FROM g
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.ops.Signal.ewma(Tables.events(s, dir), Seq("user_id"),
+        unix_micros(col("ts")), col("event_id"), col("value"),
+        alphaPermille = 200)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
-    q173Cooccurrence)
+    q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
+    q178Ewma)
 }

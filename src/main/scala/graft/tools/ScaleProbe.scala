@@ -357,6 +357,57 @@ object ScaleProbe {
         graft.functions.Hashing.hash60(col("doc_id").cast("string"), "lm") % 5 =!= 0)
       println(s"[probe]   scored: ${d.count()}")
     }
+    // 10x behavioral suite: 1M events / 15k users over 30 days (same shape
+    // as the sf0.1 log, 10x rows), deterministic multiplicative-hash times
+    val day = 86400000000L
+    val ev10 = spark.range(0, 1000000L).select(
+        col("id").as("event_id"),
+        pmod(col("id") * 2654435761L, lit(15000L)).as("user_id"),
+        expr(s"timestamp_micros(CAST(pmod(id * 6364136223846793005, ${30 * day}) AS BIGINT))").as("ts"),
+        element_at(typedLit(Seq("view", "click", "purchase", "signup", "error")),
+          (pmod(col("id") * 40503L, lit(5L)) + 1).cast("int")).as("event_type"),
+        pmod(col("id") * 97L, lit(1000L)).as("item"))
+      .repartition(64).cache()
+    println(s"[probe] events10x: ${ev10.count()}")
+    t("funnel 1M events / 15k users (one groupBy + per-user fold)") {
+      val f = graft.ops.Behavior.funnel(ev10, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 6L * 3600 * 1000000)
+      println(s"[probe]   users: ${f.count()}, completed: " +
+        f.filter(col("steps_completed") === 3).count())
+    }
+    t("retentionWeekly 1M events / 15k users") {
+      println(s"[probe]   cells: ${graft.ops.Behavior.retentionWeekly(ev10, "user_id", "ts").count()}")
+    }
+    t("transitions 1M events (user-partitioned lag window)") {
+      println(s"[probe]   cells: ${graft.ops.Behavior.transitions(ev10, "user_id", "ts", "event_type", "event_id").count()}")
+    }
+    t("cooccur 1M events, 1k items, cap 50 (incl. 100k-event hot user)") {
+      val hot = spark.range(0, 100000L).select(lit(99999L).as("user_id"),
+        pmod(col("id") * 31L, lit(1000L)).as("item"))
+      val n = graft.ops.Cooccur.itemPairs(
+        ev10.select("user_id", "item").unionByName(hot), "user_id", "item", 50).count()
+      println(s"[probe]   pairs: $n")
+    }
+    // sliding window: 10M rows / 5 keys — the shape where the naive
+    // one-partition-per-key RANGE window serializes and the sliced
+    // decomposition must not
+    val ts10 = spark.range(0, 10000000L).select(
+        element_at(typedLit(Seq("a", "b", "c", "d", "e")),
+          (pmod(col("id"), lit(5L)) + 1).cast("int")).as("k"),
+        pmod(col("id") * 6364136223846793005L, lit(30 * day)).as("ts_us"),
+        pmod(col("id"), lit(100L)).as("v"))
+      .repartition(64).cache()
+    println(s"[probe] slidingRows: ${ts10.count()}")
+    t("slidingAgg 10M rows / 5 keys, 24h lookback (sliced, keys x slices tasks)") {
+      val r = graft.ops.SlidingAgg.trailing(ts10, "k", col("ts_us"), col("v"),
+        day, 4 * day)
+      println(s"[probe]   rows: ${r.count()}")
+    }
+    t("slidingAgg naive global RANGE window (one task per key) — reference") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy("ts_us").rangeBetween(-day, 0)
+      println(s"[probe]   rows: ${ts10.withColumn("s", sum(col("v")).over(w)).count()}")
+    }
     spark.stop()
   }
 }
