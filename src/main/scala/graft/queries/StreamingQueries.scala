@@ -414,9 +414,47 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming funnel: the mapGroupsWithState machine's drained final
+    * state must equal the batch funnel (q168's greedy windowed-MIN
+    * contract) — a multi-step state machine gated beyond q39's monotone
+    * counter. Same oracle as q168.
+    */
+  val q179StreamingFunnel: Q = Q(
+    "q179_streaming_funnel",
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+       |  FROM events
+       |), s0 AS (
+       |  SELECT user_id, min(ts_us) AS t0 FROM e
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), s1 AS (
+       |  SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN s0 USING (user_id)
+       |  WHERE event_type = 'click' AND ts_us > t0
+       |    AND ts_us <= t0 + 21600000000 GROUP BY 1
+       |), s2 AS (
+       |  SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'purchase' AND ts_us > t1
+       |    AND ts_us <= t1 + 21600000000 GROUP BY 1
+       |)
+       |SELECT u.user_id, coalesce(t0, 0) AS t0_us, coalesce(t1, 0) AS t1_us,
+       |  coalesce(t2, 0) AS t2_us,
+       |  CAST(CAST(t0 IS NOT NULL AS BIGINT) + CAST(t1 IS NOT NULL AS BIGINT)
+       |    + CAST(t2 IS NOT NULL AS BIGINT) AS BIGINT) AS steps_completed
+       |FROM (SELECT DISTINCT user_id FROM e) u
+       |LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+       |LEFT JOIN s2 USING (user_id)
+       |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.funnelState(s, df,
+        Seq("view", "click", "purchase"), 21600000000L),
+      "q179_mem", OutputMode.Update)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
-    q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash)
+    q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
+    q179StreamingFunnel)
 }

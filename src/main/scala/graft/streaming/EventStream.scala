@@ -93,6 +93,47 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming funnel (view→click→purchase with a per-step window) as a
+    * mapGroupsWithState machine — the stateful twin of
+    * [[graft.ops.Behavior.funnel]]. State = the three step times; each
+    * invocation walks its batch's rows in (ts, id) order and advances the
+    * greedy earliest-qualifying chain, so after draining event-time-
+    * ordered batches (the one-shot AvailableNow drain trivially
+    * qualifies) the final state equals the batch fold. Out-of-order
+    * ACROSS batches would need watermarked buffering (the session_window
+    * form's trade-off, q34) — contract documented, not silently wrong:
+    * a funnel step never un-fires.
+    */
+  final case class FunnelState(user_id: Long, t0_us: Long, t1_us: Long,
+      t2_us: Long, steps_completed: Long)
+
+  def funnelState(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    import spark.implicits._
+    require(steps.size == 3, "funnelState carries a 3-step state")
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(uid, 0L, 0L, 0L, 0L))
+          var (t0, t1, t2) = (prev.t0_us, prev.t1_us, prev.t2_us)
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, et) =>
+            if (t0 == 0L && et == steps(0)) t0 = ts
+            else if (t1 == 0L && t0 != 0L && et == steps(1) &&
+              ts > t0 && ts <= t0 + windowUs) t1 = ts
+            else if (t2 == 0L && t1 != 0L && et == steps(2) &&
+              ts > t1 && ts <= t1 + windowUs) t2 = ts
+          }
+          val next = FunnelState(uid, t0, t1, t2,
+            Seq(t0, t1, t2).count(_ != 0L).toLong)
+          state.update(next)
+          next
+      }.toDF()
+  }
+
   /** Sessionization via flatMapGroupsWithState — the arbitrary-stateful
     * surface where one group invocation EMITS MANY rows (mapGroupsWithState
     * is limited to one). Runs on batch Datasets too (each group invoked

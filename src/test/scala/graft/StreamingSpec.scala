@@ -21,6 +21,18 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming funnel state equals the batch funnel fold after a drain") {
+    val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      df => EventStream.funnelState(spark, df,
+        Seq("view", "click", "purchase"), 21600000000L),
+      "t_funnel", OutputMode.Update)
+    val batch = graft.ops.Behavior.funnel(Tables.events(spark, sfDir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      21600000000L)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming session windows match batch gaps-and-islands boundaries") {
     val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
       EventStream.sessionAgg, "t_sess", OutputMode.Complete)
