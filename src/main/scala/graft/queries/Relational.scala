@@ -1607,10 +1607,39 @@ object Relational {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("cents"))
-    graft.ops.SlidingAgg.trailing(ev, "event_type", col("ts_us"),
+    val slid = graft.ops.SlidingAgg.trailing(ev, "event_type", col("ts_us"),
         col("cents"), lookbackUs = 86400000000L, sliceUs = 4 * 86400000000L)
       .select("event_id", "event_type", "ts_us", "n_win", "sum_win")
       .orderBy("event_type", "ts_us", "event_id")
+    // plan tripwire — the sliced decomposition's whole point is that the
+    // RANGE window partitions on (key, _slice), not the key alone (which
+    // would serialize each key's timeline through one task at scale).
+    // Execute THIS QueryExecution, then unwrap AQE to the finalized plan
+    // (the q132 idiom) before collecting window nodes.
+    val qe = slid.queryExecution
+    qe.toRdd.count()
+    // AQE cuts the tree at QueryStageExec boundaries, so a plain collect
+    // never sees operators inside materialized stages — descend explicitly
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(qs.plan)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(allNodes) ++ nested)
+    }
+    val windows = allNodes(qe.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    if (windows.isEmpty) throw new IllegalStateException(
+      "q172: no WindowExec in the executed plan")
+    if (!windows.exists(_.partitionSpec.size >= 2)) throw new IllegalStateException(
+      "q172: sliding window lost its slice partitioning — partitionSpec is " +
+        windows.map(_.partitionSpec.map(_.sql).mkString("(", ",", ")")).mkString("; "))
+    slid
   }
 
   /** Join-key skew profile over lineitem's part key: top-20 heaviest keys
