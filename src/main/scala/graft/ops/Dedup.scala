@@ -75,16 +75,16 @@ object Dedup {
     if (maxBucket <= AutoSubBlockTarget) (keys, keys, bucketCols)
     else {
       val hot = broadcast(counts.filter(col("count") > AutoSubBlockTarget)
-        .withColumn("_s", least(lit(MaxBucketSubChunks),
+        .withColumn("_graft_s", least(lit(MaxBucketSubChunks),
           ceil(col("count").cast("double") / AutoSubBlockTarget)).cast("int"))
         .drop("count"))
       val withS = keys.join(hot, bucketCols, "left")
-        .withColumn("_s", coalesce(col("_s"), lit(1)))
-      val chunk = pmod(xxhash64(col(idCol)), col("_s")).cast("int")
-      val reps = explode(sequence(lit(0), col("_s") - 1))
-      val a = withS.withColumn("_ca", chunk).withColumn("_cb", reps).drop("_s")
-      val b = withS.withColumn("_ca", reps).withColumn("_cb", chunk).drop("_s")
-      (a, b, bucketCols ++ Seq("_ca", "_cb"))
+        .withColumn("_graft_s", coalesce(col("_graft_s"), lit(1)))
+      val chunk = pmod(xxhash64(col(idCol)), col("_graft_s")).cast("int")
+      val reps = explode(sequence(lit(0), col("_graft_s") - 1))
+      val a = withS.withColumn("_graft_ca", chunk).withColumn("_graft_cb", reps).drop("_graft_s")
+      val b = withS.withColumn("_graft_ca", reps).withColumn("_graft_cb", chunk).drop("_graft_s")
+      (a, b, bucketCols ++ Seq("_graft_ca", "_graft_cb"))
     }
   }
 
@@ -103,10 +103,10 @@ object Dedup {
   private def chunkedCrossJoinSides(ls: DataFrame, rs: DataFrame,
       bucketCols: Seq[String], leftId: String, rightId: String)
       : (DataFrame, DataFrame, Seq[String]) = {
-    val lc = ls.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_lc"))
-    val rc = rs.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_rc"))
+    val lc = ls.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_graft_lc"))
+    val rc = rs.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("_graft_rc"))
     val both = lc.join(rc, bucketCols)
-    val maxRow = both.agg(max("_lc"), max("_rc")).head()
+    val maxRow = both.agg(max("_graft_lc"), max("_graft_rc")).head()
     val maxL = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val maxR = if (maxRow.isNullAt(1)) 0L else maxRow.getLong(1)
     if (maxL <= AutoSubBlockTarget && maxR <= AutoSubBlockTarget) (ls, rs, bucketCols)
@@ -114,22 +114,22 @@ object Dedup {
       def sOf(c: Column): Column = least(lit(MaxBucketSubChunks),
         ceil(c.cast("double") / AutoSubBlockTarget)).cast("int")
       val hot = broadcast(both
-        .filter(col("_lc") > AutoSubBlockTarget || col("_rc") > AutoSubBlockTarget)
+        .filter(col("_graft_lc") > AutoSubBlockTarget || col("_graft_rc") > AutoSubBlockTarget)
         .select(bucketCols.map(col) ++
-          Seq(sOf(col("_lc")).as("_sl"), sOf(col("_rc")).as("_sr")): _*))
+          Seq(sOf(col("_graft_lc")).as("_graft_sl"), sOf(col("_graft_rc")).as("_graft_sr")): _*))
       val l2 = ls.join(hot, bucketCols, "left")
-        .withColumn("_sl", coalesce(col("_sl"), lit(1)))
-        .withColumn("_sr", coalesce(col("_sr"), lit(1)))
-        .withColumn("_cl", pmod(xxhash64(col(leftId)), col("_sl")).cast("int"))
-        .withColumn("_cr", explode(sequence(lit(0), col("_sr") - 1)))
-        .drop("_sl", "_sr")
+        .withColumn("_graft_sl", coalesce(col("_graft_sl"), lit(1)))
+        .withColumn("_graft_sr", coalesce(col("_graft_sr"), lit(1)))
+        .withColumn("_graft_cl", pmod(xxhash64(col(leftId)), col("_graft_sl")).cast("int"))
+        .withColumn("_graft_cr", explode(sequence(lit(0), col("_graft_sr") - 1)))
+        .drop("_graft_sl", "_graft_sr")
       val r2 = rs.join(hot, bucketCols, "left")
-        .withColumn("_sl", coalesce(col("_sl"), lit(1)))
-        .withColumn("_sr", coalesce(col("_sr"), lit(1)))
-        .withColumn("_cl", explode(sequence(lit(0), col("_sl") - 1)))
-        .withColumn("_cr", pmod(xxhash64(col(rightId)), col("_sr")).cast("int"))
-        .drop("_sl", "_sr")
-      (l2, r2, bucketCols ++ Seq("_cl", "_cr"))
+        .withColumn("_graft_sl", coalesce(col("_graft_sl"), lit(1)))
+        .withColumn("_graft_sr", coalesce(col("_graft_sr"), lit(1)))
+        .withColumn("_graft_cl", explode(sequence(lit(0), col("_graft_sl") - 1)))
+        .withColumn("_graft_cr", pmod(xxhash64(col(rightId)), col("_graft_sr")).cast("int"))
+        .drop("_graft_sl", "_graft_sr")
+      (l2, r2, bucketCols ++ Seq("_graft_cl", "_graft_cr"))
     }
   }
 

@@ -88,6 +88,21 @@ class BehaviorSpec extends SparkSuite {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("rolling 7-day active users: each user counted once per window day") {
+    val day = 86400000000L
+    val rows = Seq[(Long, Long, Long, String)](
+      // u1 active days 0 and 2 (two events on day 2) → active days 0..8
+      (1L, 1L, 0L, "x"), (1L, 2L, 2 * day, "x"), (1L, 3L, 2 * day + 5L, "x"),
+      // u2 active day 10 → active days 10..16
+      (2L, 4L, 10 * day, "x"))
+    val got = Behavior.rollingActiveDaily(evDf(rows), "user_id", "ts", 7)
+      .as[(Long, Long)].collect().toMap
+    val want = ((0L to 8L).map(_ -> 1L) ++ (10L to 16L).map(_ -> 1L)).toMap
+    assert(got === want)
+    // u1 is never double-counted on days 2..6 (active on both 0 and 2)
+    assert(got(3L) === 1L)
+  }
+
   test("transitions: lag per user, ties on ts break by event id") {
     val rows = Seq[(Long, Long, Long, String)](
       (1L, 1L, 0L, "a"), (1L, 2L, 5L, "b"), (1L, 3L, 5L, "c"), // tie: b then c

@@ -87,6 +87,18 @@ class OpsSpec extends SparkSuite {
     assert(pairs.count() === pairs.dropDuplicates("id_a", "id_b").count())
   }
 
+  test("simhashHammingPairs: caller columns named like old internals don't collide") {
+    // regression: the chunked-join guard once used bare `_s` internally,
+    // so a signature column named `_s` hit AMBIGUOUS_REFERENCE on the hot
+    // path (found by the 10k-spam ScaleProbe entry)
+    val sigs = spamDocs.select(col("doc_id"),
+      when(col("doc_id") < 600, lit(0x2AAAL))
+        .otherwise(shiftleft(col("doc_id"), 20)).as("_s"))
+    val pairs = Dedup.simhashHammingPairs(sigs, "doc_id", "_s", 16, 3)
+    assert(pairs.filter(col("id_a") < 600 && col("id_b") < 600).count() ===
+      600L * 599L / 2)
+  }
+
   test("crossMinhashLshPairs: viral bucket on both sides → exact L×R pair set") {
     val sh = spamDocs.withColumn("_sh",
       TextAnalysis.wordShingles(TextAnalysis.tokens(col("text")), 2))
