@@ -13,6 +13,7 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val behaviorOnly = args.contains("behavior") // dev: tail entries only
     val sf = "/root/testdata/sf0.1"
     val docs0 = spark.read.parquet(s"$sf/documents.parquet")
     val n0 = docs0.count()
@@ -37,6 +38,7 @@ object ScaleProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(calib ${calibrate()}%.3f s)"); r
     }
+    if (!behaviorOnly) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {
       val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6).count()
@@ -357,13 +359,14 @@ object ScaleProbe {
         graft.functions.Hashing.hash60(col("doc_id").cast("string"), "lm") % 5 =!= 0)
       println(s"[probe]   scored: ${d.count()}")
     }
+    } // end !behaviorOnly
     // 10x behavioral suite: 1M events / 15k users over 30 days (same shape
     // as the sf0.1 log, 10x rows), deterministic multiplicative-hash times
     val day = 86400000000L
     val ev10 = spark.range(0, 1000000L).select(
         col("id").as("event_id"),
         pmod(col("id") * 2654435761L, lit(15000L)).as("user_id"),
-        expr(s"timestamp_micros(CAST(pmod(id * 6364136223846793005, ${30 * day}) AS BIGINT))").as("ts"),
+        expr(s"timestamp_micros(pmod(xxhash64(id), ${30 * day}))").as("ts"),
         element_at(typedLit(Seq("view", "click", "purchase", "signup", "error")),
           (pmod(col("id") * 40503L, lit(5L)) + 1).cast("int")).as("event_type"),
         pmod(col("id") * 97L, lit(1000L)).as("item"))
@@ -394,19 +397,33 @@ object ScaleProbe {
     val ts10 = spark.range(0, 10000000L).select(
         element_at(typedLit(Seq("a", "b", "c", "d", "e")),
           (pmod(col("id"), lit(5L)) + 1).cast("int")).as("k"),
-        pmod(col("id") * 6364136223846793005L, lit(30 * day)).as("ts_us"),
+        pmod(xxhash64(col("id")), lit(30 * day)).as("ts_us"),
         pmod(col("id"), lit(100L)).as("v"))
       .repartition(64).cache()
     println(s"[probe] slidingRows: ${ts10.count()}")
-    t("slidingAgg 10M rows / 5 keys, 24h lookback (sliced, keys x slices tasks)") {
+    // aggregate the window output — a bare count() lets column pruning
+    // DELETE the Window operator and times only the scan
+    t("slidingAgg 10M rows / 5 keys, 24h lookback (sliced prefix-sum form)") {
       val r = graft.ops.SlidingAgg.trailing(ts10, "k", col("ts_us"), col("v"),
         day, 4 * day)
-      println(s"[probe]   rows: ${r.count()}")
+      println(s"[probe]   checksum: ${r.agg(sum(col("sum_win"))).head().getLong(0)}")
     }
-    t("slidingAgg naive global RANGE window (one task per key) — reference") {
+    // the naive RANGE-frame plan is run at 1/10 size ONLY: Spark's
+    // SlidingWindowFunctionFrame rebuilds the aggregate on every lower-
+    // bound advance (O(rows × frame_rows)); at 10M rows / 5 keys it burns
+    // 32 cores for tens of minutes — which is precisely the measurement
+    val ts1 = ts10.sample(0.1, 42).cache()
+    println(s"[probe] naiveRows: ${ts1.count()}")
+    t("slidingAgg naive RANGE frame at 1/10 SIZE (quadratic frame rebuilds)") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("k").orderBy("ts_us").rangeBetween(-day, 0)
-      println(s"[probe]   rows: ${ts10.withColumn("s", sum(col("v")).over(w)).count()}")
+      println(s"[probe]   checksum: " + ts1.withColumn("s", sum(col("v")).over(w))
+        .agg(sum(col("s"))).head().getLong(0))
+    }
+    t("slidingAgg sliced prefix-sum form at the same 1/10 size") {
+      val r = graft.ops.SlidingAgg.trailing(ts1, "k", col("ts_us"), col("v"),
+        day, 4 * day)
+      println(s"[probe]   checksum: ${r.agg(sum(col("sum_win"))).head().getLong(0)}")
     }
     spark.stop()
   }
