@@ -451,10 +451,38 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** transformWithState (Spark 4 arbitrary state, RocksDB-backed): the
+    * drained per-user MapState mode must equal the batch modal-type
+    * aggregate with the (count desc, type asc) tiebreak — the NEW
+    * stateful API gated next to its mapGroupsWithState (q39/q179) and
+    * flatMapGroupsWithState (q77) predecessors.
+    */
+  val q180TwsModalType: Q = Q(
+    "q180_tws_modal_type",
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events FROM c GROUP BY 1
+      |), m AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_n FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY n DESC, event_type) AS r
+      |    FROM c
+      |  ) WHERE r = 1
+      |)
+      |SELECT user_id, n_events, top_type, CAST(top_n AS BIGINT) AS top_n
+      |FROM t JOIN m USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.userModalType(s, df), "q180_mem", OutputMode.Update)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
-    q179StreamingFunnel)
+    q179StreamingFunnel, q180TwsModalType)
 }

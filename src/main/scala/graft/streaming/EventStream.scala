@@ -134,6 +134,59 @@ object EventStream {
       }.toDF()
   }
 
+  /** Per-user modal event type via `transformWithState` (Spark 4's
+    * successor to mapGroupsWithState, SPARK-40434): composable typed
+    * state — here a MapState[type → count] per user — on the RocksDB
+    * state-store provider (the only provider the operator supports).
+    * Emits each user's total event count and the modal type with the
+    * deterministic (count desc, type asc) tiebreak after every batch;
+    * Update-mode drain leaves the final row per user. The map never
+    * exceeds |event types| entries, so state is O(users · types).
+    */
+  final case class TwsUserMode(user_id: Long, n_events: Long,
+      top_type: String, top_n: Long)
+
+  private class UserModeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TwsUserMode] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsUserMode] = {
+      rows.foreach { case (_, et) =>
+        val prev = if (counts.containsKey(et)) counts.getValue(et) else 0L
+        counts.updateValue(et, prev + 1L)
+      }
+      val all = counts.iterator().toSeq
+      val n = all.map(_._2).sum
+      val (topType, topN) = all.minBy { case (t, c) => (-c, t) }
+      Iterator.single(TwsUserMode(key, n, topType, topN))
+    }
+  }
+
+  def userModalType(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    // transformWithState runs only on the RocksDB provider; scope the
+    // setting to this (isolated) session before the query starts
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.selectExpr("user_id", "event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserModeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
   /** Sessionization via flatMapGroupsWithState — the arbitrary-stateful
     * surface where one group invocation EMITS MANY rows (mapGroupsWithState
     * is limited to one). Runs on batch Datasets too (each group invoked

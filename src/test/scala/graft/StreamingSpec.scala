@@ -33,6 +33,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("transformWithState modal type equals the batch mode after a drain") {
+    val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
+      df => EventStream.userModalType(spark, df), "t_tws", OutputMode.Update)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    val batch = counts
+      .withColumn("r", row_number().over(w))
+      .withColumn("n_events", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .where(col("r") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("event_type").as("top_type"), col("n").as("top_n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming session windows match batch gaps-and-islands boundaries") {
     val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
       EventStream.sessionAgg, "t_sess", OutputMode.Complete)
