@@ -128,6 +128,34 @@ object Behavior {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands fold (engagement/retention signal; the reference
+    * keeps per-episode day ordering for the same monotonic-ts reason,
+    * validate_one.py). Island id = day − row_number(day): constant within
+    * a run of consecutive days, strictly decreasing across a gap.
+    *
+    * Scale contract: one distinct on (user, day) — activity-table sized,
+    * never event-sized — then a user-partitioned window (parallelism =
+    * users; a user's distinct days are bounded by the calendar, so no key
+    * serializes a task) and two aggregations over activity-table-sized
+    * input. All arithmetic is integer days: bit-exact on any ANSI
+    * engine. Output is one tiny row per user.
+    */
+  def activityStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val byUserDay = Window.partitionBy(col(userCol)).orderBy(col("_day"))
+    events
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("_day"))
+      .distinct()
+      .withColumn("_grp", col("_day") - row_number().over(byUserDay))
+      .groupBy(col(userCol), col("_grp"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(userCol))
+      .agg(max("_len").as("longest_streak"),
+        sum("_len").as("n_active_days"))
+  }
+
   /** First-order transition counts: how often event type A is immediately
     * followed by type B within a user's event-time-ordered stream (the
     * Markov-chain sufficient statistic behind next-action models and

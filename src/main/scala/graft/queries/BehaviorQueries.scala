@@ -250,7 +250,35 @@ object BehaviorQueries {
       .orderBy("user_id")
   }
 
+  /** Longest consecutive-day streak per user — gaps-and-islands via
+    * day − row_number(day); all arithmetic in integer days so engine
+    * parity is exact. sum() is cast to BIGINT in the oracle because
+    * DuckDB widens BIGINT sums to HUGEINT (→ float64 through pandas).
+    */
+  val q181ActivityStreak: Q = Q(
+    "q181_activity_streak",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM ud
+      |), st AS (
+      |  SELECT user_id, count(*) AS len
+      |  FROM isl GROUP BY user_id, grp
+      |)
+      |SELECT user_id, max(len) AS longest_streak,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM st GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Behavior.activityStreaks(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
     q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
-    q178Ewma)
+    q178Ewma, q181ActivityStreak)
 }

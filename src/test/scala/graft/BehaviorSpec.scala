@@ -114,4 +114,21 @@ class BehaviorSpec extends SparkSuite {
       ("__start__", "a", 1L), ("a", "b", 1L), ("b", "c", 1L),
       ("__start__", "b", 1L)))
   }
+
+  test("activityStreaks hand case: islands, gaps, multi-event days") {
+    import spark.implicits._
+    val d = 86400000000L
+    // user 1: days 0,1,2 (two events on day 1), gap, days 5,6 -> longest 3, active 5
+    // user 2: days 10, 12, 14 (all isolated) -> longest 1, active 3
+    // user 3: one day -> longest 1, active 1
+    val rows = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, d + 1L, "a"), (1L, 3L, d + 2L, "b"),
+      (1L, 4L, 2 * d, "a"), (1L, 5L, 5 * d, "a"), (1L, 6L, 6 * d, "a"),
+      (2L, 7L, 10 * d, "a"), (2L, 8L, 12 * d, "a"), (2L, 9L, 14 * d, "a"),
+      (3L, 10L, 3 * d, "a"))
+    val got = Behavior.activityStreaks(evDf(rows), "user_id", "ts")
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 5L), (2L, 1L, 3L), (3L, 1L, 1L)))
+  }
 }
