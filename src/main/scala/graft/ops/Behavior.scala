@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
+  /** Integer `x DIV 7` as a Column — the module's time arithmetic is
+    * integer-only by contract, and `transform` lambda variables can't pass
+    * through `expr(...)` strings, so build the IntegralDivide node
+    * directly (truncation-vs-floor hazards of a double quotient never
+    * arise).
+    */
+  private def intDiv7(x: Column): Column = {
+    import org.apache.spark.sql.graft.GraftBridge
+    GraftBridge.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.toExpression(x), GraftBridge.toExpression(lit(7L))))
+  }
+
   /** Ordered funnel with a per-step conversion window: step i counts only
     * if its event lands STRICTLY after step i-1's time and within
     * `windowUs` of it. Per user, the earliest qualifying completion is
@@ -98,7 +111,7 @@ object Behavior {
       .agg(min(col("_day")).as("_d0"), collect_set(col("_day")).as("_days"))
       .select(col(userCol), expr("_d0 DIV 7").as("cohort_week"),
         explode(array_distinct(
-          transform(col("_days"), d => ((d - col("_d0")) / 7).cast("long"))))
+          transform(col("_days"), d => intDiv7(d - col("_d0")))))
           .as("week_offset"))
     perUser.groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))

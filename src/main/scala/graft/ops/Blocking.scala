@@ -44,11 +44,13 @@ object Blocking {
     val cand = sameB.unionByName(nextB)
       .where(col("_rb") > col("_ra") && col("_rb") - col("_ra") < w)
       .select("id_a", "id_b")
-    cand
-      .join(keyed.select(col(idCol).as("id_a"), col("_toks").as("_ta")), "id_a")
-      .join(keyed.select(col(idCol).as("id_b"), col("_toks").as("_tb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Dedup.jaccard(col("_ta"), col("_tb")).as("jac"))
-      .where(col("jac") >= threshold)
+    Pins.sealOutput(
+      cand
+        .join(keyed.select(col(idCol).as("id_a"), col("_toks").as("_ta")), "id_a")
+        .join(keyed.select(col(idCol).as("id_b"), col("_toks").as("_tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("_ta"), col("_tb")).as("jac"))
+        .where(col("jac") >= threshold),
+      keyed, rk)
   }
 }

@@ -79,18 +79,20 @@ object Boilerplate {
       .agg(count_distinct(col(idCol)).as("_df"))
       .filter(col("_df") >= minDocs)
       .select(col("seg"), lit(true).as("_bp"))
-    segs
-      .join(broadcast(bp), Seq("seg"), "left")
-      .withColumn("_is_bp", coalesce(col("_bp"), lit(false)))
-      .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("_is_bp"), 1L).otherwise(0L)).as("n_boilerplate"),
-        nullif(array_join(
-          transform(
-            filter(sort_array(collect_list(struct(col("seg_idx"), col("_is_bp"), col("seg")))),
-              s => !s.getField("_is_bp")),
-            s => s.getField("seg")),
-          " "), lit("")).as("clean_text"))
+    Pins.sealOutput(
+      segs
+        .join(broadcast(bp), Seq("seg"), "left")
+        .withColumn("_is_bp", coalesce(col("_bp"), lit(false)))
+        .groupBy(idCol)
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(col("_is_bp"), 1L).otherwise(0L)).as("n_boilerplate"),
+          nullif(array_join(
+            transform(
+              filter(sort_array(collect_list(struct(col("seg_idx"), col("_is_bp"), col("seg")))),
+                s => !s.getField("_is_bp")),
+              s => s.getField("seg")),
+            " "), lit("")).as("clean_text")),
+      segs)
   }
 }

@@ -65,13 +65,15 @@ object Corpus {
       .orderBy(col("_n").desc, col("term"))
       .limit(vocabSize)
       .select(col("term"), lit(true).as("_inv"))
-    tok.join(broadcast(vocab), Seq("term"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov"))
-      .withColumn("oov_rate",
-        graft.functions.Exact.roundPortable(
-          col("oov").cast("double") / col("n_tok").cast("double"), 6))
+    Pins.sealOutput(
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov"))
+        .withColumn("oov_rate",
+          graft.functions.Exact.roundPortable(
+            col("oov").cast("double") / col("n_tok").cast("double"), 6)),
+      tok)
   }
 
   /** Top collocations (adjacent word pairs) by pointwise mutual information,
@@ -101,18 +103,20 @@ object Corpus {
     val totals = uni.agg(sum("c_w").as("n_uni")).crossJoin(
       bi.agg(sum("c_xy").as("m_bi")))
 
-    bi.where(col("c_xy") >= minCount)
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .withColumn("w2", split(col("bigram"), " ").getItem(1))
-      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))), "w2")
-      .crossJoin(broadcast(totals))
-      .withColumn("score",
-        (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
-          (col("m_bi") * col("c_x") * col("c_y")).cast("double"))
-      .orderBy(col("score").desc, col("bigram"))
-      .limit(topK)
-      .select("bigram", "c_xy", "c_x", "c_y", "score")
+    Pins.sealOutput(
+      bi.where(col("c_xy") >= minCount)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("score",
+          (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+            (col("m_bi") * col("c_x") * col("c_y")).cast("double"))
+        .orderBy(col("score").desc, col("bigram"))
+        .limit(topK)
+        .select("bigram", "c_xy", "c_x", "c_y", "score"),
+      uni, bi)
   }
 
   /** Per-group total variation distance between the group's unigram
@@ -139,17 +143,19 @@ object Corpus {
     val grpTotals = gt.groupBy("grp").agg(sum("c_tg").as("n_g"))
     val nTotal = tokTotals.agg(sum("c_t").as("n"))
 
-    gt.join(broadcast(tokTotals), "tok")
-      .join(broadcast(grpTotals), "grp")
-      .crossJoin(broadcast(nTotal))
-      .groupBy("grp")
-      .agg(
-        first(col("n_g")).as("n_g"),
-        first(col("n")).as("n"),
-        sum(abs(col("c_tg") * col("n") - col("c_t") * col("n_g"))).as("present_abs"),
-        sum(col("c_t")).as("s_g"))
-      .withColumn("numer", col("present_abs") + (col("n") - col("s_g")) * col("n_g"))
-      .withColumn("tvd", col("numer").cast("double") / (lit(2L) * col("n_g") * col("n")).cast("double"))
-      .select(col("grp"), col("n_g").as("group_tokens"), col("tvd"))
+    Pins.sealOutput(
+      gt.join(broadcast(tokTotals), "tok")
+        .join(broadcast(grpTotals), "grp")
+        .crossJoin(broadcast(nTotal))
+        .groupBy("grp")
+        .agg(
+          first(col("n_g")).as("n_g"),
+          first(col("n")).as("n"),
+          sum(abs(col("c_tg") * col("n") - col("c_t") * col("n_g"))).as("present_abs"),
+          sum(col("c_t")).as("s_g"))
+        .withColumn("numer", col("present_abs") + (col("n") - col("s_g")) * col("n_g"))
+        .withColumn("tvd", col("numer").cast("double") / (lit(2L) * col("n_g") * col("n")).cast("double"))
+        .select(col("grp"), col("n_g").as("group_tokens"), col("tvd")),
+      gt)
   }
 }

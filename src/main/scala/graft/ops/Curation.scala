@@ -99,12 +99,14 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docFreq = spans.groupBy("g").agg(count(lit(1)).as("ndocs"))
     // spans are distinct within a doc, so count(*) per g = #docs containing it
-    spans.join(docFreq, "g")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_frac",
-        Exact.roundPortable(col("n_dup").cast("double") / col("n_spans"), 6))
+    Pins.sealOutput(
+      spans.join(docFreq, "g")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          Exact.roundPortable(col("n_dup").cast("double") / col("n_spans"), 6)),
+      spans)
   }
 
   /** Greedy token-budget selection: order docs by (score desc, id) and
@@ -309,15 +311,17 @@ object Curation {
         Window.partitionBy(groupCol).orderBy(col("_lc").desc, col(langCol))))
       .filter(col("_rn") === 1)
       .select(col(groupCol), col(langCol).as("top_lang"))
-    per.join(topLang, groupCol)
-      .select(col(groupCol), col("n_docs"), col("n_tokens"),
-        Exact.roundPortable(
-          col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
-          .as("mean_tokens"),
-        col("n_langs"), col("top_lang"),
-        Exact.roundPortable(
-          col("_qs").cast("double") / 1000000.0 / col("n_docs").cast("double"), 6)
-          .as("mean_quality"))
+    Pins.sealOutput(
+      per.join(topLang, groupCol)
+        .select(col(groupCol), col("n_docs"), col("n_tokens"),
+          Exact.roundPortable(
+            col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_tokens"),
+          col("n_langs"), col("top_lang"),
+          Exact.roundPortable(
+            col("_qs").cast("double") / 1000000.0 / col("n_docs").cast("double"), 6)
+            .as("mean_quality")),
+      base)
   }
 
   /** End-to-end curation: normalize → exact-dedup on the normalized text

@@ -229,11 +229,13 @@ object Dedup {
       least(col("_na"), col("_nb")).cast("double") /
         greatest(col("_na"), col("_nb")).cast("double") >= lit(threshold - 1e-9)
     val joinKeys = if (s == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
-    a.join(b, joinKeys)
-      .filter(col("id_a") < col("id_b") && sizeRatioOk)
-      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    Pins.sealOutput(
+      a.join(b, joinKeys)
+        .filter(col("id_a") < col("id_b") && sizeRatioOk)
+        .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
+        .filter(col("jac") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jac")),
+      prepared)
   }
 
   /** Blocked containment near-dup: pairs where the SMALLER token set is
@@ -259,11 +261,13 @@ object Dedup {
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
     val denom = least(col("_na"), col("_nb")).cast("double")
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b") && least(col("_na"), col("_nb")) > 0)
-      .withColumn("containment", inter / denom)
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+    Pins.sealOutput(
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b") && least(col("_na"), col("_nb")) > 0)
+        .withColumn("containment", inter / denom)
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("containment")),
+      prepared)
   }
 
   /** Blocked edit-distance near-dup: pairs within the same `blockKey` whose
@@ -377,12 +381,14 @@ object Dedup {
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
     val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
-    candidates
-      .join(lBase.select(col(idCol).as("id_left"), col(shinglesCol).as("toks_a")), "id_left")
-      .join(rBase.select(col(idCol).as("id_right"), col(shinglesCol).as("toks_b")), "id_right")
-      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
-      .filter(col("jac") >= threshold)
-      .select(col("id_left"), col("id_right"), col("jac"))
+    Pins.sealOutput(
+      candidates
+        .join(lBase.select(col(idCol).as("id_left"), col(shinglesCol).as("toks_a")), "id_left")
+        .join(rBase.select(col(idCol).as("id_right"), col(shinglesCol).as("toks_b")), "id_right")
+        .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
+        .filter(col("jac") >= threshold)
+        .select(col("id_left"), col("id_right"), col("jac")),
+      lBase, lKeys, rBase, rKeys)
   }
 
   def minhashLshPairs(df: DataFrame, idCol: String, shinglesCol: String,
@@ -421,12 +427,14 @@ object Dedup {
     val inter = graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b"))
       .cast("double")
     val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") - inter
-    candidates
-      .join(base.select(col(idCol).as("id_a"), col(shinglesCol).as("toks_a")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col(shinglesCol).as("toks_b")), "id_b")
-      .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    Pins.sealOutput(
+      candidates
+        .join(base.select(col(idCol).as("id_a"), col(shinglesCol).as("toks_a")), "id_a")
+        .join(base.select(col(idCol).as("id_b"), col(shinglesCol).as("toks_b")), "id_b")
+        .withColumn("jac", when(union > 0, inter / union).otherwise(lit(0.0)))
+        .filter(col("jac") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jac")),
+      base, keys)
   }
 
   /** SimHash over a token array: per-token seeded hash, bit-majority vote
@@ -488,12 +496,14 @@ object Dedup {
       col(simhashCol).as("sh_a"): _*)
     val b = kb.select((joinKeys.map(col) :+ col(idCol).as("id_b")) :+
       col(simhashCol).as("sh_b"): _*)
-    a.join(b, joinKeys)
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    Pins.sealOutput(
+      a.join(b, joinKeys)
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming")),
+      keys)
   }
 
   /** SemDeDup-style semantic deduplication over an embedding column:

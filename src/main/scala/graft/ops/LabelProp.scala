@@ -70,7 +70,12 @@ object LabelProp {
       chain = if (i % 4 == 0) Nil else List(next)
       lab = next
     }
-    lab.select(col("v").as("node_id"), col("label").as("community"))
+    // seal: materialize the final labeling, then release every pin the
+    // loop left behind (graph tables + the last round's frame); unpersist
+    // on a checkpoint-chain frame is a no-op
+    Pins.sealOutput(
+      lab.select(col("v").as("node_id"), col("label").as("community")),
+      edges, nodes, edgesD, lab)
   }
 
   /** In-memory reference for tests (same synchronous min-tiebreak rule). */

@@ -48,31 +48,50 @@ object NaiveBayes {
     */
   def train(docs: DataFrame, idCol: String, labelCol: String, toks: Column)
       : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val tok = docs
       .select(col(labelCol).as("label"), explode(toks).as("term"))
     val counts = tok.groupBy("label", "term").agg(count(lit(1)).as("cnt"))
     // persist: vocab size, class totals, and the likelihood table all
-    // derive from `counts`; without a pin the explode+groupBy runs 3×.
+    // derive from `counts`; without a pin the explode+groupBy runs per
+    // consumer. The pin is RELEASED before returning — the model tables are
+    // materialized via localCheckpoint below, so nothing stays cached.
     counts.persist()
-    val vocab = counts.select("term").distinct().count() // scalar V
-    val classTotals = counts.groupBy("label").agg(sum("cnt").as("tot"))
+    // V and N as 1-row broadcast aggregates, NOT driver-side .count()
+    // actions: training collapses from 3 sequential driver jobs (vocab
+    // count, doc count, then the model build recomputing the lineage) to
+    // the two model-materialization jobs — the round-8 q151 finding.
+    val vStats = counts.agg(countDistinct(col("term")).as("v")) // 1 row: V
     val nDocs = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
-    val n = docs.count() // scalar N
+      // N = Σ n_docs via an all-rows window on the |classes|-row table —
+      // no second scan of `docs`, no driver action
+      .withColumn("n", sum("n_docs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val classTotals = counts.groupBy("label").agg(sum("cnt").as("tot"))
 
     val classStats = nDocs
       .join(classTotals, "label")
+      .crossJoin(broadcast(vStats))
       .select(
         col("label"), col("n_docs"), col("tot"),
-        lnMicros(col("n_docs"), lit(n)).as("prior_lpm"),
-        lnMicros(lit(1L), col("tot") + lit(vocab)).as("unseen_lpm"))
+        lnMicros(col("n_docs"), col("n")).as("prior_lpm"),
+        lnMicros(lit(1L), col("tot") + col("v")).as("unseen_lpm"))
 
     val likelihood = counts
       .join(classTotals, "label")
+      .crossJoin(broadcast(vStats))
       .select(
         col("label"), col("term"), col("cnt"),
-        lnMicros(col("cnt") + 1, col("tot") + lit(vocab)).as("lpm"))
-    (likelihood, classStats)
+        lnMicros(col("cnt") + 1, col("tot") + col("v")).as("lpm"))
+    // Materialize the model eagerly (localCheckpoint pins the vocab-sized
+    // result as RDD blocks, freed by GC like Dedup/Cluster's pins), then
+    // drop the counts cache — callers get self-contained model tables and
+    // the session's cache manager stays empty (round-8 verdict #2).
+    val likOut = likelihood.localCheckpoint()
+    val statsOut = classStats.localCheckpoint()
+    counts.unpersist()
+    (likOut, statsOut)
   }
 
   /** Classify `test` docs with a model trained by [[train]]: per document,

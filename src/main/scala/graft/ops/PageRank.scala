@@ -114,7 +114,11 @@ object PageRank {
       chain = if (i % 4 == 0) Nil else List(next)
       pr = next
     }
-    pr.select(col("v").as("node_id"), col("r").as("rank_scaled"))
+    // seal: materialize the final ranks, then release the pins the loop
+    // left behind (edge tables + the last round's frame)
+    Pins.sealOutput(
+      pr.select(col("v").as("node_id"), col("r").as("rank_scaled")),
+      edges, nodes, edgesD, pr)
   }
 
   /** In-memory reference for tests (same integer arithmetic). */

@@ -75,10 +75,12 @@ object PrefixJoin {
       .distinct()
     // verify: exact Jaccard on the full token sets, payloads joined AFTER
     // the narrow distinct
-    cand
-      .join(base.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
-      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("ta"), col("tb")).as("jac"))
-      .where(col("jac") >= theta)
+    Pins.sealOutput(
+      cand
+        .join(base.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"), Dedup.jaccard(col("ta"), col("tb")).as("jac"))
+        .where(col("jac") >= theta),
+      base, ranked)
   }
 }

@@ -51,15 +51,16 @@ object PrefixSum {
     val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
     val outSchema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    val result = sorted.mapPartitions { rows =>
-      var running = offsets(TaskContext.getPartitionId())
-      rows.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ running)
-        running += r.getLong(valueIdx)
-        out
-      }
-    }(Encoders.row(outSchema))
-    result
+    Pins.sealOutput(
+      sorted.mapPartitions { rows =>
+        var running = offsets(TaskContext.getPartitionId())
+        rows.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ running)
+          running += r.getLong(valueIdx)
+          out
+        }
+      }(Encoders.row(outSchema)),
+      sorted)
   }
 
   /** Append `outCol` = 1-based global row number in `orderCols` order
@@ -88,12 +89,14 @@ object PrefixSum {
     val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
     val outSchema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    sorted.mapPartitions { rows =>
-      var running = offsets(TaskContext.getPartitionId())
-      rows.map { r =>
-        running += 1L
-        Row.fromSeq(r.toSeq :+ running)
-      }
-    }(Encoders.row(outSchema))
+    Pins.sealOutput(
+      sorted.mapPartitions { rows =>
+        var running = offsets(TaskContext.getPartitionId())
+        rows.map { r =>
+          running += 1L
+          Row.fromSeq(r.toSeq :+ running)
+        }
+      }(Encoders.row(outSchema)),
+      sorted)
   }
 }

@@ -54,14 +54,16 @@ object Scoring {
     val partMicros = floor(
       idf * (col("tf").cast("double") * (k1 + 1.0)) / denom
         * 1000000.0 + 0.5).cast("long")
-    tf.join(broadcast(dfT), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("_pm", partMicros)
-      .groupBy(idCol)
-      .agg(sum("_pm").as("_sm"))
-      .select(col(idCol), Exact.fromMicros(col("_sm")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+    Pins.sealOutput(
+      tf.join(broadcast(dfT), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("_pm", partMicros)
+        .groupBy(idCol)
+        .agg(sum("_pm").as("_sm"))
+        .select(col(idCol), Exact.fromMicros(col("_sm")).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k),
+      tf)
   }
 
   /** Per-doc mean unigram log-probability under the corpus's own unigram
@@ -87,13 +89,15 @@ object Scoring {
         * 1000000 + 0.5).cast("long")
     val scoredTerms = lm.crossJoin(broadcast(total))
       .select(col("term"), lpMicros.as("_lp"))
-    tokens.join(scoredTerms, "term")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_toks"), sum("_lp").as("_lps"))
-      .select(col(idCol), col("n_toks"),
-        Exact.roundPortable(
-          col("_lps").cast("double") / 1000000.0 / col("n_toks").cast("double"),
-          6).as("avg_lp"))
+    Pins.sealOutput(
+      tokens.join(scoredTerms, "term")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_toks"), sum("_lp").as("_lps"))
+        .select(col(idCol), col("n_toks"),
+          Exact.roundPortable(
+            col("_lps").cast("double") / 1000000.0 / col("n_toks").cast("double"),
+            6).as("avg_lp")),
+      tokens)
   }
 
   /** Stupid Backoff bigram scoring (Brants et al. EMNLP 2007 "Large
@@ -151,13 +155,15 @@ object Scoring {
       .otherwise(
         floor(log(lit(alpha) / col("_n").cast("double")) * 1000000 + 0.5).cast("long"))
     val scoreTable = types.select(col("bigram"), sMicros.as("_s"))
-    pairs.join(scoreTable, "bigram")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("_s").as("_ss"))
-      .select(col(idCol), col("n_bigrams"),
-        Exact.roundPortable(
-          col("_ss").cast("double") / 1000000.0 / col("n_bigrams").cast("double"),
-          6).as("sb_score"))
+    Pins.sealOutput(
+      pairs.join(scoreTable, "bigram")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_bigrams"), sum("_s").as("_ss"))
+        .select(col(idCol), col("n_bigrams"),
+          Exact.roundPortable(
+            col("_ss").cast("double") / 1000000.0 / col("n_bigrams").cast("double"),
+            6).as("sb_score")),
+      pairs, lmToks, uc)
   }
 
   /** Moore-Lewis cross-entropy-difference data selection (ACL 2010
@@ -195,14 +201,16 @@ object Scoring {
     val termScores = gen.join(ind, Seq("term"), "left")
       .crossJoin(broadcast(scalars))
       .select(col("term"), (lpIn - lpGen).as("_d"))
-    tokens.join(termScores, "term")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_toks"), sum("_d").as("_ds"))
-      .select(col(idCol), col("n_toks"),
-        Exact.roundPortable(
-          col("_ds").cast("double") / 1000000.0 / col("n_toks").cast("double"),
-          6).as("ml_score"))
-      .withColumn("selected", col("ml_score") > 0.0)
+    Pins.sealOutput(
+      tokens.join(termScores, "term")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_toks"), sum("_d").as("_ds"))
+        .select(col(idCol), col("n_toks"),
+          Exact.roundPortable(
+            col("_ds").cast("double") / 1000000.0 / col("n_toks").cast("double"),
+            6).as("ml_score"))
+        .withColumn("selected", col("ml_score") > 0.0),
+      tokens, gen)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
@@ -244,10 +252,12 @@ object Scoring {
           6).as("avg_lp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol).orderBy(col("avg_lp").desc, col(idCol))
-    perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
-      .withColumn("label",
-        when(col("bucket") === 1, "head")
-          .when(col("bucket") === 2, "middle").otherwise("tail"))
+    Pins.sealOutput(
+      perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .withColumn("label",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail")),
+      tokens, lm)
   }
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
@@ -304,9 +314,11 @@ object Scoring {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feat"), sum("_lr").as("w_micros"))
       .withColumn("key_micros", col("w_micros") + gumbelMicros)
-    perDoc.withColumn("selected",
-      rank().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("key_micros").desc, col(idCol))) <= k)
+    Pins.sealOutput(
+      perDoc.withColumn("selected",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_micros").desc, col(idCol))) <= k),
+      pairs)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): combine

@@ -279,11 +279,13 @@ object Similarity {
         prepared.select(col("blk"), col("id").as("id_b"), col("_s").as("_sb"),
           col("_n").as("_nb"), replicas.as("_ca"), chunk.as("_cb")))
     val joinKeys = if (subBlocks == 1) Seq("blk") else Seq("blk", "_ca", "_cb")
-    a.join(b, joinKeys)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", graft.functions.Exact.roundPortable(
-        cosineFromNorms(col("_sa"), col("_sb"), col("_na"), col("_nb")), 6))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    Pins.sealOutput(
+      a.join(b, joinKeys)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.Exact.roundPortable(
+          cosineFromNorms(col("_sa"), col("_sb"), col("_na"), col("_nb")), 6))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("sim")),
+      prepared)
   }
 }

@@ -29,7 +29,7 @@ object Skyline {
     * strictly greater `xCol` (null when none). `vCol` must be DoubleType.
     */
   private def exclusiveRunningMaxDesc(df: DataFrame, xCol: String,
-      vCol: String, outCol: String): DataFrame = {
+      vCol: String, outCol: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(n, col(xCol).desc)
@@ -52,14 +52,14 @@ object Skyline {
       }
     val outSchema = StructType(sorted.schema.fields :+
       StructField(outCol, DoubleType, nullable = true))
-    sorted.mapPartitions { rows =>
+    (sorted.mapPartitions { rows =>
       var running = offsets(TaskContext.getPartitionId())
       rows.map { r =>
         val out = Row.fromSeq(r.toSeq :+ running.map(Double.box).orNull)
         running = Some(running.fold(r.getDouble(vIdx))(math.max(_, r.getDouble(vIdx))))
         out
       }
-    }(Encoders.row(outSchema))
+    }(Encoders.row(outSchema)), sorted) // caller releases the pin (Pins)
   }
 
   /** The Pareto front of `df` maximizing (xCol, yCol). Rows with a NULL in
@@ -70,11 +70,13 @@ object Skyline {
     val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val g = pts.groupBy(col(xCol))
       .agg(max(col(yCol).cast("double")).as("_gy"))
-    val r = exclusiveRunningMaxDesc(g, xCol, "_gy", "_em")
-    pts.join(r, Seq(xCol))
-      .where(col(yCol).cast("double") === col("_gy") &&
-        (col("_em").isNull || col("_em") < col(yCol).cast("double")))
-      .drop("_gy", "_em")
+    val (r, pin) = exclusiveRunningMaxDesc(g, xCol, "_gy", "_em")
+    Pins.sealOutput(
+      pts.join(r, Seq(xCol))
+        .where(col(yCol).cast("double") === col("_gy") &&
+          (col("_em").isNull || col("_em") < col(yCol).cast("double")))
+        .drop("_gy", "_em"),
+      pin)
   }
 
   /** In-memory reference for tests: direct dominance test, O(n²). */

@@ -103,10 +103,12 @@ object SuffixArray {
       .select(col(idCol), col("off"),
         greatest(coalesce(col("lcp_prev"), lit(0L)),
           coalesce(col("lcp_next"), lit(0L))).as("rep_len"))
-    rep.groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_suffixes"),
-        max("rep_len").as("max_rep_len"),
-        sum(when(col("rep_len") >= dupLen, 1L).otherwise(0L)).as("n_dup"))
+    Pins.sealOutput(
+      rep.groupBy(idCol)
+        .agg(
+          count(lit(1)).as("n_suffixes"),
+          max("rep_len").as("max_rep_len"),
+          sum(when(col("rep_len") >= dupLen, 1L).otherwise(0L)).as("n_dup")),
+      sa, pairs)
   }
 }

@@ -36,11 +36,8 @@ object TfIdf {
     * (score desc, term) — a total order, so results are deterministic.
     */
   def topTerms(docs: DataFrame, idCol: String, tokens: Column, k: Int): DataFrame = {
-    // Shared by the scoring and document-frequency branches; stays
-    // persisted for the life of the returned (lazy) plan. Long-lived
-    // sessions issuing many such queries should clear via
-    // spark.catalog.clearCache() between them — the engine-wide contract
-    // for every op-internal barrier cache (see Dedup/Boilerplate too).
+    // Shared by the scoring and document-frequency branches; released by
+    // the sealOutput below once the result is materialized (see [[Pins]]).
     val tf = termFrequencies(docs, idCol, tokens)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -52,10 +49,13 @@ object TfIdf {
       .withColumn("score",
         graft.functions.Exact.roundPortable(col("tf") * idf, 6))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+    Pins.sealOutput(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+          col("rank")),
+      tf)
   }
 
   /** Sparse term-frequency cosine near-dup pairs: cosine over exact tf
@@ -89,14 +89,16 @@ object TfIdf {
     val a = kept.select(col("term"), col(idCol).as("id_a"), col("tf").as("tf_a"))
     val b = kept.select(col("term"), col(idCol).as("id_b"), col("tf").as("tf_b"))
     val sim = col("dot").cast("double") / (col("nrm_a") * col("nrm_b"))
-    a.join(b, "term").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a")), "id_a")
-      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b")), "id_b")
-      .filter(sim >= minSim)
-      .select(col("id_a"), col("id_b"),
-        graft.functions.Exact.roundPortable(sim, 6).as("sim"))
+    Pins.sealOutput(
+      a.join(b, "term").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+        .join(norms.select(col(idCol).as("id_a"), col("nrm").as("nrm_a")), "id_a")
+        .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nrm_b")), "id_b")
+        .filter(sim >= minSim)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Exact.roundPortable(sim, 6).as("sim")),
+      tf, kept)
   }
 
   /** Global top-k most frequent terms (exact heavy hitters) with their

@@ -60,10 +60,12 @@ object Triangles {
       .unionAll(tri.select(col("v").as("node_id")))
       .unionAll(tri.select(col("w").as("node_id")))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("v").as("node_id"))
-      .join(credits, Seq("node_id"), "left")
-      .select(col("node_id"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    Pins.sealOutput(
+      deg.select(col("v").as("node_id"))
+        .join(credits, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles")),
+      und, oriented, tri)
   }
 
   /** In-memory reference for tests. */

@@ -143,11 +143,16 @@ object BehaviorQueries {
     */
   val q175IntervalMerge: Q = Q(
     "q175_interval_merge",
-    """WITH iv AS (
+    """WITH iv0 AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
       |    epoch_us(CAST(ts AS TIMESTAMP))
       |      + CAST(round(value * 100) AS BIGINT) * 600000 AS hi
       |  FROM events
+      |-- degenerate-row contract, explicit on both sides: Intervals.merge
+      |-- drops hi<lo rows, so the oracle must too (otherwise parity would
+      |-- silently depend on events.value staying non-negative)
+      |), iv AS (
+      |  SELECT * FROM iv0 WHERE hi >= lo
       |), sw AS (
       |  SELECT user_id, lo, hi,
       |    max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi

@@ -143,9 +143,12 @@ object ClassifierQueries {
        |FROM cls LEFT JOIN tpx USING (c) LEFT JOIN tn USING (c)
        |  LEFT JOIN pn USING (c)
        |ORDER BY lang""".stripMargin) { (s, dir) =>
+    // localCheckpoint, not persist: the |classes|²-row confusion table is
+    // materialized once and auto-freed by GC — no cached table outlives the
+    // gate (round-8 verdict #2)
     val conf = nbPredictions(s, dir)
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-      .persist()
+      .localCheckpoint()
     val cls = conf.select(col("lang").as("c"))
       .unionByName(conf.select(col("pred_lang").as("c"))).distinct()
     val tp = conf.where(col("lang") === col("pred_lang"))

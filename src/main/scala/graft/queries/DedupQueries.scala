@@ -158,12 +158,14 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("_blk"), col("doc_id").as("id_a"), col("_simhash").as("sh_a"))
     val b = docs.select(col("_blk"), col("doc_id").as("id_b"), col("_simhash").as("sh_b"))
-    a.join(b, Seq("_blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= 3)
-      .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
+    graft.ops.Pins.sealOutput(
+      a.join(b, Seq("_blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b"),
+      docs)
   }
 
   /** Banded SimHash Hamming join (Manku WWW'07 pigeonhole blocking): the
@@ -427,13 +429,15 @@ object DedupQueries {
         .select("id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val common = ref.join(lsh, Seq("id_a", "id_b"), "left_semi")
-      ref.agg(count(lit(1)).as("n_ref"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(common.agg(count(lit(1)).as("n_common")))
-        .withColumn("recall",
-          when(col("n_ref") > 0, graft.functions.Exact.roundPortable(
-            col("n_common").cast("double") / col("n_ref").cast("double"), 6))
-            .otherwise(lit(1.0)))
+      graft.ops.Pins.sealOutput(
+        ref.agg(count(lit(1)).as("n_ref"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(common.agg(count(lit(1)).as("n_common")))
+          .withColumn("recall",
+            when(col("n_ref") > 0, graft.functions.Exact.roundPortable(
+              col("n_common").cast("double") / col("n_ref").cast("double"), 6))
+              .otherwise(lit(1.0))),
+        docs, ref, lsh)
     }
   }
 

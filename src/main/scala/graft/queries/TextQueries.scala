@@ -250,10 +250,12 @@ object TextQueries {
       val sk = graft.ops.CountMin.sketch(toks, "term", depth, width, seed)
       val exact = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
         .orderBy(col("true_count").desc, col("term")).limit(20)
-      graft.ops.CountMin.estimate(sk, exact.select("term"), "term", depth, width, seed)
-        .join(exact, "term")
-        .select("term", "est_count", "true_count")
-        .orderBy("term")
+      graft.ops.Pins.sealOutput(
+        graft.ops.CountMin.estimate(sk, exact.select("term"), "term", depth, width, seed)
+          .join(exact, "term")
+          .select("term", "est_count", "true_count")
+          .orderBy("term"),
+        toks)
     }
   }
 
@@ -516,8 +518,10 @@ object TextQueries {
          |    / (tot.nn * tot.nn - rc.rc) + 0.5) AS BIGINT) AS kappa_e6
          |FROM tot, diag, rc""".stripMargin) { (s, dir) =>
       val pred = LangIdHeur.pred(s, dir).select(col("lang"), col("pred_lang"))
+      // localCheckpoint, not persist: |classes|²-row table, materialized
+      // once and GC-freed — no cached table outlives the gate
       val conf = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-        .persist()
+        .localCheckpoint()
       val tot = conf.agg(sum("n").as("nn"))
       val diag = conf.where(col("lang") === col("pred_lang"))
         .agg(coalesce(sum("n"), lit(0L)).as("d"))

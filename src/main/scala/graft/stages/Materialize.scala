@@ -124,7 +124,10 @@ object Materialize {
          |}""".stripMargin
     SingleFile.writeText(spark, s"$outDir/_manifest.json", manifest)
 
-    withVideos
+    // release both barriers now that the index parquet + manifest are
+    // written; the returned frame is sealed (self-contained, GC-freed)
+    // so no cached table outlives the stage (round-8 verdict #2)
+    graft.ops.Pins.sealOutput(withVideos, withVideos, index)
   }
 
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

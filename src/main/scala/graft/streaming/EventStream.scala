@@ -107,6 +107,19 @@ object EventStream {
   final case class FunnelState(user_id: Long, t0_us: Long, t1_us: Long,
       t2_us: Long, steps_completed: Long)
 
+  /** Internal funnel progress. Step times use Long.MinValue as the
+    * "never fired" sentinel — 0 is a VALID event time (epoch microsecond
+    * 0, a case BehaviorSpec's batch fold pins), and Spark timestamps
+    * can't reach MinValue micros (the timestamp range ends ~year 294276),
+    * so the sentinel is unreachable and the state machine matches the
+    * batch fold's null semantics exactly. The OUTPUT row keeps the gate's
+    * contract (0 for unset; steps_completed disambiguates), matching
+    * Behavior.funnel's `coalesce(t, 0)` emission.
+    */
+  final case class FunnelProg(t0: Long, t1: Long, t2: Long)
+
+  private val Unset = Long.MinValue
+
   def funnelState(spark: SparkSession, events: DataFrame,
       steps: Seq[String], windowUs: Long): DataFrame = {
     import spark.implicits._
@@ -116,21 +129,21 @@ object EventStream {
         "event_type")
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(uid, 0L, 0L, 0L, 0L))
-          var (t0, t1, t2) = (prev.t0_us, prev.t1_us, prev.t2_us)
+      .mapGroupsWithState[FunnelProg, FunnelState](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelProg]) =>
+          val prev = state.getOption.getOrElse(FunnelProg(Unset, Unset, Unset))
+          var (t0, t1, t2) = (prev.t0, prev.t1, prev.t2)
           rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, et) =>
-            if (t0 == 0L && et == steps(0)) t0 = ts
-            else if (t1 == 0L && t0 != 0L && et == steps(1) &&
+            if (t0 == Unset && et == steps(0)) t0 = ts
+            else if (t1 == Unset && t0 != Unset && et == steps(1) &&
               ts > t0 && ts <= t0 + windowUs) t1 = ts
-            else if (t2 == 0L && t1 != 0L && et == steps(2) &&
+            else if (t2 == Unset && t1 != Unset && et == steps(2) &&
               ts > t1 && ts <= t1 + windowUs) t2 = ts
           }
-          val next = FunnelState(uid, t0, t1, t2,
-            Seq(t0, t1, t2).count(_ != 0L).toLong)
-          state.update(next)
-          next
+          state.update(FunnelProg(t0, t1, t2))
+          def out(t: Long): Long = if (t == Unset) 0L else t
+          FunnelState(uid, out(t0), out(t1), out(t2),
+            Seq(t0, t1, t2).count(_ != Unset).toLong)
       }.toDF()
   }
 
