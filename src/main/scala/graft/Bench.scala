@@ -33,6 +33,80 @@ object Bench {
       }
     }
 
+  private def ms(v: Double): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def cs(v: Double): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The single stdout metric line, BYTE-BUDGETED (round-8 verdict #3: at
+    * 176 gates the full per-query map outgrew the driver's 2000-byte tail
+    * capture and the round lost its parsed artifact). The `queries` map
+    * keeps FAILED gates first (a -1 must never be silently dropped), then
+    * the slowest gates, adding entries only while the line stays under
+    * `byteBudget`; `queries_n`/`queries_omitted`/`omitted_sec` make the
+    * truncation explicit and keep the total reconstructable. The complete
+    * per-query map always lands in bench_last.json + stderr, so nothing is
+    * lost — the stdout line just degrades gracefully instead of
+    * catastrophically. Pure, so BenchRetimeSpec can pin the budget at
+    * simulated 300-gate scale.
+    */
+  def metricJson(merged: Seq[(String, Double, Double)],
+      shortKey: String => String, sfDir: String, wallSec: Double,
+      calibStart: Double, calibEnd: Double, retimedN: Int,
+      byteBudget: Int = 1700): String = {
+    val total = merged.map(_._2).filter(_ >= 0).sum
+    val calibs = merged.map(_._3)
+    val calibMin = if (calibs.isEmpty) 0.0 else calibs.min
+    val calibMax = if (calibs.isEmpty) 0.0 else calibs.max
+    val calibArgmax =
+      if (merged.isEmpty) "" else shortKey(merged.maxBy(_._3)._1)
+    def line(entries: Seq[(String, Double)], omittedN: Int,
+        omittedSec: Double): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_n":${merged.size},"queries_omitted":$omittedN,""" +
+        s""""omitted_sec":${ms(omittedSec)},"sf":"$sfDir",""" +
+        s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
+        s""""calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},""" +
+        s""""calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax",""" +
+        s""""retimed_n":$retimedN}"""
+    }
+    // failed gates first (never dropped), then slowest-first
+    val ordered = merged.map { case (n, s, _) => (shortKey(n), s) }
+      .sortBy { case (_, s) => (if (s < 0) Double.MinValue else -s) }
+    // greedy prefix that fits the budget (every added entry only grows the
+    // line, so the first overflow ends the scan)
+    var kept = Vector.empty[(String, Double)]
+    var i = 0
+    while (i < ordered.size &&
+        line(kept :+ ordered(i), 0, 0.0).length <= byteBudget) {
+      kept = kept :+ ordered(i); i += 1
+    }
+    val omitted = ordered.drop(kept.size)
+    line(kept, omitted.size, omitted.map(_._2).filter(_ >= 0).sum)
+  }
+
+  /** The full, never-truncated artifact written next to the run
+    * (bench_last.json): every gate's 3-decimal timing and trailing calib
+    * probe, plus the run's summary scalars — what BENCH_r{N}.json loses
+    * when the tail capture clips, recoverable from the repo.
+    */
+  def fullJson(merged: Seq[(String, Double, Double)], sfDir: String,
+      wallSec: Double, calibStart: Double, calibEnd: Double,
+      retimedN: Int): String = {
+    val total = merged.map(_._2).filter(_ >= 0).sum
+    val qs = merged.map { case (n, s, c) =>
+      s"""{"name":"$n","sec":${ms(s)},"calib_sec":${ms(c)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
+      s""""calib_end_sec":${ms(calibEnd)},"retimed_n":$retimedN,""" +
+      s""""queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,33 +228,25 @@ object Bench {
     val merged = mergeRetimed(results, retimed)
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
-    // The driver keeps only the LAST 2000 BYTES of stdout — the round-5
-    // metric line (74 full query names + a per-query calib timeline ≈ 4 KB)
-    // overflowed it and the round recorded no perf artifact. Keep the
-    // stdout line compact: short "qNN" keys (the unique gate prefix),
-    // ms-precision timings, calib timeline collapsed to min/max/argmax.
-    // The full-name map and full calib timeline go to stderr.
-    def ms(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Per-query values at CENTIsecond precision: at 116+ gates the
-    // 3-decimal line was back within ~250 bytes of the 2000-byte tail;
-    // 10 ms resolution is far below run-to-run noise and buys ~1 byte
-    // per gate per decimal. Full 3-decimal timings stay on stderr.
-    def cs(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = merged.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + cs(v) }
-      .mkString("{", ",", "}")
-    val total = merged.map(_._2).filter(_ >= 0).sum
-    val calibs = merged.map { case (k, _, c) => (k, c) }
-    val calibMin = calibs.map(_._2).min
-    val calibMax = calibs.map(_._2).max
-    val calibArgmax = shortKey(calibs.maxBy(_._2)._1)
+    // The driver keeps only the LAST 2000 BYTES of stdout (round-5 lost
+    // the whole artifact; round-8's grown 176-gate map clipped its head
+    // and parsed null). Defense in depth:
+    //  1. the stdout line is BYTE-BUDGETED (metricJson: failed + slowest
+    //     gates until ~1700 bytes, truncation made explicit) so it always
+    //     fits the tail window whole;
+    //  2. the complete per-query artifact is WRITTEN to bench_last.json;
+    //  3. full timings + calib timeline still go to stderr.
     System.err.println("[bench] query name map: " +
       merged.map(r => shortKey(r._1) + "=" + r._1).mkString(" "))
     System.err.println("[bench] full timings: " +
       merged.map(r => shortKey(r._1) + ":" + ms(r._2)).mkString(" "))
     System.err.println("[bench] calib timeline: " +
-      calibs.map { case (k, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
+      merged.map { case (k, _, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      fullJson(merged, sfDir, wallSec, calibStart, calibEnd,
+        toRetime.size).getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: $e") }
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
     // query that is still registered, then the state-store maintenance pool,
     // then the session — so no late thread can spew errors after (or into)
@@ -190,7 +256,8 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},"calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax","retimed_n":${toRetime.size}}"""
+    val line = metricJson(merged, shortKey, sfDir, wallSec, calibStart,
+      calibEnd, toRetime.size)
     if (line.length > 1900) // headroom under the driver's 2000-byte tail
       System.err.println(s"[bench] WARNING metric line ${line.length} bytes")
     println(line)

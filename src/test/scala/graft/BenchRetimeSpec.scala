@@ -51,4 +51,54 @@ class BenchRetimeSpec extends AnyFunSuite {
     val baseline = (0.30 +: allBad.map(_._3)).min
     assert(Bench.contendedGates(allBad, baseline).isEmpty)
   }
+
+  // ---- byte-budgeted metric line (round-8 verdict #3: the 176-gate map
+  // outgrew the driver's 2000-byte tail and the round parsed null) ----
+
+  private def shortKey(n: String) = n.takeWhile(_ != '_')
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // 300 simulated gates — far past the scale that clipped round 8
+  private val bigRun: Seq[(String, Double, Double)] =
+    (1 to 300).map { i =>
+      val sec = if (i == 7) -1.0 else (i % 37) * 0.7 + 0.05
+      (f"q$i%03d_gate_name_$i", sec, 0.03)
+    }
+
+  test("metricJson stays under the tail budget at 300 gates and parses") {
+    val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03, 2)
+    assert(line.length <= 1900, s"line is ${line.length} bytes")
+    val node = jackson.readTree(line)
+    assert(node.get("queries_n").asInt === 300)
+    val qs = node.get("queries")
+    // the failed gate is never dropped; the slowest gates are present
+    assert(qs.get("q007").asDouble === -1.0)
+    val slowest = bigRun.filter(_._2 >= 0).maxBy(_._2)
+    assert(qs.has(shortKey(slowest._1)))
+    // totals reconstruct: value = sum(shown) + omitted_sec (to cs rounding)
+    var shownSum = 0.0
+    qs.propertyStream().forEach { e =>
+      if (e.getValue.asDouble >= 0) shownSum += e.getValue.asDouble }
+    val rebuilt = shownSum + node.get("omitted_sec").asDouble
+    assert(math.abs(rebuilt - node.get("value").asDouble) < 0.01 * 300,
+      s"rebuilt $rebuilt vs value ${node.get("value").asDouble}")
+    assert(node.get("queries_omitted").asInt ===
+      300 - qs.size)
+  }
+
+  test("a small board still reports every gate inline") {
+    val line = Bench.metricJson(run, shortKey, "/sf", 100.0, 0.03, 0.03, 0)
+    val node = jackson.readTree(line)
+    assert(node.get("queries").size === run.size)
+    assert(node.get("queries_omitted").asInt === 0)
+  }
+
+  test("fullJson carries every gate with its calib probe") {
+    val node = jackson.readTree(
+      Bench.fullJson(bigRun, "/sf", 400.0, 0.03, 0.03, 2))
+    assert(node.get("queries").size === 300)
+    assert(node.get("queries").get(0).get("name").asText ===
+      "q001_gate_name_1")
+    assert(node.get("queries").get(0).get("calib_sec").asDouble === 0.03)
+  }
 }
