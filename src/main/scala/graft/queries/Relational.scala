@@ -1669,6 +1669,74 @@ object Relational {
       .orderBy("rnk")
   }
 
+  /** GraftExtensions optimizer rules, driver-gated with a plan tripwire
+    * (round-8 verdict #4 — previously spec-only in PlanRulesSpec): a
+    * COMPOSED-builtin query — the md5-conv split chain and an unbounded
+    * `levenshtein(a, b) <= k` predicate, exactly what a plain-SQL user
+    * writes — runs with the extension installed, and the gate THROWS
+    * unless the EXECUTED plan carries both fused kernels: the native
+    * [[graft.functions.Hash60]] (one pass, no md5 string round-trip) and
+    * the THRESHOLDED `levenshtein(a, b, k)` (O(len·k) banded, not O(len²)).
+    * Values are checked against a DuckDB oracle that replays the composed
+    * forms — the rewrites' bit-compat contracts made executable.
+    */
+  val q182ExtensionFusion: Q = Q(
+    "q182_extension_fusion",
+    """SELECT bucket, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM (
+      |  SELECT
+      |    CAST(('0x' || substring(md5('xsplit' || ':' ||
+      |      CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket,
+      |    o_totalprice
+      |  FROM orders
+      |  WHERE levenshtein(o_orderpriority, '2-HIGH') <= 5
+      |)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val prev = s.experimental.extraOptimizations
+    graft.plans.GraftExtensions.install(s)
+    try {
+      val composed = Tables.orders(s, dir)
+        .filter(expr("levenshtein(o_orderpriority, '2-HIGH') <= 5"))
+        .select(
+          expr("CAST(conv(substring(md5(concat_ws(':', 'xsplit', " +
+            "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10")
+            .as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy("bucket")
+      // execute THIS QueryExecution so the inspected plan is the one that
+      // ran (q140/q143 contract)
+      val qe = composed.queryExecution
+      qe.toRdd.count()
+      def exprsOf(p: org.apache.spark.sql.execution.SparkPlan) =
+        deepCollect(p) { case n => n.expressions }.flatten
+          .flatMap(_.collect { case e => e })
+      val exprs = exprsOf(qe.executedPlan)
+      if (!exprs.exists(_.isInstanceOf[graft.functions.Hash60]))
+        throw new IllegalStateException(
+          "q182: no fused Hash60 in the executed plan — FuseHash60Rule " +
+            "did not rewrite the composed md5-conv chain")
+      val bounded = exprs.exists {
+        case org.apache.spark.sql.catalyst.expressions.Levenshtein(_, _, Some(_)) => true
+        case _ => false
+      }
+      val unbounded = exprs.exists {
+        case org.apache.spark.sql.catalyst.expressions.Levenshtein(_, _, None) => true
+        case _ => false
+      }
+      if (!bounded || unbounded)
+        throw new IllegalStateException(
+          s"q182: BoundLevenshteinRule did not rewrite (bounded=$bounded, " +
+            s"unbounded=$unbounded)")
+      composed.localCheckpoint()
+    } finally s.experimental.extraOptimizations = prev
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1683,5 +1751,5 @@ object Relational {
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
-    q174SkewProfile)
+    q174SkewProfile, q182ExtensionFusion)
 }
