@@ -479,10 +479,61 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** transformWithState EVENT-TIME TIMERS (q183): session-timeout emission
+    * — sessions closed by a later in-batch event emit immediately
+    * (`closed_by='batch'`); each user's trailing open session emits via a
+    * registered timer (`closed_by='timer'`) only once the watermark passes
+    * its `last + gap` close, and a session still open when the drain's
+    * watermark stops advancing is NOT emitted. The timer arithmetic is
+    * ms-grained and pinned empirically (tools/TwsTimerProbe): a timer at
+    * `ceil(close_us/1000)` fires iff it is `<=` the final watermark
+    * `floor(max_ts_us/1000) - delay_ms` — including the exact-boundary
+    * case. The oracle replays sessionization AND that firing rule.
+    */
+  val q183TwsSessionTimers: Q = Q(
+    "q183_tws_session_timers",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), wm AS (
+      |  SELECT (max(ts_us) // 1000 - 7200000) AS wm_ms FROM e
+      |), s AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), g AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s
+      |), sess AS (
+      |  SELECT user_id, sid, min(ts_us) AS session_start_us,
+      |    max(ts_us) + 1800000000 AS session_end_us,
+      |    count(*) AS n_events
+      |  FROM g GROUP BY user_id, sid
+      |), flagged AS (
+      |  SELECT *, sid = max(sid) OVER (PARTITION BY user_id) AS is_last
+      |  FROM sess
+      |)
+      |SELECT user_id, session_start_us, session_end_us,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CASE WHEN is_last THEN 'timer' ELSE 'batch' END AS closed_by
+      |FROM flagged CROSS JOIN wm
+      |WHERE (NOT is_last) OR ((session_end_us + 999) // 1000) <= wm_ms
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.sessionTimeouts(s, df,
+        gapUs = 1800000000L, delay = "2 hours"),
+      "q183_mem", OutputMode.Append)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
-    q179StreamingFunnel, q180TwsModalType)
+    q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers)
 }

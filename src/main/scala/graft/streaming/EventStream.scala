@@ -184,6 +184,98 @@ object EventStream {
     }
   }
 
+  /** Session-timeout emission via `transformWithState` EVENT-TIME TIMERS —
+    * the piece a production streaming sessionizer leans on hardest: a
+    * session must close when the USER GOES QUIET, not when their next
+    * event arrives. Per user, a ValueState holds the open session
+    * (start, last, n); each batch merges its rows in (ts, id) order,
+    * emitting sessions closed INSIDE the batch immediately
+    * (`closed_by = 'batch'`), and (re-)registers one timer at
+    * `last + gap` for the trailing open session. When the watermark
+    * passes that expiry, `handleExpiredTimer` emits the trailing session
+    * (`closed_by = 'timer'`) and clears the state — sessions still open
+    * when the stream's watermark stops advancing are deliberately NOT
+    * emitted (they are not over yet).
+    *
+    * Timer arithmetic is pinned for oracle replay: expiry is
+    * `ceil((last+gap)/1000)` ms (timers are ms-grained; ceil so a timer
+    * never fires before the session's true micro-second close), the
+    * watermark after a one-shot drain is `floor(max_ts_ms) - delay_ms`,
+    * and Spark fires timers with `expiry <= watermark`. StreamingSpec
+    * pins the drained output against a batch fold of exactly that rule;
+    * q183 hash-matches it against a DuckDB replay.
+    */
+  final case class TwsSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, closed_by: String)
+
+  // public: a `private` case class makes Janino's generated encoder code
+  // fall back to interpreter mode (same visibility trap as FunnelProg)
+  final case class OpenSess(start_us: Long, last_us: Long, n: Long)
+
+  private class SessionTimeoutProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), TwsSession] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[OpenSess] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSess]("open",
+        org.apache.spark.sql.Encoders.product[OpenSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def expiryMs(lastUs: Long): Long =
+      (lastUs + gapUs + 999L) / 1000L // ceil to ms — never early
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsSession] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3)) // (ts_us, event_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwsSession]
+      var st = if (open.exists()) open.get() else null
+      if (st != null) getHandle.deleteTimer(expiryMs(st.last_us))
+      sorted.foreach { case (_, ts, _) =>
+        if (st == null) st = OpenSess(ts, ts, 1L)
+        else if (ts - st.last_us > gapUs) {
+          out += TwsSession(key, st.start_us, st.last_us + gapUs, st.n, "batch")
+          st = OpenSess(ts, ts, 1L)
+        } else st = OpenSess(st.start_us, ts, st.n + 1L)
+      }
+      if (st != null) {
+        open.update(st)
+        getHandle.registerTimer(expiryMs(st.last_us))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsSession] = {
+      val st = if (open.exists()) open.get() else null
+      if (st == null) Iterator.empty
+      else {
+        open.clear()
+        Iterator.single(
+          TwsSession(key, st.start_us, st.last_us + gapUs, st.n, "timer"))
+      }
+    }
+  }
+
+  def sessionTimeouts(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800000000L, delay: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   def userModalType(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     // transformWithState runs only on the RocksDB provider; scope the

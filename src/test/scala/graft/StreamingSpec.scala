@@ -33,6 +33,45 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("transformWithState session timers: drained output equals the batch rule, boundaries exact") {
+    // the TwsTimerProbe fixture, pinned as a spec: trailing sessions whose
+    // ms-ceiled close is <= the final watermark (ms-floored max - delay)
+    // fire BY TIMER — including the exact-boundary and sub-ms cases —
+    // later ones don't; in-batch closures always emit
+    val gapUs = 60L * 1000000L
+    val delayUs = 600L * 1000000L
+    val base = 1700000000L * 1000000L
+    val maxUs = base + 3600L * 1000000L
+    val wmUs = (maxUs / 1000L - delayUs / 1000L) * 1000L
+    val cases = Seq(
+      (1L, wmUs - gapUs - 1000000L, true),  // 1s early → fires
+      (2L, wmUs - gapUs, true),             // exact boundary → fires
+      (3L, wmUs - gapUs + 1000L, false),    // 1ms late → held
+      (4L, wmUs - gapUs + 1000000L, false), // 1s late → held
+      (5L, wmUs - gapUs - 500L, true))      // sub-ms early (ceil) → fires
+    val rows = cases.flatMap { case (u, lastUs, _) =>
+      Seq((u * 1000L, lastUs - 3 * gapUs, u), (u * 1000L + 1, lastUs, u))
+    } :+ ((99000L, maxUs, 99L))
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts_us", "user_id")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val dir = tmpDir("tws_timer")
+    graft.io.SingleFile.writeParquetAtomic(df, s"$dir/events.parquet")
+    val out = EventStream.runToMemory(spark, s"$dir/events.parquet",
+      d => EventStream.sessionTimeouts(spark, d, gapUs, "10 minutes"),
+      "t_tws_timer", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val expected = cases.flatMap { case (u, lastUs, fires) =>
+      val first = (u, lastUs - 3 * gapUs, lastUs - 3 * gapUs + gapUs, 1L, "batch")
+      if (fires) Seq(first, (u, lastUs, lastUs + gapUs, 1L, "timer"))
+      else Seq(first)
+    }.toSet // user 99's single trailing session is open → never emitted
+    assert(out === expected)
+  }
+
   test("transformWithState modal type equals the batch mode after a drain") {
     val streamed = EventStream.runToMemory(spark, s"$sfDir/events.parquet",
       df => EventStream.userModalType(spark, df), "t_tws", OutputMode.Update)
