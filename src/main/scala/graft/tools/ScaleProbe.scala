@@ -14,6 +14,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val behaviorOnly = args.contains("behavior") // dev: tail entries only
+    val r9Only = args.contains("r9")             // dev: round-9 entries only
     val sf = "/root/testdata/sf0.1"
     val docs0 = spark.read.parquet(s"$sf/documents.parquet")
     val n0 = docs0.count()
@@ -38,7 +39,7 @@ object ScaleProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(calib ${calibrate()}%.3f s)"); r
     }
-    if (!behaviorOnly) {
+    if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {
       val n = Dedup.jaccardPairs(toks, "doc_id", "_toks", expr("n_chars DIV 64"), 0.6).count()
@@ -360,6 +361,86 @@ object ScaleProbe {
       println(s"[probe]   scored: ${d.count()}")
     }
     } // end !behaviorOnly
+    if (!behaviorOnly) {
+    // --- round-9 entries (round-8 verdict #6 and #7) ---
+    // 10× DBSCAN: embeddings replicated 10× with per-replica perturbation
+    // (same labels → blocks grow 10×, candidate pairs 100× — exactly the
+    // quadratic-risk axis), hot-cell decomposition engaged (subBlocks=4).
+    // Staged: the pairwise eps-neighbor stage alone, then the full run.
+    val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val emb10 = (0 until 10).map { r =>
+      emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        col("label"),
+        transform(col("embedding"),
+          x => x + lit(r.toFloat) * lit(1e-4f)).as("embedding"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"[probe] emb10: ${emb10.count()} (labels 10, max block ~2180)")
+    t("dbscan 10x stage 1: eps-neighbor cosinePairs (hot-cell subBlocks=4)") {
+      val n = Similarity.cosinePairs(emb10, "vec_id", "embedding",
+        col("label"), 0.30, subBlocks = 4).count()
+      println(s"[probe]   pairs: $n")
+    }
+    t("dbscan 10x full: pairs + degrees + core closure + border attach") {
+      val d = graft.ops.Density.dbscan(emb10, "vec_id", "embedding",
+        col("label"), 0.30, 3, subBlocks = 4)
+      println(s"[probe]   rows: ${d.count()}, cores: " +
+        d.filter(col("is_core")).count() + ", clusters: " +
+        d.agg(countDistinct(col("cluster_id"))).head().getLong(0))
+    }
+    // 10× keep-best: q97's shape — jaccard pairs → closure → per-cluster
+    // best-score window — over the full 10× doc corpus. Staged so the
+    // window's own cost is visible next to the closure it rides on.
+    val toks9 = docs.withColumn("_toks",
+      array_distinct(TextAnalysis.tokens(col("text"))))
+    val pairs9 = t("keepBest 10x stage 1: jaccardPairs (subBlocks=auto)") {
+      val p = Dedup.jaccardPairs(toks9, "doc_id", "_toks",
+        expr("n_chars DIV 64"), 0.6, subBlocks = 0).localCheckpoint()
+      println(s"[probe]   pairs: ${p.count()}"); p
+    }
+    val labeled9 = t("keepBest 10x stage 2: closure + labels (Cluster.clusters)") {
+      val l = graft.ops.Cluster.clusters(docs.select("doc_id"), "doc_id",
+        pairs9, "id_a", "id_b").localCheckpoint()
+      println(s"[probe]   rows: ${l.count()}"); l
+    }
+    t("keepBest 10x stage 3: per-cluster best-score window") {
+      val withScore = labeled9.select(col("doc_id"), col("cluster_id"))
+        .withColumn("score",
+          pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double"))
+      val k = graft.ops.Curation.keepBestPerCluster(withScore, "cluster_id",
+        "doc_id", col("score"))
+      println(s"[probe]   kept: ${k.filter(col("keep")).count()} of ${k.count()}")
+    }
+    // Vector-stats A6 shapes at 100× episode scale (SURVEY §4's "custom
+    // Aggregator if profiling demands" item): per-dimension
+    // n/mean/std/min/max over 5M dim-32 frames —
+    //  (a) posexplode + built-in groupBy(dim) aggs (the shipped shape:
+    //      whole-stage-codegen'd, map-side partial aggregation);
+    //  (b) a typed Aggregator[Array[Double], Array[Double], _] folding
+    //      per-partition [n, Σ, Σ², min, max] arrays (one pass, no
+    //      explode, but typed-row encoding on every input).
+    val frames = spark.range(5000000L).select(
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000L)).cast("double")
+          - 500.0) / 100.0).as("v"))
+      .repartition(64).cache()
+    println(s"[probe] frames100x: ${frames.count()} dim=32")
+    t("vecStats (a) posexplode + groupBy(dim) builtins") {
+      val agg = frames
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), avg("x").as("mean"),
+          stddev_pop("x").as("std"), min("x").as("mn"), max("x").as("mx"))
+        .orderBy("dim").collect()
+      println(f"[probe]   dim0 mean=${agg.head.getDouble(2)}%.6f n=${agg.head.getLong(1)}")
+    }
+    t("vecStats (b) typed Aggregator single pass") {
+      import spark.implicits._
+      val agg = new VecStatsAgg(32)
+      val row = frames.as[Seq[Double]].select(agg.toColumn).head()
+      println(f"[probe]   dim0 mean=${row(1) / row(0)}%.6f n=${row(0).toLong}")
+    }
+    } // end round-9 entries
+    if (!r9Only) {
     // 10x behavioral suite: 1M events / 15k users over 30 days (same shape
     // as the sf0.1 log, 10x rows), deterministic multiplicative-hash times
     val day = 86400000000L
@@ -425,6 +506,56 @@ object ScaleProbe {
         day, 4 * day)
       println(s"[probe]   checksum: ${r.agg(sum(col("sum_win"))).head().getLong(0)}")
     }
+    } // end !r9Only
     spark.stop()
   }
+}
+
+/** Benchmark-only typed Aggregator (SURVEY §4 / round-8 verdict #7): the
+  * candidate replacement for the posexplode A6 pooled-stats shape — one
+  * pass, per-partition [n, Σ(dim), Σ²(dim), min(dim), max(dim)] buffers,
+  * elementwise merge. Native (non-kryo) encoders so the comparison
+  * measures the fold, not serialization overhead.
+  */
+final class VecStatsAgg(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = {
+    val b = new Array[Double](1 + 4 * dim)
+    java.util.Arrays.fill(b, 1 + 2 * dim, 1 + 3 * dim, Double.PositiveInfinity)
+    java.util.Arrays.fill(b, 1 + 3 * dim, 1 + 4 * dim, Double.NegativeInfinity)
+    b
+  }
+  override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+    b(0) += 1
+    var d = 0
+    while (d < dim) {
+      val x = a(d)
+      b(1 + d) += x
+      b(1 + dim + d) += x * x
+      if (x < b(1 + 2 * dim + d)) b(1 + 2 * dim + d) = x
+      if (x > b(1 + 3 * dim + d)) b(1 + 3 * dim + d) = x
+      d += 1
+    }
+    b
+  }
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    x(0) += y(0)
+    var i = 1
+    while (i <= 2 * dim) { x(i) += y(i); i += 1 }
+    var d = 0
+    while (d < dim) {
+      val im = 1 + 2 * dim + d
+      val ix = 1 + 3 * dim + d
+      if (y(im) < x(im)) x(im) = y(im)
+      if (y(ix) > x(ix)) x(ix) = y(ix)
+      d += 1
+    }
+    x
+  }
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
