@@ -82,6 +82,21 @@ class TablesSpec extends SparkSuite {
     assert(la.nonEmpty && la.map(_.getLong(0)).min === baseUs / 1000L)
   }
 
+  test("actual streaming GATES produce identical results on both ts encodings") {
+    // round-8 verdict #8: not just the loader/transform — the driver-facing
+    // gate functions themselves, end-to-end (drain + tripwire + sink),
+    // against a NANOS-encoded events fixture and the current NTZ shape.
+    // q33 covers the windowed-agg path, q39 the arbitrary-stateful
+    // (mapGroupsWithState) path.
+    for (gate <- Seq("q33_streaming_hourly", "q39_running_user_counts")) {
+      val fn = SparkEntry.queries(gate)
+      val a = fn(spark, nanosDir).collect().toSet
+      val b = fn(spark, ntzDir).collect().toSet
+      assert(a === b, s"$gate diverges across ts encodings")
+      assert(a.nonEmpty, s"$gate produced no rows on the fixture")
+    }
+  }
+
   test("streaming tripwire invariants catch row loss and time shrink") {
     val range = Some((baseUs, baseUs + 19 * 90000000L))
     // healthy drain: exact count, max inside range
