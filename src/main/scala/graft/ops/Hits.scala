@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS hubs-and-authorities (Kleinberg, JACM'99) over a DIRECTED edge
+  * list — the link-analysis complement to [[PageRank]]: a node is a good
+  * HUB when it points at good authorities, a good AUTHORITY when good
+  * hubs point at it. Curation use: in a citation/link graph over a crawl,
+  * authority scores surface canonical documents and hub scores surface
+  * index/listing pages (which a quality filter usually wants to
+  * down-weight).
+  *
+  * Exactness contract (the [[PageRank]] convention): all arithmetic is
+  * scaled-int — init `Scale` per node, per-round sums are exact Long, and
+  * the textbook L2 normalization (a sqrt — not portable) is replaced by
+  * integer max-rescaling: after each half-step every score is divided by
+  * `ceil(max/Scale)` (integer DIV), bounding scores at ~`Scale` with zero
+  * floating point. Same fixed point structure, deterministic on any
+  * engine/partitioning, and the DuckDB oracle replays it term-for-term
+  * with unrolled iteration CTEs (the q76 pattern).
+  *
+  * Overflow budget: after rescale every score ≤ Scale (1e12); a sum over
+  * in/out-degree d keeps d·Scale < 2^63 up to d ≈ 9·10⁶ — far past any
+  * realistic per-node degree in a curation graph (and loudly wrong, not
+  * silently, past it: Long overflow flips signs).
+  *
+  * Scale shape: the edge table is persisted once and reused by every
+  * half-step (two keyed joins + groupBys per round — map-side combine on
+  * uniform keys); the score tables are node-sized; per-round
+  * localCheckpoint cuts the 2·iters-join lineage. Output sealed, edge pin
+  * released ([[Pins]]).
+  */
+object Hits {
+
+  val Scale: Long = PageRank.Scale // 1e12, shared convention
+
+  /** Run `iters` full hub→authority→hub rounds; returns
+    * (node_id, hub_scaled, auth_scaled) for every node incident to an
+    * edge. Self-loops allowed (they just feed a node's own scores);
+    * duplicate edges collapse (distinct) so multiplicity doesn't double
+    * mass.
+    */
+  def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edgesDf
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // integer max-rescale: x -> x DIV max(1, ceil(max(x)/Scale)); the
+    // 1-row max arrives via broadcast crossJoin — no driver action
+    def rescaled(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("_mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("v"),
+          expr(s"$c DIV greatest(1L, (_mx + ${Scale - 1}L) DIV ${Scale}L)")
+            .as(c))
+    }
+
+    var hub = nodes.select(col("v"), lit(Scale).as("h")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authority half-step: a(v) = Σ_{u→v} h(u), absent in-edges → 0
+      val aRaw = edges.join(hub.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(sum("h").as("a"))
+      auth = rescaled(
+        nodes.join(aRaw, Seq("v"), "left")
+          .select(col("v"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .localCheckpoint()
+      // hub half-step: h(v) = Σ_{v→w} a(w), absent out-edges → 0
+      val hRaw = edges.join(auth.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(sum("a").as("h"))
+      hub = rescaled(
+        nodes.join(hRaw, Seq("v"), "left")
+          .select(col("v"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .localCheckpoint()
+    }
+    Pins.sealOutput(
+      hub.join(auth, "v")
+        .select(col("v").as("node_id"), col("h").as("hub_scaled"),
+          col("a").as("auth_scaled")),
+      edges, nodes)
+  }
+
+  /** In-memory reference for tests (same integer arithmetic). */
+  def runRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      val d = math.max(1L, (mx + Scale - 1) / Scale)
+      m.map { case (k, x) => k -> x / d }
+    }
+    var hub = nodes.map(_ -> Scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth = rescale(nodes.map(v =>
+        v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = rescale(nodes.map(v =>
+        v -> es.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+}

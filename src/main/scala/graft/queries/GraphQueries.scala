@@ -221,6 +221,53 @@ object GraphQueries {
     }
   }
 
+  /** HITS hubs/authorities (Kleinberg JACM'99) on the DIRECTED part→supp
+    * graph: 3 full rounds of the scaled-int fixed point (per-half-step
+    * integer max-rescale replaces the non-portable L2 norm — see
+    * [[graft.ops.Hits]]). The oracle unrolls the same rounds as chained
+    * CTEs with identical integer arithmetic, so hubs AND authorities
+    * hash-match exactly.
+    */
+  val q184Hits: Q = {
+    val S = graft.ops.Hits.Scale
+    val rounds = 3
+    val head =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |), nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT v, CAST($S AS BIGINT) AS h FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS v, CAST(SUM(h.h) AS BIGINT) AS x
+         |  FROM edges e JOIN h${i - 1} h ON h.v = e.src GROUP BY e.dst),
+         |ad$i AS (SELECT greatest(1, (max(x) + $S - 1) // $S) AS d FROM ar$i),
+         |a$i AS (
+         |  SELECT n.v, CAST(coalesce(ar$i.x, 0) // ad$i.d AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i ON ar$i.v = n.v CROSS JOIN ad$i),
+         |hr$i AS (
+         |  SELECT e.src AS v, CAST(SUM(a.a) AS BIGINT) AS x
+         |  FROM edges e JOIN a$i a ON a.v = e.dst GROUP BY e.src),
+         |hd$i AS (SELECT greatest(1, (max(x) + $S - 1) // $S) AS d FROM hr$i),
+         |h$i AS (
+         |  SELECT n.v, CAST(coalesce(hr$i.x, 0) // hd$i.d AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i ON hr$i.v = n.v CROSS JOIN hd$i)""".stripMargin
+    }
+    val sql = (head +: steps).mkString(",\n") +
+      s"""\nSELECT h$rounds.v AS node_id, h$rounds.h AS hub_scaled,
+         |  a$rounds.a AS auth_scaled
+         |FROM h$rounds JOIN a$rounds ON a$rounds.v = h$rounds.v
+         |ORDER BY node_id""".stripMargin
+    Q("q184_hits", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Hits.run(
+        li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        "src", "dst", rounds)
+        .orderBy("node_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore,
-    q163RandomWalks)
+    q163RandomWalks, q184Hits)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Hits
+
+/** Scaled-int HITS vs the in-memory reference, including rescale and
+  * zero-score corners.
+  */
+class HitsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Hits.run(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("matches the reference on a small directed graph") {
+    // hub 1 points at two authorities; 4 points only at 3; 5 is a pure
+    // authority (no out-edges → hub 0); duplicate edge collapses
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 3L), (2L, 5L), (1L, 2L))
+    for (iters <- Seq(1, 3)) {
+      assert(run(edges, iters) === Hits.runRef(edges, iters),
+        s"diverged at iters=$iters")
+    }
+  }
+
+  test("authority mass concentrates where hubs point") {
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+    val out = run(edges, 3)
+    assert(out(10L)._2 > out(11L)._2) // 3 hubs vs 1
+    assert(out(10L)._1 === 0L)        // 10 has no out-edges: zero hub
+    assert(out === Hits.runRef(edges, 3))
+  }
+
+  test("self-loop and cycle stay bounded by the integer rescale") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L))
+    val out = run(edges, 4)
+    assert(out.values.forall { case (h, a) =>
+      h >= 0 && a >= 0 && h <= Hits.Scale && a <= Hits.Scale })
+    assert(out === Hits.runRef(edges, 4))
+  }
+}
