@@ -530,10 +530,38 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** transformWithState ListState (q185): per-user last-3 events — the
+    * bounded recency buffer, completing the typed-state surface (q180
+    * MapState, q183 ValueState + event-time timers, here ListState).
+    * Update-mode drain leaves each user's final list; the oracle is the
+    * batch recency window.
+    */
+  val q185TwsRecentEvents: Q = Q(
+    "q185_tws_recent_events",
+    """SELECT user_id, rn, ts_us, event_id, event_type
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us DESC, event_id DESC) AS BIGINT) AS rn,
+      |    ts_us, event_id, event_type
+      |  FROM (
+      |    SELECT user_id, event_id, event_type,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |    FROM events
+      |  )
+      |) WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => EventStream.recentEvents(s, df, k = 3),
+      "q185_mem", OutputMode.Update)
+      .orderBy("user_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
-    q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers)
+    q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
+    q185TwsRecentEvents)
 }

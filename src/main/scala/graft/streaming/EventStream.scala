@@ -259,6 +259,62 @@ object EventStream {
     }
   }
 
+  /** Per-user LAST-K recent events via `transformWithState` ListState —
+    * the third typed-state surface next to q180's MapState and q183's
+    * ValueState+timers. The bounded recency buffer is the canonical
+    * ListState use (last-N page views for a recommender, recent errors
+    * per device): state is K rows per user FOREVER, not the event
+    * history. Each batch merges the stored list with the batch's rows in
+    * (ts, event_id) order and keeps the K most recent; emission is the
+    * final list, rn = 1 for the most recent. A batch oracle is exactly
+    * `row_number() OVER (user ORDER BY ts DESC, id DESC) <= K`.
+    */
+  final case class TwsRecent(user_id: Long, rn: Long, ts_us: Long,
+      event_id: Long, event_type: String)
+
+  private class RecentEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), TwsRecent] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, String)]("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsRecent] = {
+      val prev = if (recent.exists()) recent.get().toSeq else Seq.empty
+      val merged = (prev ++ rows.map { case (_, ts, id, et) => (ts, id, et) })
+        .sortBy { case (ts, id, _) => (ts, id) }
+        .takeRight(k)
+      recent.put(merged.toArray)
+      // rn 1 = most recent
+      merged.reverseIterator.zipWithIndex.map { case ((ts, id, et), i) =>
+        TwsRecent(key, i + 1L, ts, id, et)
+      }
+    }
+  }
+
+  def recentEvents(spark: SparkSession, events: DataFrame,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
   def sessionTimeouts(spark: SparkSession, events: DataFrame,
       gapUs: Long = 1800000000L, delay: String = "2 hours"): DataFrame = {
     import spark.implicits._
