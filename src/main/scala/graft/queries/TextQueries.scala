@@ -538,9 +538,79 @@ object TextQueries {
     }
   }
 
+  /** Per-doc token Shannon entropy, exact scaled-int (the NB lnMicros
+    * convention: ln is applied to FEW distinct small-int counts and
+    * rounded to micros once per value, all combination is exact Long
+    * arithmetic, so `H·1e6 = lnMicros(n) − (Σ c·lnMicros(c)) DIV n`
+    * replays bit-for-bit). Low entropy = repetitive/templated text — the
+    * standard corpus-quality filter beside q64's Gopher repetition rules.
+    * One (doc, term) aggregate with map-side combine; docs with zero
+    * tokens are excluded (entropy undefined).
+    */
+  val q186TokenEntropy: Q = Q(
+    "q186_token_entropy",
+    s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+       |c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, n_toks, n_types,
+       |  CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |    - (s // n_toks) AS entropy_e6
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def lnM(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1000000 + 0.5).cast("long")
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(col("c") * lnM(col("c"))).as("s"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        (lnM(col("n_toks")) - expr("s DIV n_toks")).as("entropy_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc bigram diversity (distinct/total adjacent bigrams) — the
+    * n-gram repetition signal ratioed the other way from q64's
+    * top-bigram fraction. Shape matters: BOTH counts are per-row array
+    * ops (size + array_distinct), so the whole gate is an embarrassingly
+    * parallel map stage — zero shuffles, no exploded corpus. Docs with
+    * fewer than 2 tokens have no bigram positions and are excluded.
+    */
+  val q187BigramDiversity: Q = Q(
+    "q187_bigram_diversity",
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS l FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_transform(list_zip(l[1:-2], l[2:-1]),
+       |      x -> x[1] || ' ' || x[2]) AS bigs
+       |  FROM t WHERE len(l) >= 2
+       |)
+       |SELECT doc_id, CAST(len(bigs) AS BIGINT) AS n_bigrams,
+       |  CAST(len(list_distinct(bigs)) AS BIGINT) AS n_distinct,
+       |  ${graft.functions.Exact.roundPortableSql(
+             "CAST(len(list_distinct(bigs)) AS DOUBLE) / CAST(len(bigs) AS DOUBLE)", 6)}
+       |    AS diversity
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))).as("bigs"))
+      .where(size(col("bigs")) >= 1)
+      .select(col("doc_id"), size(col("bigs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigs"))).cast("long").as("n_distinct"))
+      .withColumn("diversity", graft.functions.Exact.roundPortable(
+        col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
     q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize,
-    q164Augment, q165Kappa)
+    q164Augment, q165Kappa, q186TokenEntropy, q187BigramDiversity)
 }
