@@ -169,6 +169,68 @@ object Behavior {
         sum("_len").as("n_active_days"))
   }
 
+  /** Running distinct users per active day — cumulative audience size
+    * over time. The scalable rewrite of `COUNT(DISTINCT user) OVER
+    * (ORDER BY day)` (which no engine can window without holding the set):
+    * distinct is a PER-USER min-day aggregate, the running count is a
+    * cumulative SUM of per-day first-seen counts — counting distincts
+    * becomes summing integers. The final window runs over the DAY table
+    * (calendar-bounded, thousands of rows at any corpus size), so the
+    * single-partition window is a non-issue; everything event-sized is
+    * keyed aggregation with map-side combine.
+    */
+  def runningDistinctUsers(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) DIV 86400000000")
+    val activeDays = events.select(day.as("day")).distinct()
+    val newPerDay = events
+      .select(col(userCol), day.as("_day"))
+      .groupBy(col(userCol)).agg(min("_day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    activeDays.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: collapse each user's
+    * event-time-ordered stream into validity intervals of CONSECUTIVE
+    * same-value runs — the dimension-table form of change history
+    * (`valid_from` inclusive, `valid_to` = next run's start, NULL while
+    * current). The classic warehouse op a training-data pipeline uses to
+    * attach "what was this user's state AT the example's event time"
+    * without leaking future state.
+    *
+    * Run boundaries: value != lag(value) (first row starts run 1); run id
+    * is the cumulative boundary count — one user-partitioned window pass,
+    * one groupBy, one lead(). Order key (tsCol, idCol) is total, so runs
+    * are deterministic. Scale: parallelism = users, output = runs (≪
+    * events); all integer-µs arithmetic.
+    */
+  def scd2Runs(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col("_ts_us"), col(idCol))
+    val byUserRun = Window.partitionBy(col(userCol)).orderBy(col("_run"))
+    events
+      .select(col(userCol), col(idCol), col(valueCol).as("_v"),
+        expr(s"unix_micros($tsCol)").as("_ts_us"))
+      .withColumn("_chg",
+        when(lag(col("_v"), 1).over(byUser).isNull ||
+          lag(col("_v"), 1).over(byUser) =!= col("_v"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_run"))
+      .agg(first(col("_v")).as(valueCol), min(col("_ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byUserRun))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(userCol), col("_run").as("run_id"), col(valueCol),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("is_current"))
+  }
+
   /** First-order transition counts: how often event type A is immediately
     * followed by type B within a user's event-time-ordered stream (the
     * Markov-chain sufficient statistic behind next-action models and

@@ -283,7 +283,67 @@ object BehaviorQueries {
       .orderBy("user_id")
   }
 
+  /** SCD2 dimension build: each user's event stream collapsed into
+    * validity intervals of consecutive same-type runs (valid_from/
+    * valid_to, NULL while current) — the "state AT example time" lookup
+    * table that prevents future-state leakage into training examples.
+    * Oracle replays the boundary-flag + cumulative-run-id + lead() fold.
+    */
+  val q188Scd2: Q = Q(
+    "q188_scd2_runs",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w != event_type
+      |            THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), r AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS run_id
+      |  FROM f
+      |), runs AS (
+      |  SELECT user_id, run_id, any_value(event_type) AS event_type,
+      |    min(ts_us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM r GROUP BY 1, 2
+      |)
+      |SELECT user_id, run_id, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+      |  lead(valid_from_us) OVER w2 IS NULL AS is_current
+      |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+      |ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
+    Behavior.scd2Runs(Tables.events(s, dir), "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy("user_id", "run_id")
+  }
+
+  /** Running distinct users per active day — the scalable rewrite of the
+    * un-windowable COUNT(DISTINCT) OVER (ORDER BY day): per-user min-day,
+    * per-day first-seen counts, cumulative integer sum over the tiny day
+    * table. Oracle replays the identical decomposition.
+    */
+  val q190RunningDistinct: Q = Q(
+    "q190_running_distinct",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |), days AS (SELECT DISTINCT day FROM e),
+      |firstd AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+      |newd AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM firstd GROUP BY 1)
+      |SELECT d.day AS day, CAST(coalesce(n.n, 0) AS BIGINT) AS n_new,
+      |  CAST(SUM(coalesce(n.n, 0)) OVER (ORDER BY d.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM days d LEFT JOIN newd n ON n.day = d.day
+      |ORDER BY d.day""".stripMargin) { (s, dir) =>
+    Behavior.runningDistinctUsers(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
     q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
-    q178Ewma, q181ActivityStreak)
+    q178Ewma, q181ActivityStreak, q188Scd2, q190RunningDistinct)
 }

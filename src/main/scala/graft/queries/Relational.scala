@@ -1737,6 +1737,47 @@ object Relational {
     } finally s.experimental.extraOptimizations = prev
   }
 
+  /** Parquet schema evolution via mergeSchema: a dataset written in two
+    * generations — an old slice without a column and a new slice with it —
+    * must read back as ONE table with the union schema, old rows NULL in
+    * the added column. The data-lake reality every long-lived pipeline
+    * hits (the reference's episode parquets accrete columns across
+    * recorder versions the same way: /root/reference/src/convert_format.py
+    * writes whatever fields the source has). Per-file footer schemas are
+    * reconciled at planning time; the gate aggregates per lang across both
+    * generations and counts which rows carried the new column.
+    */
+  val q189SchemaEvolution: Q = Q(
+    "q189_schema_evolution",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_source,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.io.TempDirs.withTempDir("q189") { tmpDir =>
+      val docs = Tables.documents(s, dir)
+      // generation 1 (odd ids withheld → even ids, OLD schema: no source)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmpDir/gen=1")
+      // generation 2 (odd ids, NEW schema: + source column)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").parquet(s"$tmpDir/gen=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(tmpDir.toString)
+      require(merged.schema.fieldNames.contains("source"),
+        "q189: mergeSchema dropped the evolved column")
+      merged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("n_with_source"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+        .localCheckpoint() // pin before withTempDir deletes the staging
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1751,5 +1792,5 @@ object Relational {
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
-    q174SkewProfile, q182ExtensionFusion)
+    q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution)
 }
