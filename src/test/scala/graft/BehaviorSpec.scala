@@ -131,4 +131,38 @@ class BehaviorSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 3L, 5L), (2L, 1L, 3L), (3L, 1L, 1L)))
   }
+
+  test("scd2Runs hand case: run boundaries, validity chain, is_current") {
+    // user 1: a a b a  -> runs (a:2, b:1, a:1); same-ts ties break on id
+    // user 2: single event -> one current run
+    val rows = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 100L, "a"), (1L, 3L, 300L, "b"),
+      (1L, 4L, 400L, "a"),
+      (2L, 9L, 50L, "x"))
+    val got = Behavior.scd2Runs(evDf(rows), "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy("user_id", "run_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 1L, "a", 100L, 300L, 2L, false),
+      (1L, 2L, "b", 300L, 400L, 1L, false),
+      (1L, 3L, "a", 400L, -1L, 1L, true),
+      (2L, 1L, "x", 50L, -1L, 1L, true)))
+  }
+
+  test("runningDistinctUsers: first-seen decomposition equals brute force") {
+    val d = 86400000000L
+    val rows = Seq(
+      (1L, 1L, 0L, "a"), (2L, 2L, 0L, "a"),          // day 0: users 1,2
+      (1L, 3L, d, "a"),                               // day 1: no new user
+      (3L, 4L, 3 * d, "a"), (1L, 5L, 3 * d, "a"))     // day 3: user 3 new
+    val got = Behavior.runningDistinctUsers(evDf(rows), "user_id", "ts")
+      .orderBy("day")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L, 2L), (1L, 0L, 2L), (3L, 1L, 3L)))
+  }
 }
