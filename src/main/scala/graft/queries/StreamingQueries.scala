@@ -557,11 +557,44 @@ object StreamingQueries {
       .orderBy("user_id", "rn")
   }
 
+  /** transformWithState INITIAL STATE (q191): warm-start a streaming
+    * per-user counter from a batch snapshot (even event_ids), stream the
+    * rest (odd event_ids), and the final totals must equal the batch
+    * count over ALL events — proving the snapshot seeded real state.
+    * Snapshot-only users never emit (initial state is state, not input);
+    * the oracle filters to users with ≥1 streamed event.
+    */
+  val q191TwsWarmStart: Q = Q(
+    "q191_tws_warm_start",
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_init,
+      |    CAST(count(*) AS BIGINT) AS n_all,
+      |    SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_stream
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT user_id, n_all AS n_events, n_init AS from_init
+      |FROM c WHERE n_stream > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      df => {
+        val ss = df.sparkSession
+        val snapshot = graft.Tables.events(ss, dir)
+          .filter(col("event_id") % 2 === 0)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        EventStream.warmStartCounts(s,
+          df.filter(col("event_id") % 2 === 1), snapshot)
+      },
+      "q191_mem", OutputMode.Update)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
-    q185TwsRecentEvents)
+    q185TwsRecentEvents, q191TwsWarmStart)
 }

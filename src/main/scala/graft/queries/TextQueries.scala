@@ -581,6 +581,12 @@ object TextQueries {
     * ops (size + array_distinct), so the whole gate is an embarrassingly
     * parallel map stage — zero shuffles, no exploded corpus. Docs with
     * fewer than 2 tokens have no bigram positions and are excluded.
+    *
+    * The interpreted bigram expression sits behind a materialization
+    * barrier: three consumers (the filter + both sizes) would otherwise
+    * each re-inline it via CollapseProject (no CSE in interpreted eval —
+    * the repo-wide rule; unbarriered this gate ran 10 s at sf0.1, 0.5 s
+    * with the pin, released via sealOutput).
     */
   val q187BigramDiversity: Q = Q(
     "q187_bigram_diversity",
@@ -597,15 +603,18 @@ object TextQueries {
              "CAST(len(list_distinct(bigs)) AS DOUBLE) / CAST(len(bigs) AS DOUBLE)", 6)}
        |    AS diversity
        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documentsSpread(s, dir)
+    val base = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))).as("bigs"))
-      .where(size(col("bigs")) >= 1)
-      .select(col("doc_id"), size(col("bigs")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bigs"))).cast("long").as("n_distinct"))
-      .withColumn("diversity", graft.functions.Exact.roundPortable(
-        col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Pins.sealOutput(
+      base.where(size(col("bigs")) >= 1)
+        .select(col("doc_id"), size(col("bigs")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bigs"))).cast("long").as("n_distinct"))
+        .withColumn("diversity", graft.functions.Exact.roundPortable(
+          col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6))
+        .orderBy("doc_id"),
+      base)
   }
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,

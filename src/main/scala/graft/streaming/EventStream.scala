@@ -315,6 +315,62 @@ object EventStream {
       .toDF()
   }
 
+  /** transformWithState with INITIAL STATE — the warm-start surface: a
+    * long-running stateful job bootstrapped from a BATCH snapshot instead
+    * of replaying history (the production migration path from a batch
+    * pipeline to a streaming one). `handleInitialState` seeds each user's
+    * ValueState with the snapshot count before any input row arrives;
+    * streamed rows then increment it. Emission carries both the running
+    * total and the seeded portion, so the gate can prove the snapshot
+    * actually contributed (not a fresh-state drain). Users present only
+    * in the snapshot never receive input rows and therefore never emit —
+    * that is the operator's contract (initial state is state, not input).
+    */
+  final case class TwsWarm(user_id: Long, n_events: Long, from_init: Long)
+
+  private class WarmCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), TwsWarm, Long] {
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[(Long, Long)]("cnt",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      cnt.update((initialState, initialState))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsWarm] = {
+      val prev = if (cnt.exists()) cnt.get() else (0L, 0L)
+      val n = prev._1 + rows.size
+      cnt.update((n, prev._2))
+      Iterator.single(TwsWarm(key, n, prev._2))
+    }
+  }
+
+  /** Drain `events` (pre-filtered by the caller) on top of a per-user
+    * count snapshot `initCounts` (user_id, n).
+    */
+  def warmStartCounts(spark: SparkSession, events: DataFrame,
+      initCounts: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val init = initCounts.selectExpr("user_id", "n")
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+    events.selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new WarmCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(), init)
+      .toDF()
+  }
+
   def sessionTimeouts(spark: SparkSession, events: DataFrame,
       gapUs: Long = 1800000000L, delay: String = "2 hours"): DataFrame = {
     import spark.implicits._
