@@ -1778,6 +1778,44 @@ object Relational {
     }
   }
 
+  /** HyperLogLog++ approximate distinct counting (`approx_count_distinct`)
+    * — THE cardinality sketch for 100 TB telemetry (exact distinct
+    * shuffles every key; HLL merges fixed 2^p-register sketches with
+    * map-side combine, one small row per group). An approximation can't
+    * hash-match a DuckDB replay, so the gate follows the q110 recall
+    * pattern: it computes approx AND exact per event_type, THROWS unless
+    * every relative error is within the configured rsd budget (2% rsd →
+    * 3σ = 6% tripwire), and outputs the exact counts plus the verified
+    * flag — fully oracle-able, with the sketch's accuracy contract
+    * enforced inside the gate. HLL++ register merges are commutative and
+    * associative, so the sketch result is partition-order independent —
+    * the assertion is deterministic, not flaky.
+    */
+  val q192ApproxDistinct: Q = Q(
+    "q192_approx_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+      |    AS exact_users,
+      |  true AS hll_within_budget
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val rsd = 0.02
+    val both = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .localCheckpoint()
+    val worst = both.select(max(abs(col("approx_users") - col("exact_users"))
+        .cast("double") / col("exact_users").cast("double")).as("e"))
+      .head().getDouble(0)
+    if (worst > 3 * rsd) throw new IllegalStateException(
+      f"q192: HLL relative error $worst%.4f exceeds the 3-sigma budget " +
+        f"${3 * rsd}%.4f at rsd=$rsd")
+    both.select(col("event_type"), col("exact_users"),
+        lit(true).as("hll_within_budget"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1792,5 +1830,6 @@ object Relational {
     q139VariantProps, q140BloomInject, q143DppPrune, q144SkewSplit,
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
-    q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution)
+    q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution,
+    q192ApproxDistinct)
 }
