@@ -66,21 +66,24 @@ object Hits {
 
     var hub = nodes.select(col("v"), lit(Scale).as("h")).localCheckpoint()
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // authority half-step: a(v) = Σ_{u→v} h(u), absent in-edges → 0
       val aRaw = edges.join(hub.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v")).agg(sum("h").as("a"))
       auth = rescaled(
         nodes.join(aRaw, Seq("v"), "left")
           .select(col("v"), coalesce(col("a"), lit(0L)).as("a")), "a")
-        .localCheckpoint()
+      // an INTERMEDIATE auth has exactly one consumer (the hub half-step
+      // below) — checkpointing it would only add a job; the LAST round's
+      // auth feeds both that half-step and the output join, so pin it
+      if (i == iters) auth = auth.localCheckpoint()
       // hub half-step: h(v) = Σ_{v→w} a(w), absent out-edges → 0
       val hRaw = edges.join(auth.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v")).agg(sum("a").as("h"))
       hub = rescaled(
         nodes.join(hRaw, Seq("v"), "left")
           .select(col("v"), coalesce(col("h"), lit(0L)).as("h")), "h")
-        .localCheckpoint()
+        .localCheckpoint() // consumed by next round's auth AND the output
     }
     Pins.sealOutput(
       hub.join(auth, "v")
