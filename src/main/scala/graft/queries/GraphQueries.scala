@@ -268,6 +268,48 @@ object GraphQueries {
     }
   }
 
+  /** Multi-source BFS distances (q193): min hops from the low-key supplier
+    * seed set over the symmetrized part↔supp graph, 4 rounds. The oracle
+    * unrolls level-synchronous expansion as chained CTEs and takes the
+    * per-node min — semantically identical to the engine's frontier-delta
+    * iteration (a node's min distance is the first round that reaches it).
+    */
+  val q193Bfs: Q = {
+    val hops = 4
+    val head =
+      """WITH dirE AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM dirE UNION ALL SELECT dst, src FROM dirE
+        |  ) WHERE src != dst
+        |), f0 AS (
+        |  SELECT DISTINCT l_suppkey * 2 + 1 AS v, 0 AS d FROM lineitem
+        |  WHERE l_suppkey <= 5
+        |)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS v, $i AS d FROM edges e
+         |  JOIN f${i - 1} f ON f.v = e.src
+         |), f$i AS (
+         |  SELECT v, min(d) AS d FROM
+         |    (SELECT v, d FROM f${i - 1} UNION ALL SELECT v, d FROM n$i)
+         |  GROUP BY v)""".stripMargin
+    }
+    val sql = (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS node_id, CAST(d AS BIGINT) AS dist FROM f$hops ORDER BY node_id"
+    Q("q193_bfs_distances", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sources = li.filter(col("l_suppkey") <= 5)
+        .select((col("l_suppkey") * 2 + 1).as("v")).distinct()
+      graft.ops.Bfs.distances(
+        li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        "src", "dst", sources, hops)
+        .orderBy("node_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore,
-    q163RandomWalks, q184Hits)
+    q163RandomWalks, q184Hits, q193Bfs)
 }
