@@ -1816,6 +1816,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Bounded-file writes (`maxRecordsPerFile` + one task per partition
+    * key): the output-hygiene contract of a 100 TB export — downstream
+    * consumers need files that are neither gigantic (one reader pins a
+    * whole shard) nor confetti (listing storms). `repartition(key)` puts
+    * each key's rows on exactly one task, so the writer's per-file split
+    * yields a DETERMINISTIC ceil(rows/cap) file count per key — which the
+    * oracle states in closed form. The gate THROWS if any written file
+    * exceeds the cap (grouping the read-back by input_file_name), then
+    * emits the per-key row and file counts.
+    */
+  val q194BoundedFileWrite: Q = Q(
+    "q194_bounded_file_write",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST((count(*) + 499) // 500 AS BIGINT) AS n_files
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.io.TempDirs.withTempDir("q194") { tmpDir =>
+      Tables.documents(s, dir)
+        .repartition(col("lang"))
+        .write.partitionBy("lang")
+        .option("maxRecordsPerFile", 500)
+        .mode("overwrite").parquet(tmpDir.toString)
+      val perFile = s.read.parquet(tmpDir.toString)
+        .groupBy(col("lang"), input_file_name().as("_f"))
+        .agg(count(lit(1)).as("_n"))
+        .localCheckpoint() // pinned: consumed by the tripwire AND the output
+      val over = perFile.filter(col("_n") > 500).count()
+      if (over > 0) throw new IllegalStateException(
+        s"q194: $over written file(s) exceed maxRecordsPerFile=500")
+      perFile.groupBy("lang")
+        .agg(sum("_n").as("n_rows"), count(lit(1)).as("n_files"))
+        .orderBy("lang")
+        .localCheckpoint() // pin before withTempDir deletes the staging
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1831,5 +1866,5 @@ object Relational {
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
     q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution,
-    q192ApproxDistinct)
+    q192ApproxDistinct, q194BoundedFileWrite)
 }

@@ -617,9 +617,59 @@ object TextQueries {
       base)
   }
 
+  /** Phrase search via a POSITIONAL inverted index: per-doc occurrence
+    * counts of exact adjacent-word phrases, found by joining the (doc,
+    * pos, term) posting table against itself at pos+1 — the scalable
+    * multi-word phrase-query plan (an n-word phrase chains n−1 position
+    * joins; the postings shuffle once on the term key and only matching
+    * positions move). The phrase list spans each SF's corpus so the gate
+    * always has matches; the oracle counts the same phrases in the
+    * adjacent-bigram list.
+    */
+  val q195PhraseSearch: Q = {
+    val phrases = Seq("stream data", "table hash", "order fast")
+    val phraseList = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
+    Q(
+      "q195_phrase_search",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS l FROM documents),
+         |b AS (
+         |  SELECT doc_id, list_transform(list_zip(l[1:-2], l[2:-1]),
+         |    x -> x[1] || ' ' || x[2]) AS bigs
+         |  FROM t
+         |), p AS (SELECT unnest($phraseList) AS phrase)
+         |SELECT p.phrase, b.doc_id,
+         |  CAST(len(list_filter(b.bigs, x -> x = p.phrase)) AS BIGINT)
+         |    AS n_occ
+         |FROM b CROSS JOIN p
+         |WHERE len(list_filter(b.bigs, x -> x = p.phrase)) > 0
+         |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
+      val pp = phrases.map { p =>
+        val Array(a, b) = p.split(" "); (p, a, b)
+      }
+      import s.implicits._
+      val ppDf = pp.toDF("phrase", "w1", "w2")
+      // postings shared by both sides of the position join — barrier, then
+      // released by sealOutput (no-CSE rule for the tokenize+posexplode)
+      val pos = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Pins.sealOutput(
+        pos.join(broadcast(ppDf), col("term") === col("w1"))
+          .join(pos.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("term").as("_t2")), Seq("doc_id", "pos"))
+          .where(col("_t2") === col("w2"))
+          .groupBy("phrase", "doc_id")
+          .agg(count(lit(1)).as("n_occ"))
+          .orderBy("phrase", "doc_id"),
+        pos)
+    }
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
     q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize,
-    q164Augment, q165Kappa, q186TokenEntropy, q187BigramDiversity)
+    q164Augment, q165Kappa, q186TokenEntropy, q187BigramDiversity,
+    q195PhraseSearch)
 }
