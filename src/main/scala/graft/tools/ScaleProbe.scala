@@ -439,6 +439,30 @@ object ScaleProbe {
       val row = frames.as[Seq[Double]].select(agg.toColumn).head()
       println(f"[probe]   dim0 mean=${row(1) / row(0)}%.6f n=${row(0).toLong}")
     }
+    // new iterative graph ops at 100×: the same 2M-node / 5M-edge random
+    // graph as the PageRank probe (q184/q193 must hold where q76 does)
+    val bigE = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(2000000L)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(2000000L)).as("dst"))
+    t("HITS 3 rounds on 2M-node / 5M-edge random graph") {
+      val h = graft.ops.Hits.run(bigE, "src", "dst", 3)
+      println(s"[probe]   nodes: ${h.count()}, nonzero auth: " +
+        h.filter(col("auth_scaled") > 0).count())
+    }
+    t("BFS 4 hops from 1k seeds on 2M-node / 5M-edge random graph") {
+      val seeds = spark.range(1000L).select(col("id").as("v"))
+      val d = graft.ops.Bfs.distances(bigE, "src", "dst", seeds, 4)
+      println(s"[probe]   reached: ${d.count()} by-dist: " +
+        d.groupBy("dist").count().orderBy("dist").collect()
+          .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+    }
+    t("BFS 8 hops on the 2M-node CHAIN (frontier stays 2 nodes/round)") {
+      val chainE = spark.range(1999999L)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val d = graft.ops.Bfs.distances(chainE, "src", "dst",
+        spark.range(1000000L, 1000001L).select(col("id").as("v")), 8)
+      println(s"[probe]   reached: ${d.count()} (expect 17)")
+    }
     } // end round-9 entries
     if (!r9Only) {
     // 10x behavioral suite: 1M events / 15k users over 30 days (same shape
