@@ -15,8 +15,11 @@ class CacheHygieneSpec extends SparkSuite {
   //   q26 jaccardPairs, q27 minhash LSH, q50 TfIdf topTerms, q61 CountMin
   //   (query-level pin), q76 PageRank loop, q87 stupidBackoff, q150/q159
   //   NaiveBayes train/eval, q62 Boilerplate, q88 mooreLewis-family
+  //   round-9 additions: q184 HITS / q193 BFS (graph loop pins), q187
+  //   bigram barrier, q195 postings barrier
   private val prefixes =
-    Set("q26", "q27", "q50", "q61", "q62", "q76", "q87", "q88", "q150", "q159")
+    Set("q26", "q27", "q50", "q61", "q62", "q76", "q87", "q88", "q150",
+      "q159", "q184", "q187", "q193", "q195")
 
   test("representative gates leave no cached tables behind") {
     // suites share one session (and its cache manager); earlier suites may
