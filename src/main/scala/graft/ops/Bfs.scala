@@ -47,7 +47,11 @@ object Bfs {
         .join(known, Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
       known = known.unionByName(next).localCheckpoint()
-      frontier = next.select("v")
+      // derive the NEXT frontier from the checkpointed table, never from
+      // `next`'s lazy lineage: the expansion join must run exactly once
+      // per round (inside the checkpoint) — a lazy frontier would re-run
+      // it for the drain check AND again for the next round's join
+      frontier = known.where(col("dist") === r).select("v")
       // a drained frontier ends the walk early — the remaining rounds
       // would join empty sets (cheap but pointless jobs)
       done = frontier.isEmpty
