@@ -55,10 +55,15 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // integer max-rescale: x -> x DIV max(1, ceil(max(x)/Scale)); the
-    // 1-row max arrives via broadcast crossJoin — no driver action
+    // 1-row max arrives via broadcast crossJoin — no driver action.
+    // The raw scores are pinned FIRST: the max aggregate and the rescale
+    // projection both read them, and without the pin each half-step would
+    // double-evaluate its join lineage (measured 7.9 s → 40+ s at sf0.1
+    // when the pin sat after the rescale instead of before the fan-out).
     def rescaled(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c)).as("_mx"))
-      scores.crossJoin(broadcast(mx))
+      val pinned = scores.localCheckpoint()
+      val mx = pinned.agg(max(col(c)).as("_mx"))
+      pinned.crossJoin(broadcast(mx))
         .select(col("v"),
           expr(s"$c DIV greatest(1L, (_mx + ${Scale - 1}L) DIV ${Scale}L)")
             .as(c))
@@ -70,20 +75,19 @@ object Hits {
       // authority half-step: a(v) = Σ_{u→v} h(u), absent in-edges → 0
       val aRaw = edges.join(hub.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v")).agg(sum("h").as("a"))
+      // each rescaled() output is a cheap projection over its internal
+      // pin, so no further checkpoints are needed: auth feeds the hub
+      // half-step (and, in the last round, the output join) straight off
+      // the pinned table
       auth = rescaled(
         nodes.join(aRaw, Seq("v"), "left")
           .select(col("v"), coalesce(col("a"), lit(0L)).as("a")), "a")
-      // an INTERMEDIATE auth has exactly one consumer (the hub half-step
-      // below) — checkpointing it would only add a job; the LAST round's
-      // auth feeds both that half-step and the output join, so pin it
-      if (i == iters) auth = auth.localCheckpoint()
       // hub half-step: h(v) = Σ_{v→w} a(w), absent out-edges → 0
       val hRaw = edges.join(auth.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v")).agg(sum("a").as("h"))
       hub = rescaled(
         nodes.join(hRaw, Seq("v"), "left")
           .select(col("v"), coalesce(col("h"), lit(0L)).as("h")), "h")
-        .localCheckpoint() // consumed by next round's auth AND the output
     }
     Pins.sealOutput(
       hub.join(auth, "v")
