@@ -1851,6 +1851,87 @@ object Relational {
     }
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    * each other instead of vanishing — the semantics a reconciliation
+    * join needs when "unknown" is itself a legitimate bucket. Two
+    * per-bucket aggregates over a deliberately nullable derived key join
+    * null-safely; a plain equi-join would silently drop the NULL bucket
+    * row from both sides.
+    */
+  val q196NullSafeJoin: Q = Q(
+    "q196_null_safe_join",
+    """WITH k AS (
+      |  SELECT nullif(user_id % 7, 3) AS bucket, event_type FROM events
+      |), clicks AS (
+      |  SELECT bucket, count(*) AS n_clicks FROM k
+      |  WHERE event_type = 'click' GROUP BY bucket
+      |), views AS (
+      |  SELECT bucket, count(*) AS n_views FROM k
+      |  WHERE event_type = 'view' GROUP BY bucket
+      |)
+      |SELECT c.bucket, n_clicks, n_views
+      |FROM clicks c JOIN views v ON c.bucket IS NOT DISTINCT FROM v.bucket
+      |ORDER BY c.bucket NULLS FIRST""".stripMargin) { (s, dir) =>
+    val k = Tables.events(s, dir)
+      .select(nullif(col("user_id") % 7, lit(3)).as("bucket"),
+        col("event_type"))
+    val clicks = k.where(col("event_type") === "click")
+      .groupBy("bucket").agg(count(lit(1)).as("n_clicks"))
+    val views = k.where(col("event_type") === "view")
+      .groupBy("bucket").agg(count(lit(1)).as("n_views"))
+      .withColumnRenamed("bucket", "v_bucket")
+    clicks.join(views, col("bucket") <=> col("v_bucket"))
+      .select(col("bucket"), col("n_clicks"), col("n_views"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  /** explode_outer: rows whose array is EMPTY survive as a NULL element
+    * row instead of disappearing — the left-join flavor of flattening a
+    * collection. Plain explode silently drops every doc with no long
+    * token; the gate's per-doc census must include them at 0, which only
+    * the outer form produces from the exploded path.
+    */
+  val q197ExplodeOuter: Q = Q(
+    "q197_explode_outer",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(translate(text,
+      |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+      |    ' '), t -> len(t) >= 9)) AS BIGINT) AS n_long
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        explode_outer(filter(graft.functions.TextAnalysis.tokens(col("text")),
+          t => length(t) >= 9)).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(col("tok")).as("n_long")) // count(col) skips the NULL row
+      .orderBy("doc_id")
+  }
+
+  /** Exact DECIMAL aggregation: the fixed-point arithmetic surface next
+    * to the repo's scaled-long convention — quantities cast to
+    * DECIMAL(12,2) (integer-valued, so the cast is exact on any engine),
+    * summed in decimal, result pinned to DECIMAL(38,2) on BOTH engines
+    * (sum result types differ — Spark widens to (22,2), DuckDB to
+    * (38,2) — so the gate states the output type explicitly).
+    */
+  val q198DecimalAgg: Q = Q(
+    "q198_decimal_agg",
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      |    AS total_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(38,2)").as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1866,5 +1947,6 @@ object Relational {
     q145AqeCoalesce, q146WindowTopK, q149AqeBroadcast, q155Skyline,
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
     q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution,
-    q192ApproxDistinct, q194BoundedFileWrite)
+    q192ApproxDistinct, q194BoundedFileWrite, q196NullSafeJoin,
+    q197ExplodeOuter, q198DecimalAgg)
 }
