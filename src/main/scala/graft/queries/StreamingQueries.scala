@@ -590,11 +590,81 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join (q199): views left-joined to
+    * same-user clicks in the following 30 minutes; a view with NO click
+    * emits its null row only once the state watermark PROVES no match can
+    * arrive. The emission rule is pinned empirically (OuterJoinProbe, 7
+    * boundary cases incl. sub-ms): nulls are a MULTI-batch phenomenon
+    * (batch N evicts with the watermark derived from batches < N — a
+    * single-batch drain can never emit one; the two-batch drain plus the
+    * engine's final NO-DATA batch bring every view under the FULL-data
+    * watermark), the watermark is the MIN of both sides' (each
+    * floor-ms(max ts) − delay), and a globally-unmatched view emits iff
+    * `v_us <= (wm_ms − windowMs − 1) · 1000`. The batch split drops out
+    * of the oracle entirely — the final no-data eviction pass subsumes
+    * the per-batch thresholds. Inner rows across batches all survive
+    * (eviction runs after each batch's join).
+    */
+  val q199OuterStreamJoin: Q = Q(
+    "q199_outer_stream_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, us AS v_us FROM e
+      |  WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, us AS c_us FROM e
+      |  WHERE event_type = 'click'
+      |), wm AS (
+      |  SELECT least(
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'view'),
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'click')
+      |  ) - 7200000 AS wm_ms
+      |), matched AS (
+      |  SELECT v.user_id, v.view_id, c.click_id, v.v_us AS view_us
+      |  FROM v JOIN c ON c.user_id = v.user_id
+      |    AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000
+      |), nulls AS (
+      |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id,
+      |    v.v_us AS view_us
+      |  FROM v CROSS JOIN wm
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM c WHERE c.user_id = v.user_id
+      |        AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000)
+      |    AND v.v_us <= (wm.wm_ms - 1800001) * 1000
+      |)
+      |SELECT user_id, view_id, click_id, view_us FROM matched
+      |UNION ALL
+      |SELECT user_id, view_id, click_id, view_us FROM nulls
+      |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, dir) =>
+    EventStream.runTwoBatchAppend(s, s"$dir/events.parquet",
+      d => {
+        val views = d.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("v_ts", "2 hours")
+        val clicks = d.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "2 hours")
+        views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("v_user").as("user_id"), col("view_id"),
+            col("click_id"), unix_micros(col("v_ts")).as("view_us"))
+      }, "q199_outer")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
-    q185TwsRecentEvents, q191TwsWarmStart)
+    q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin)
 }

@@ -589,6 +589,65 @@ object EventStream {
     ss.table(queryName)
   }
 
+  /** Two-micro-batch Append drain for operators whose OUTPUT only exists
+    * across batches — stream-stream OUTER join null rows above all
+    * (OuterJoinProbe finding: the watermark for batch N derives from data
+    * through batch N−1, and state eviction — which is what EMITS outer
+    * nulls — runs against that lagged watermark, so a single-batch drain
+    * can never produce one). The events file splits by `event_id` parity
+    * (DuckDB-replayable, unlike a hash split); part 1's mtime is set
+    * 10 s earlier so the file source's oldest-first ordering makes the
+    * even half batch 1 deterministically. Sink is parquet (the memory
+    * sink cannot resume Append checkpoints), read back and pinned before
+    * the staging is deleted.
+    */
+  def runTwoBatchAppend(spark: SparkSession, eventsPath: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twobatch").toString
+    val inDir = s"$tmp/in"
+    val outDir = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val src = ss.read.parquet(eventsPath)
+    val tsType = src.schema("ts").dataType
+    graft.io.SingleFile.writeParquetAtomic(
+      src.filter(col("event_id") % 2 === 0), s"$inDir/part1.parquet")
+    graft.io.SingleFile.writeParquetAtomic(
+      src.filter(col("event_id") % 2 === 1), s"$inDir/part2.parquet")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(inDir, "part1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    val stream = ss.readStream
+      .schema(StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("ts", graft.Tables.normalizeTs(tsType, "events-twobatch"))
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (nBatches != 2) throw new IllegalStateException(
+      s"graft two-batch drain [$queryName]: expected 2 data micro-batches, " +
+        s"saw $nBatches — file ordering or trigger changed; the " +
+        "cross-batch emission contract no longer holds")
+    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    val out = ss.read.parquet(outDir).localCheckpoint()
+    graft.io.TempDirs.deleteRecursively(tmp)
+    out
+  }
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —
