@@ -660,11 +660,80 @@ object StreamingQueries {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** Stream-stream FULL OUTER interval join (q200): q199's left side plus
+    * the symmetric click-side nulls. OuterJoinProbe pins the click rule:
+    * eviction keys off the GLOBAL min watermark (not the per-side one),
+    * with the click's join allowance of 0 and the same extra −1 ms —
+    * an unmatched click emits iff `c_us ≤ (wm_ms − 1) · 1000`, verified
+    * at 1 min / 2 ms / 1 ms / 0.5 ms / exact / +1 ms boundaries.
+    */
+  val q200FullOuterStreamJoin: Q = Q(
+    "q200_full_outer_stream_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, us AS v_us FROM e
+      |  WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, us AS c_us FROM e
+      |  WHERE event_type = 'click'
+      |), wm AS (
+      |  SELECT least(
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'view'),
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'click')
+      |  ) - 7200000 AS wm_ms
+      |), matched AS (
+      |  SELECT v.user_id, v.view_id, c.click_id
+      |  FROM v JOIN c ON c.user_id = v.user_id
+      |    AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000
+      |), vnull AS (
+      |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+      |  FROM v CROSS JOIN wm
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM c WHERE c.user_id = v.user_id
+      |        AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000)
+      |    AND v.v_us <= (wm.wm_ms - 1800001) * 1000
+      |), cnull AS (
+      |  SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id, c.click_id
+      |  FROM c CROSS JOIN wm
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM v WHERE v.user_id = c.user_id
+      |        AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000)
+      |    AND c.c_us <= (wm.wm_ms - 1) * 1000
+      |)
+      |SELECT user_id, view_id, click_id FROM matched
+      |UNION ALL SELECT user_id, view_id, click_id FROM vnull
+      |UNION ALL SELECT user_id, view_id, click_id FROM cnull
+      |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, dir) =>
+    EventStream.runTwoBatchAppend(s, s"$dir/events.parquet",
+      d => {
+        val views = d.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("v_ts", "2 hours")
+        val clicks = d.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "2 hours")
+        views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+          .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+            col("view_id"), col("click_id"))
+      }, "q200_full_outer")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
     q77FmgwsSessions, q130IncrementalMerge, q134StreamingDedupBounded,
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
-    q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin)
+    q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
+    q200FullOuterStreamJoin)
 }

@@ -128,6 +128,69 @@ object OuterJoinProbe {
       println(s"[probe] case user=$u window_end=${v + winUs} " +
         s"wm1_minus_end=${wm1Us - (v + winUs)}")
     }
+    // ---- full-outer click-side boundary: unmatched CLICKS (even ids)
+    // placed so c_ts sits around wm1. A click matches views with v_ts in
+    // [c_ts − 30min, c_ts]; it is provably unmatchable once the VIEW
+    // watermark passes c_ts — predicted rule c_us ≤ (wm_ms − 1) · 1000.
+    val ccases = Seq(
+      (11L, wm1Us - 60000000L), // 1min before wm1
+      (12L, wm1Us),             // exactly at wm1
+      (13L, wm1Us + 1000L),     // 1ms after
+      (14L, wm1Us - 500L),      // 0.5ms before
+      (15L, wm1Us - 1000L),     // 1ms before
+      (16L, wm1Us - 2000L))     // 2ms before
+    val rows2 = ccases.map { case (u, t) => (u * 10L, t, u, "click") } ++ Seq(
+      (500L, base, 50L, "view"), (501L, base + 60000000L, 50L, "click"),
+      (990L, max1Us, 99L, "view"),
+      (992L, max1Us, 96L, "click"),
+      (991L, max1Us + 3600L * 1000000L, 98L, "view"))
+    val df2 = rows2.toDF("event_id", "ts_us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("ojprobe3").toString
+    graft.io.SingleFile.writeParquetAtomic(
+      df2.filter(col("event_id") % 2 === 0), s"$tmp2/in/part1.parquet")
+    Thread.sleep(1100)
+    graft.io.SingleFile.writeParquetAtomic(
+      df2.filter(col("event_id") % 2 === 1), s"$tmp2/in/part2.parquet")
+    val stream2 = spark.readStream
+      .schema(StructType(schema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp2/in")
+    def transformFull(d: org.apache.spark.sql.DataFrame) = {
+      val views = d.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = d.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "2 hours")
+      views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+        .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+          col("view_id"), col("click_id"))
+    }
+    val q2 = transformFull(stream2).writeStream
+      .format("parquet").outputMode(OutputMode.Append)
+      .option("path", s"$tmp2/out")
+      .option("checkpointLocation", s"$tmp2/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    println(s"[probe] FULL outer results (wm1Us=$wm1Us):")
+    spark.read.parquet(s"$tmp2/out").orderBy("user_id").collect().foreach { r =>
+      println(s"[probe] user=${r.getLong(0)} view=" +
+        s"${if (r.isNullAt(1)) "NULL" else r.getLong(1)} click=" +
+        s"${if (r.isNullAt(2)) "NULL" else r.getLong(2)}")
+    }
+    ccases.foreach { case (u, t) =>
+      println(s"[probe] ccase user=$u c_us=$t wm1_minus_c=${wm1Us - t}")
+    }
     org.apache.spark.sql.graft.GraftBridge.stopStateStore()
     spark.stop()
   }
