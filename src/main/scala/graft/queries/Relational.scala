@@ -1932,6 +1932,68 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** ORC round-trip (q201): the second columnar format a lake ingests
+    * besides parquet — write the documents table as zlib ORC, read it
+    * back, aggregate. The oracle aggregates the ORIGINAL table, so any
+    * value/type mangling in the round-trip (string encoding, long
+    * widths, nulls) breaks the hash — round-trip transparency as a
+    * checkable contract, same shape as q189's parquet evolution gate.
+    */
+  val q201OrcRoundtrip: Q = Q(
+    "q201_orc_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.io.TempDirs.withTempDir("q201") { tmpDir =>
+      Tables.documents(s, dir)
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(tmpDir.toString)
+      s.read.orc(tmpDir.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy("lang")
+        .localCheckpoint()
+    }
+  }
+
+  /** CSV round-trip under HOSTILE content (q202): a crafted column with
+    * embedded commas, double quotes, and newlines — the cases that break
+    * naive CSV emitters. Written with default quoting, read back with
+    * multiLine (quoted newlines span physical lines), and aggregated;
+    * the oracle computes the same aggregate from the source expression
+    * directly, so any quoting/escape mangling shifts the lengths and
+    * fails the hash.
+    */
+  val q202CsvRoundtrip: Q = Q(
+    "q202_csv_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len('a,"b' || chr(10) || lang || '",c')) AS BIGINT)
+      |    AS sum_crafted_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.io.TempDirs.withTempDir("q202") { tmpDir =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          concat(lit("a,\"b\n"), col("lang"), lit("\",c")).as("crafted"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(tmpDir.toString)
+      s.read
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("inferSchema", "false")
+        .csv(tmpDir.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("crafted"))).cast("long").as("sum_crafted_len"))
+        .orderBy("lang")
+        .localCheckpoint()
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPartsPerBrand,
     q04DedupKeepFirst, q05Reindex, q06Monotonic, q07HashSplit,
@@ -1948,5 +2010,5 @@ object Relational {
     q160GapFill, q162CboReorder, q167CubeGrouping, q172SlidingWindow,
     q174SkewProfile, q182ExtensionFusion, q189SchemaEvolution,
     q192ApproxDistinct, q194BoundedFileWrite, q196NullSafeJoin,
-    q197ExplodeOuter, q198DecimalAgg)
+    q197ExplodeOuter, q198DecimalAgg, q201OrcRoundtrip, q202CsvRoundtrip)
 }
