@@ -728,6 +728,59 @@ object StreamingQueries {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** dropDuplicatesWithinWatermark EVICTION + RE-ADMISSION (q203): q134
+    * gates the dedup happy path; this gates what happens when a key's
+    * state AGES OUT — the duplicate that arrives after expiry is a fresh
+    * first-seen and emits AGAIN. Contract pinned by tools/DedupEvictProbe:
+    * state expiry = floor_ms(first_ts) + delay_ms; eviction runs at batch
+    * END against the batch's PLANNING watermark, inclusive (expiry ≤ wm),
+    * so same-batch duplicates still drop and re-admission starts the next
+    * batch; duplicates do NOT extend expiry. The probe also found a
+    * sub-watermark admission corner it could NOT pin consistently (rows
+    * below the watermark admitted in one shape, late-dropped in another),
+    * so this fixture keeps EVERY row above the watermark of its batch —
+    * the gate certifies eviction/re-admission, not late-row admission.
+    * Fixture: one row per (user, batch); batch-1 times spread over 49
+    * hours (eviction boundary falls between whole hours — ms-edge-free),
+    * batch-2/3 rows sit above the batch-1 maximum. Multiplicity per user
+    * is then exactly 1 + (1 if the batch-1 record expired under batch
+    * 2's planning watermark — re-admitted by the batch-3 row).
+    */
+  val q203DedupReadmission: Q = Q(
+    "q203_dedup_readmission",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |b1 AS (
+      |  SELECT user_id,
+      |    1700000000000000 + (user_id % 49) * 3600000000 AS us
+      |  FROM u
+      |), wm2 AS (
+      |  SELECT (max(us) // 1000) - 7200000 AS wm_ms FROM b1
+      |)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN (b1.us // 1000 + 7200000) <= wm2.wm_ms
+      |       THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
+      |FROM u JOIN b1 USING (user_id) CROSS JOIN wm2
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val users = Tables.events(s, dir).select("user_id").distinct()
+      .localCheckpoint()
+    val b1 = users.select(col("user_id"),
+      expr("timestamp_micros(1700000000000000 + (user_id % 49) * 3600000000)")
+        .as("ts"))
+    val m1 = b1.agg(max(unix_micros(col("ts"))).as("_mx"))
+    def later(offsetUs: Long) = users.crossJoin(broadcast(m1))
+      .select(col("user_id"),
+        expr(s"timestamp_micros(_mx + ${offsetUs}L)").as("ts"))
+    EventStream.runBatchedAppend(s,
+      Seq(b1, later(3600000000L), later(7200000000L)),
+      d => d.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id"),
+      "q203_readmit")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_emissions"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -735,5 +788,5 @@ object StreamingQueries {
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
-    q200FullOuterStreamJoin)
+    q200FullOuterStreamJoin, q203DedupReadmission)
 }

@@ -648,6 +648,54 @@ object EventStream {
     out
   }
 
+  /** Generalized N-batch Append drain: each frame in `parts` becomes one
+    * micro-batch, in order (explicit mtimes + maxFilesPerTrigger=1 —
+    * the [[runTwoBatchAppend]] mechanics for arbitrary batch counts).
+    * All frames must share a schema; the stream is read with exactly
+    * that schema. Parquet sink (Append checkpoints can't resume into a
+    * memory sink), result pinned before the staging is deleted.
+    */
+  def runBatchedAppend(spark: SparkSession, parts: Seq[DataFrame],
+      transform: DataFrame => DataFrame, queryName: String,
+      statePartitions: Int = 4): DataFrame = {
+    require(parts.nonEmpty, "runBatchedAppend needs at least one part")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbatch").toString
+    val inDir = s"$tmp/in"
+    val outDir = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    parts.zipWithIndex.foreach { case (p, i) =>
+      graft.io.SingleFile.writeParquetAtomic(p, f"$inDir/part$i%03d.parquet")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(inDir, f"part$i%03d.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000 + i * 2000))
+    }
+    val stream = ss.readStream
+      .schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (nBatches != parts.size) throw new IllegalStateException(
+      s"graft n-batch drain [$queryName]: expected ${parts.size} data " +
+        s"micro-batches, saw $nBatches — file ordering or trigger changed")
+    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+    val out = ss.read.parquet(outDir).localCheckpoint()
+    graft.io.TempDirs.deleteRecursively(tmp)
+    out
+  }
+
   /** Drive a streaming DataFrame from the static events parquet through a
     * memory sink until all available data is processed; returns the result
     * table. Batch parquet in, streaming semantics, synchronous for tests —
