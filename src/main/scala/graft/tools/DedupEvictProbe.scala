@@ -6,13 +6,21 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Empirical probe for `dropDuplicatesWithinWatermark` state EVICTION and
-  * duplicate RE-ADMISSION (the q203 contract): a key's dedup record
-  * expires once the watermark passes its event time; a duplicate arriving
-  * AFTER expiry is a fresh first-seen and emits again. Pins (a) the
-  * expiry boundary arithmetic, (b) whether cleanup runs before or after
-  * a batch's rows are processed (does an expired key's duplicate in the
-  * SAME batch re-emit, or only in a later one), and (c) which occurrence's
-  * timestamp the state carries.
+  * duplicate RE-ADMISSION (the q203 contract). Findings:
+  *  1. State expiry = floor_ms(first_ts) + delay_ms; a duplicate never
+  *     extends it.
+  *  2. Eviction runs at batch END against the batch's PLANNING watermark,
+  *     inclusive at the ms boundary — so same-batch duplicates still
+  *     drop; re-admission starts the next batch.
+  *  3. (Resolved via DedupGateRepro) The operator carries TWO watermark
+  *     values per batch: late INPUT filtering uses the PREVIOUS batch's
+  *     watermark, eviction uses the CURRENT batch's. This probe's
+  *     sub-watermark rows were all in the SECOND batch — whose
+  *     late-filter watermark was still the first batch's 0 — hence
+  *     admitted; the repro's third-batch late rows (new key or not) are
+  *     dropped by the second batch's watermark. q203's fixture keeps
+  *     every row above both values, so the gate rests only on findings
+  *     1–2.
   *
   * Batches: event_id % 3 = 0 → batch 1, % 3 = 1 → batch 2, % 3 = 2 →
   * batch 3 (mtime-ordered files, maxFilesPerTrigger=1).

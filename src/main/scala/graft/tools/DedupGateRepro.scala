@@ -18,6 +18,7 @@ object DedupGateRepro {
     // user 9: sets batch maxima high (base+30h each batch)
     val rows = Seq(
       (1L, 0, base), (1L, 1, base + hour), (1L, 2, base + 2 * hour),
+      (3L, 2, base + 2 * hour), // brand-new key, same late ts, same batch
       (9L, 0, base + 30 * hour), (9L, 1, base + 31 * hour),
       (9L, 2, base + 32 * hour))
     val synth = rows.toDF("user_id", "b", "us")
