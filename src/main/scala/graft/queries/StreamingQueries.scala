@@ -781,6 +781,45 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming-dedup LATE-INPUT filter (q204): completes q203's contract
+    * with the admission side, fully pinned by DedupGateRepro — batch N
+    * filters its inputs against batch N−1's watermark (one batch BEHIND
+    * the eviction watermark: Spark's dual late/eviction watermark
+    * design), the comparison is FULL µs precision on the row, and the
+    * boundary is inclusive: a row is dropped iff
+    * `ts_us <= wm_late_us` (+0.5 ms above admitted, exact and −0.5 ms
+    * dropped). Fixture: batch 1 sets the late watermark with one row at
+    * a fixed epoch, batch 3 carries one row per events-user offset
+    * {−1000, −500, 0, +500, +1000} µs from it by user_id % 5 — exactly
+    * the users at positive offsets emit.
+    */
+  val q204DedupLateFilter: Q = Q(
+    "q204_dedup_late_filter",
+    """WITH u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT user_id FROM u WHERE user_id % 5 >= 3
+      |UNION ALL SELECT 999999998 AS user_id
+      |UNION ALL SELECT 999999999 AS user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val t1Us = 1700000000000000L
+    val wmLateUs = t1Us - 3600L * 1000000L
+    import s.implicits._
+    val p1 = Seq(999999999L).toDF("user_id")
+      .select(col("user_id"), expr(s"timestamp_micros(${t1Us}L)").as("ts"))
+    val p2 = Seq(999999998L).toDF("user_id")
+      .select(col("user_id"),
+        expr(s"timestamp_micros(${t1Us + 3600L * 1000000L}L)").as("ts"))
+    val p3 = Tables.events(s, dir).select("user_id").distinct()
+      .select(col("user_id"),
+        expr(s"timestamp_micros(${wmLateUs}L + (user_id % 5 - 2) * 500)")
+          .as("ts"))
+    EventStream.runBatchedAppend(s, Seq(p1, p2, p3),
+      d => d.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id"),
+      "q204_late")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -788,5 +827,5 @@ object StreamingQueries {
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
-    q200FullOuterStreamJoin, q203DedupReadmission)
+    q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter)
 }
