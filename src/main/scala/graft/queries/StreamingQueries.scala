@@ -820,6 +820,37 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Hourly windowed aggregation in APPEND mode (q205): unlike q33's
+    * Complete mode (every window re-emitted each batch), Append emits a
+    * window exactly once — when the watermark passes its END and the
+    * window is finalized/evicted. After a drain plus the engine's final
+    * no-data batch, the emitted set is the windows whose end sits at or
+    * below the full-data watermark `floor_ms(max ts) − delay`; the last
+    * open windows are withheld (they are not over). The oracle states
+    * that window subset in closed form — the semantic difference between
+    * the two output modes made hash-checkable.
+    */
+  val q205AppendWindows: Q = Q(
+    "q205_append_windows",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+      |  FROM events
+      |), wm AS (
+      |  SELECT (max(us) // 1000 - 7200000) AS wm_ms FROM e
+      |)
+      |SELECT (us // 3600000000) * 3600000 AS hour_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM e CROSS JOIN wm
+      |WHERE (us // 3600000000) * 3600000 + 3600000 <= wm.wm_ms
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.hourlyAgg, "q205_mem", OutputMode.Append)
+      .orderBy("hour_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -827,5 +858,6 @@ object StreamingQueries {
     q135MediaFeatures, q137StreamRestart, q138MediaResize, q157Phash,
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
-    q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter)
+    q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter,
+    q205AppendWindows)
 }
