@@ -851,6 +851,50 @@ object StreamingQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** session_window in APPEND mode (q206): q34 drains sessions in
+    * Complete mode; Append emits each merged session exactly once, when
+    * the watermark passes its END (last event + gap, inclusive at ms
+    * grain via the final no-data batch) — each user's trailing
+    * still-open session is withheld. The oracle is q34's sessionization
+    * fold filtered to watermark-finalized sessions.
+    */
+  val q206AppendSessions: Q = Q(
+    "q206_append_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), wm AS (SELECT (max(ts_us) // 1000 - 7200000) AS wm_ms FROM e),
+      |s AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |      AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value, ts_us,
+      |      lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |        AS prev_us
+      |    FROM e
+      |  )
+      |), sess AS (
+      |  SELECT user_id, min(ts_us) AS session_start_us,
+      |    max(ts_us) + 1800000000 AS session_end_us,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |      AS sum_value_cents
+      |  FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, session_start_us, session_end_us, n_events,
+      |  sum_value_cents
+      |FROM sess CROSS JOIN wm
+      |WHERE session_end_us // 1000 <= wm.wm_ms
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.sessionAgg, "q206_mem", OutputMode.Append)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -859,5 +903,5 @@ object StreamingQueries {
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
     q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter,
-    q205AppendWindows)
+    q205AppendWindows, q206AppendSessions)
 }
