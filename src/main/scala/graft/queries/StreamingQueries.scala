@@ -895,6 +895,104 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Stream-stream LEFT SEMI interval join (q207): completes the
+    * streaming join-type matrix (inner q69, left outer q199, full outer
+    * q200) — a view emits ONCE when its first matching click arrives,
+    * never re-emits for further matches, and unmatched views emit
+    * nothing (no null row, no watermark wait). The emitted set is
+    * therefore exactly the EXISTS subset — no emission-rule subtlety,
+    * which is itself the contract worth pinning.
+    */
+  val q207SemiStreamJoin: Q = Q(
+    "q207_semi_stream_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |)
+      |SELECT v.user_id, v.event_id AS view_id, v.us AS view_us
+      |FROM e v
+      |WHERE v.event_type = 'view' AND EXISTS (
+      |  SELECT 1 FROM e c WHERE c.event_type = 'click'
+      |    AND c.user_id = v.user_id
+      |    AND c.us >= v.us AND c.us <= v.us + 1800000000)
+      |ORDER BY view_id""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      d => {
+        val views = d.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("v_ts", "2 hours")
+        val clicks = d.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+          .select(col("v_user").as("user_id"), col("view_id"),
+            unix_micros(col("v_ts")).as("view_us"))
+      }, "q207_mem", OutputMode.Append)
+      .orderBy("view_id")
+  }
+
+  /** CHAINED stateful operators (q208): a stream-stream interval join
+    * feeding a tumbling windowed aggregation in ONE streaming query —
+    * the multiple-stateful-operator support added in Spark 3.5/4
+    * (SPARK-42376), previously impossible without an intermediate sink.
+    * Attribution pairs (click within 30 min after the view) aggregate
+    * into hourly counts on the CLICK time, Append mode: a window
+    * finalizes under the aggregation's PROPAGATED watermark, which the
+    * engine delays by the join's interval bound (30 min) — the emitted
+    * set is windows with `end ≤ wm − 30min` at ms grain. The oracle
+    * replays the join, the window assignment, and that propagated-
+    * watermark finalization rule.
+    */
+  val q208ChainedStateful: Q = Q(
+    "q208_chained_stateful",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), wm AS (
+      |  SELECT least(
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'view'),
+      |    (SELECT max(us) // 1000 FROM e WHERE event_type = 'click')
+      |  ) - 7200000 AS wm_ms
+      |), pairs AS (
+      |  SELECT c.us AS c_us
+      |  FROM e v JOIN e c
+      |    ON v.event_type = 'view' AND c.event_type = 'click'
+      |    AND c.user_id = v.user_id
+      |    AND c.us >= v.us AND c.us <= v.us + 1800000000
+      |)
+      |SELECT (c_us // 3600000000) * 3600000 AS hour_start,
+      |  count(*) AS n_pairs
+      |FROM pairs CROSS JOIN wm
+      |WHERE (c_us // 3600000000) * 3600000 + 3600000 <= wm.wm_ms - 1800000
+      |GROUP BY 1
+      |ORDER BY hour_start""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      d => {
+        val views = d.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "2 hours")
+        val clicks = d.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+          .groupBy(window(col("c_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(unix_millis(col("window.start")).as("hour_start"),
+            col("n_pairs"))
+      }, "q208_mem", OutputMode.Append)
+      .orderBy("hour_start")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -903,5 +1001,6 @@ object StreamingQueries {
     q179StreamingFunnel, q180TwsModalType, q183TwsSessionTimers,
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
     q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter,
-    q205AppendWindows, q206AppendSessions)
+    q205AppendWindows, q206AppendSessions, q207SemiStreamJoin,
+    q208ChainedStateful)
 }
