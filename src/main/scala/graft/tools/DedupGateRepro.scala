@@ -3,7 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Minimal repro of the q203 path through runBatchedAppend. */
+/** Companion to DedupEvictProbe: resolved the late-admission anomaly
+  * (a brand-new key at a late timestamp is dropped exactly like a
+  * re-admission — the filter is pure-timestamp) and pins the late-filter
+  * BOUNDARY: rows in batch N are filtered against the watermark of batch
+  * N−1 (planning value), while eviction uses batch N's own. Boundary
+  * cases below place new keys in batch 3 around wmLate = floor_ms(max
+  * batch-1 ts) − delay.
+  */
 object DedupGateRepro {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -14,21 +21,23 @@ object DedupGateRepro {
     import spark.implicits._
     val base = 1700000000L * 1000000L
     val hour = 3600L * 1000000L
-    // user 1: b0 at base, b1 at base+1h, b2 at base+2h
-    // user 9: sets batch maxima high (base+30h each batch)
+    val m1 = base + 30 * hour  // batch-1 max
+    val m2 = base + 40 * hour  // batch-2 max
+    val wmLate = (m1 / 1000L - 3600000L) * 1000L // batch-3 late filter
+    val cases = Seq(
+      (301L, wmLate - 60000000L), // 1min below
+      (302L, wmLate - 1000L),     // 1ms below
+      (303L, wmLate - 500L),      // 0.5ms below
+      (304L, wmLate),             // exact
+      (305L, wmLate + 500L),      // 0.5ms above
+      (306L, wmLate + 1000L))     // 1ms above
     val rows = Seq(
-      (1L, 0, base), (1L, 1, base + hour), (1L, 2, base + 2 * hour),
-      (3L, 2, base + 2 * hour), // brand-new key, same late ts, same batch
-      (9L, 0, base + 30 * hour), (9L, 1, base + 31 * hour),
-      (9L, 2, base + 32 * hour))
-    val synth = rows.toDF("user_id", "b", "us")
-      .select(col("user_id"), col("b"),
-        expr("timestamp_micros(us)").as("ts"))
+      (9L, 0, m1), (9L, 1, m2), (9L, 2, m2 + hour)) ++
+      cases.map { case (u, t) => (u, 2, t) } // new keys in batch 3
     val parts = (0 to 2).map(b =>
-      synth.filter(col("b") === b).select("user_id", "ts"))
-    // wm2 = (base+30h)/ms - 2h ; user1 expiry = base+2h <= wm2 -> evict at
-    // end of batch 2 -> batch-3 row (base+2h) re-admits -> expect user1 n=2
-    // inline drain with progress instrumentation
+      rows.filter(_._2 == b).map(r => (r._1, r._3))
+        .toDF("user_id", "us")
+        .select(col("user_id"), expr("timestamp_micros(us)").as("ts")))
     val tmp = java.nio.file.Files.createTempDirectory("rp").toString
     parts.zipWithIndex.foreach { case (pdf, i) =>
       graft.io.SingleFile.writeParquetAtomic(pdf, f"$tmp/in/part$i%03d.parquet")
@@ -41,20 +50,23 @@ object DedupGateRepro {
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
     val q = stream.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id")
-      .select("user_id", "ts")
-      .writeStream.format("parquet")
-      .outputMode("append")
+      .writeStream.format("parquet").outputMode("append")
       .option("path", s"$tmp/out")
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.recentProgress.foreach { pr =>
       val so = pr.stateOperators
-      println(s"[repro] batch=${pr.batchId} in=${pr.numInputRows} wm=${pr.eventTime.get("watermark")} " +
-        (if (so.nonEmpty) s"stateRows=${so(0).numRowsTotal} upd=${so(0).numRowsUpdated} rm=${so(0).numRowsRemoved} lateDrop=${so(0).numRowsDroppedByWatermark}" else ""))
+      println(s"[repro] batch=${pr.batchId} in=${pr.numInputRows} " +
+        s"wm=${pr.eventTime.get("watermark")} " +
+        (if (so.nonEmpty) s"lateDrop=${so(0).numRowsDroppedByWatermark}" else ""))
     }
-    spark.read.parquet(s"$tmp/out").orderBy("user_id", "ts").collect().foreach { r =>
+    println(s"[repro] wmLateUs=$wmLate")
+    spark.read.parquet(s"$tmp/out").orderBy("user_id").collect().foreach { r =>
       println(s"[repro] user=${r.getLong(0)} ts=${r.getTimestamp(1).getTime}")
+    }
+    cases.foreach { case (u, t) =>
+      println(s"[repro] case user=$u ts=$t wmLate_minus_ts=${wmLate - t}")
     }
     spark.stop()
   }
