@@ -24,14 +24,20 @@ object Triangles {
     * edge list (symmetrized + dedup'd internally; self-loops dropped).
     * Returns (node_id, n_triangles) for every node incident to an edge —
     * zero-triangle nodes included.
+    *
+    * `canonical = true` asserts the input is already a DISTINCT src<dst
+    * pair list (the [[Cooccur.coedges]] contract): the symmetrized union
+    * is then distinct by construction (the two halves are disjoint) and
+    * the graph-sized distinct shuffle is skipped.
     */
-  def perNode(edgesDf: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def perNode(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      canonical: Boolean = false): DataFrame = {
     val dir = edgesDf.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val und = dir
+    val sym = dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    val und = (if (canonical) sym
+               else sym.where(col("src") =!= col("dst")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     // oriented: keep (u, w) iff (deg(u), u) < (deg(w), w)

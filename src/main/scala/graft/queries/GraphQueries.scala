@@ -132,7 +132,8 @@ object GraphQueries {
     // pairs (order lines bound k) — see Cooccur.coedges / EdgeBuildProbe
     val edges = graft.ops.Cooccur.coedges(
       Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-    graft.ops.Triangles.perNode(edges, "src", "dst").orderBy("node_id")
+    graft.ops.Triangles.perNode(edges, "src", "dst", canonical = true)
+      .orderBy("node_id")
   }
 
   /** k-core peeling (8 fixed rounds, k=20) on the part co-occurrence graph
