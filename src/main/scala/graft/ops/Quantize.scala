@@ -171,4 +171,66 @@ object Quantize {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-ADC: the production ANN layout (FAISS's IndexIVFPQ default) —
+    * a coarse IVF partition bounds WHICH vectors are scanned, the PQ
+    * asymmetric-distance LUT bounds the COST per scanned vector. Each
+    * query probes its `nProbe` nearest coarse cells and ADC-scans only
+    * those cells' members; at 100 TB this is the difference between
+    * touching the corpus and touching nProbe/K of it, with 1-byte-per-
+    * subquantizer reads instead of full vectors. Composition of the
+    * gated pieces ([[graft.ops.IvfIndex]] q37, [[adcTopK]] q124): the
+    * same deterministic seeded coarse centroids, the same first-16 PQ
+    * codebook, pure-integer ADC. Per-query LUTs ship as map literals
+    * keyed by query id (≤256 queries · m·16 longs — broadcast-tiny), the
+    * probe table broadcasts, and the only shuffle is the per-query top-k
+    * window over candidate rows.
+    */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      pqCents: Array[Array[Array[Long]]],
+      ivfCents: Array[(Long, Seq[Double])], nProbe: Int,
+      queryPred: Column, k: Int): DataFrame = {
+    val m = pqCents.length
+    val sub = pqCents(0)(0).length
+    val queries = df.filter(queryPred).orderBy(col(idCol))
+      .select(col(idCol).cast("long"), Similarity.scaled(col(vecCol)).as("_s"))
+      .limit(257).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(queries.nonEmpty && queries.length <= 256,
+      s"query slice must be 1..256 vectors, got ${queries.length}")
+    def lutRow(qv: Array[Long], mi: Int): Seq[Long] =
+      pqCents(mi).toSeq.map { cv =>
+        var acc = 0L; var j = 0
+        while (j < sub) {
+          val d = qv(mi * sub + j) - cv(j); acc += d * d; j += 1
+        }
+        acc
+      }
+    // codedParts projects the vector away, so IVF-assign on the ORIGINAL
+    // frame and join the cell label back on the id
+    val (withSubs, parts) = codedParts(df, idCol, vecCol, pqCents)
+    val cells = IvfIndex.assignWith(df, vecCol, ivfCents)
+      .select(col(idCol).cast("long").as("doc_id"), col("_centroid"))
+    val coded = withSubs.select(
+      col(idCol).cast("long").as("doc_id") +:
+        (0 until m).map(mi => parts(mi).getField("code").as(s"_c$mi")): _*)
+      .join(cells, "doc_id")
+    val probes = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(IvfIndex.probeList(col(vecCol).cast("array<double>"),
+          ivfCents, nProbe)).as("_centroid"))
+    val lutMaps = (0 until m).map(mi =>
+      queries.map { case (qid, qv) => qid -> lutRow(qv, mi) }.toMap)
+    val adc = (0 until m).map(mi =>
+      element_at(element_at(typedLit(lutMaps(mi)), col("query_id")),
+        col(s"_c$mi") + 1)).reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_scaled"), col("doc_id"))
+    coded.join(broadcast(probes), "_centroid")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("adc_scaled", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("adc_scaled"), col("rank"))
+  }
 }

@@ -792,9 +792,95 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** IVF-ADC combined ANN (q209): the production FAISS-style layout —
+    * coarse IVF cells bound WHICH vectors are scanned (q37's seeded
+    * deterministic centroids, 8 cells, nProbe=2), the PQ asymmetric-
+    * distance LUT bounds the COST per scanned vector (q124's first-16
+    * codebook, pure-integer ADC). The oracle composes both gated
+    * replays: assignment + probe lists, per-doc PQ codes, per-query
+    * LUTs, then the ADC top-10 restricted to the probed cells' members.
+    */
+  val q209IvfAdc: Q = Q(
+    "q209_ivf_adc",
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(('0x' || substring(md5('ivf1:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM embeddings
+       |), icents AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    row_number() OVER (ORDER BY h) AS ord
+       |  FROM hashed ORDER BY h LIMIT 8
+       |), vc AS (
+       |  SELECT vec_id, cid, ord,
+       |    CASE WHEN nv > CAST(0 AS DOUBLE) THEN dot / (nv * nc) ELSE CAST(0 AS DOUBLE) END AS sim
+       |  FROM (
+       |    SELECT e.vec_id, c.cid, c.ord,
+       |      list_reduce(list_transform(generate_series(1, len(e.embedding)), i ->
+       |        CAST(e.embedding[i] AS DOUBLE) * c.cv[i]), (acc, x) -> acc + x) AS dot,
+       |      sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nv,
+       |      sqrt(list_reduce(list_transform(c.cv, x -> x * x), (acc, x) -> acc + x)) AS nc
+       |    FROM embeddings e CROSS JOIN icents c
+       |  )
+       |), assigned AS (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ord) AS rn FROM vc
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ord) AS rn
+       |    FROM vc WHERE vec_id % 100 = 7
+       |  ) WHERE rn <= 2
+       |), sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), pcent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, s
+       |  FROM (SELECT vec_id, s FROM sv ORDER BY vec_id LIMIT 16)
+       |), mm AS (
+       |  SELECT unnest(generate_series(0, 7)) AS m
+       |), pm AS (
+       |  SELECT v.vec_id, mm.m, c.ci,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> c.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT)
+       |      - 2 * CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> v.s[mm.m * 8 + j] * c.s[mm.m * 8 + j])) AS BIGINT) AS key
+       |  FROM sv v CROSS JOIN mm CROSS JOIN pcent c
+       |), best AS (
+       |  SELECT vec_id, m, ci,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY key, ci) AS rn
+       |  FROM pm
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, mm.m, c.ci,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |        j -> (q.s[mm.m * 8 + j] - c.s[mm.m * 8 + j])
+       |           * (q.s[mm.m * 8 + j] - c.s[mm.m * 8 + j]))) AS BIGINT) AS d
+       |  FROM (SELECT vec_id, s FROM sv WHERE vec_id % 100 = 7) q
+       |  CROSS JOIN mm CROSS JOIN pcent c
+       |), adc AS (
+       |  SELECT p.query_id, b.vec_id AS doc_id,
+       |    CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM probes p
+       |  JOIN assigned a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+       |  JOIN best b ON b.vec_id = a.vec_id AND b.rn = 1
+       |  JOIN lut l ON l.qid = p.query_id AND l.m = b.m AND l.ci = b.ci
+       |  GROUP BY p.query_id, b.vec_id
+       |)
+       |SELECT query_id, doc_id, adc_scaled, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_scaled, doc_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val pq = graft.ops.Quantize.pqSeedCentroids(emb, "vec_id", "embedding", 8, 16)
+    val ivf = graft.ops.IvfIndex.pickCentroids(emb, "vec_id", "embedding", 8, "ivf1")
+    graft.ops.Quantize.ivfAdcTopK(emb, "vec_id", "embedding", pq, ivf,
+        nProbe = 2, pmod(col("vec_id"), lit(100L)) === 7, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
-    q124PqAdc, q133CentroidSim, q142Dbscan)
+    q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc)
 }
