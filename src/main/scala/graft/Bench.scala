@@ -77,16 +77,24 @@ object Bench {
     // failed gates first (never dropped), then slowest-first
     val ordered = merged.map { case (n, s, _) => (shortKey(n), s) }
       .sortBy { case (_, s) => (if (s < 0) Double.MinValue else -s) }
-    // greedy prefix that fits the budget (every added entry only grows the
-    // line, so the first overflow ends the scan)
+    // Greedy prefix that fits the budget. Each candidate is measured with
+    // the REAL omitted count/seconds it would ship with — measuring with
+    // placeholder zeros (as before round 10) under-counted by the width of
+    // the true omitted fields, so the emitted line could exceed the budget
+    // by a few bytes. Adding an entry grows the map far more than it can
+    // shrink the omitted fields, so first-overflow still ends the scan.
+    def omittedSec(from: Int): Double =
+      ordered.drop(from).map(_._2).filter(_ >= 0).sum
     var kept = Vector.empty[(String, Double)]
     var i = 0
-    while (i < ordered.size &&
-        line(kept :+ ordered(i), 0, 0.0).length <= byteBudget) {
+    while (i < ordered.size && {
+      val cand = kept :+ ordered(i)
+      line(cand, ordered.size - cand.size,
+        omittedSec(cand.size)).length <= byteBudget
+    }) {
       kept = kept :+ ordered(i); i += 1
     }
-    val omitted = ordered.drop(kept.size)
-    line(kept, omitted.size, omitted.map(_._2).filter(_ >= 0).sum)
+    line(kept, ordered.size - kept.size, omittedSec(kept.size))
   }
 
   /** The full, never-truncated artifact written next to the run

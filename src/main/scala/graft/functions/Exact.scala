@@ -54,4 +54,45 @@ object Exact {
     val p = "1" + "0" * digits
     s"CAST(floor(($exprSql) * $p + 0.5) AS BIGINT) / CAST($p AS DOUBLE)"
   }
+
+  /** Pin a DECIMAL expression to a representation-stable gate type.
+    *
+    * The driver's compare harness fetches the Spark side via pyarrow
+    * (parquet decimal → `decimal.Decimal`, rendered "506627.00") and the
+    * DuckDB side via pandas (decimal → float64, rendered "506627.0"), so
+    * ANY decimal column at the gate boundary hash-mismatches on rendering
+    * alone even when every value is identical (the round-9 q198 lesson).
+    * Keep the decimal arithmetic INSIDE the query; cast the final column
+    * to DOUBLE here — exact whenever the value is integer-in-scaled-units
+    * and ≪ 2^53, which is every money/quantity total in this repo. The
+    * oracle SQL must carry the same `CAST(... AS DOUBLE)`.
+    */
+  def gateBoundary(c: Column): Column = c.cast("double")
+
+  /** Fail fast when a gate's output schema cannot survive the driver's
+    * pandas fetch representation-stably: decimals (see [[gateBoundary]])
+    * and nested types (arrays/maps/structs crash the driver's pandas row
+    * sort — round-5 q57/q60/q65). Called by [[graft.queries.Q]]'s builder
+    * on every gate run, so a bad boundary fails in the gate's own spec at
+    * construction instead of as a red driver row a round later.
+    */
+  def assertBoundarySafe(gate: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case _: DecimalType =>
+          throw new IllegalArgumentException(
+            s"gate $gate: column '${f.name}' is ${f.dataType.simpleString} — " +
+            "decimal renders differently per engine through the driver's " +
+            "pandas fetch; wrap the final column in Exact.gateBoundary " +
+            "(CAST AS DOUBLE) on both engines")
+        case _: ArrayType | _: MapType | _: StructType =>
+          throw new IllegalArgumentException(
+            s"gate $gate: column '${f.name}' is ${f.dataType.simpleString} — " +
+            "nested types crash the driver's pandas row sort; project " +
+            "through array_join/to_json before the gate boundary")
+        case _ => ()
+      }
+    }
+  }
 }

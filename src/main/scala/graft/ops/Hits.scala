@@ -23,8 +23,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Overflow budget: after rescale every score ≤ Scale (1e12); a sum over
   * in/out-degree d keeps d·Scale < 2^63 up to d ≈ 9·10⁶ — far past any
-  * realistic per-node degree in a curation graph (and loudly wrong, not
-  * silently, past it: Long overflow flips signs).
+  * realistic per-node degree in a curation graph. Past it, Long overflow
+  * flips signs — and that IS detected: every half-step's rescale
+  * aggregate also takes min(score) and raise_error()s on a negative
+  * (scores are sums of non-negatives, so any negative is an overflow),
+  * turning the silent-garbage mode into a loud failure (round-10 advice).
   *
   * Scale shape: the edge table is persisted once and reused by every
   * half-step (two keyed joins + groupBys per round — map-side combine on
@@ -62,11 +65,19 @@ object Hits {
     // when the pin sat after the rescale instead of before the fan-out).
     def rescaled(scores: DataFrame, c: String): DataFrame = {
       val pinned = scores.localCheckpoint()
-      val mx = pinned.agg(max(col(c)).as("_mx"))
+      // min rides the same 1-row aggregate as max (no extra pass): scores
+      // are sums of non-negatives, so min < 0 can ONLY mean a Long sum
+      // sign-flipped — the degree budget (scaladoc) was exceeded. The
+      // assert_true is attached arithmetically (null→0 on success) so the
+      // guard lives inside the same projection, no extra action or filter.
+      val mx = pinned.agg(max(col(c)).as("_mx"), min(col(c)).as("_mn"))
       pinned.crossJoin(broadcast(mx))
         .select(col("v"),
-          expr(s"$c DIV greatest(1L, (_mx + ${Scale - 1}L) DIV ${Scale}L)")
-            .as(c))
+          (expr(s"$c DIV greatest(1L, (_mx + ${Scale - 1}L) DIV ${Scale}L)") +
+            coalesce(expr("assert_true(_mn >= 0, concat('graft hits: " +
+              "half-step Long sum overflowed (min=', _mn, ') — per-node " +
+              "degree exceeds the ~9.2e6 budget at Scale=1e12'))")
+              .cast("long"), lit(0L))).as(c))
     }
 
     var hub = nodes.select(col("v"), lit(Scale).as("h")).localCheckpoint()

@@ -26,27 +26,46 @@ object Triangles {
     * zero-triangle nodes included.
     *
     * `canonical = true` asserts the input is already a DISTINCT src<dst
-    * pair list (the [[Cooccur.coedges]] contract): the symmetrized union
-    * is then distinct by construction (the two halves are disjoint) and
-    * the graph-sized distinct shuffle is skipped.
+    * pair list (the [[Cooccur.coedges]] contract), skipping the
+    * normalization distinct entirely.
+    *
+    * The whole pre-wedge phase runs on the CANONICAL m-row pair list — the
+    * graph is never symmetrized (round-10: the former 2m-row symmetrize
+    * union fed the dedup AND both degree joins at double width; orienting
+    * a canonical pair is just a projection choosing which endpoint is u,
+    * since both orders are present in the one row). Degrees come from a
+    * 2m-row unionAll→groupBy (map-side combined, no join), and
+    * non-canonical input normalizes via least/greatest + distinct at m
+    * rows instead of 2m.
     */
   def perNode(edgesDf: DataFrame, srcCol: String, dstCol: String,
       canonical: Boolean = false): DataFrame = {
     val dir = edgesDf.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val sym = dir
-      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
-    val und = (if (canonical) sym
-               else sym.where(col("src") =!= col("dst")).distinct())
+    val canon = (if (canonical) dir
+                 else dir.where(col("src") =!= col("dst"))
+                   .select(least(col("src"), col("dst")).as("src"),
+                     greatest(col("src"), col("dst")).as("dst"))
+                   .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    // oriented: keep (u, w) iff (deg(u), u) < (deg(w), w)
-    val oriented = und
+    // deg(v) = # canonical pairs containing v = undirected degree; persisted
+    // because it feeds both orientation joins and the final left join
+    val deg = canon.select(col("src").as("v"))
+      .unionAll(canon.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // oriented: u = the smaller-(deg, id) endpoint of each canonical pair,
+    // w the larger — a projection, not a filter over a symmetrized table
+    val srcFirst = struct(col("ds"), col("src")) < struct(col("dd"), col("dst"))
+    val oriented = canon
       .join(deg.select(col("v").as("src"), col("d").as("ds")), "src")
       .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
-      .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
-      .select(col("src").as("u"), col("dst").as("w"),
-        struct(col("dd"), col("dst")).as("rank_w"))
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("w"),
+        when(srcFirst, struct(col("dd").as("d"), col("dst").as("v")))
+          .otherwise(struct(col("ds").as("d"), col("src").as("v")))
+          .as("rank_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges from u: unordered out-neighbor pairs {v, w}, emitted once in
     // rank order (rank(v) < rank(w)); the closing edge, if the triangle
@@ -71,7 +90,7 @@ object Triangles {
         .join(credits, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles")),
-      und, oriented, tri)
+      canon, deg, oriented, tri)
   }
 
   /** In-memory reference for tests. */

@@ -1910,15 +1910,21 @@ object Relational {
 
   /** Exact DECIMAL aggregation: the fixed-point arithmetic surface next
     * to the repo's scaled-long convention — quantities cast to
-    * DECIMAL(12,2) (integer-valued, so the cast is exact on any engine),
-    * summed in decimal, result pinned to DECIMAL(38,2) on BOTH engines
-    * (sum result types differ — Spark widens to (22,2), DuckDB to
-    * (38,2) — so the gate states the output type explicitly).
+    * DECIMAL(12,2) (integer-valued, so the cast is exact on any engine)
+    * and summed in decimal. The SUM stays decimal (that's the operator
+    * under test); the GATE BOUNDARY is cast to DOUBLE on both engines
+    * because high-precision DECIMAL does not survive the driver's
+    * compare harness representation-stably (DuckDB's DECIMAL(38,2) is
+    * hugeint-backed and degrades to float64 through pandas — "506627.0"
+    * — while Spark's parquet decimal round-trips as decimal.Decimal —
+    * "506627.00" — so the round-9 gate failed on RENDERING with every
+    * value identical). The DOUBLE cast is exact here: the sums are
+    * integer-valued and ≪ 2^53. Exact.gateBoundary pins this rule.
     */
   val q198DecimalAgg: Q = Q(
     "q198_decimal_agg",
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |    AS total_qty,
       |  count(*) AS n_items
       |FROM lineitem
@@ -1926,8 +1932,8 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(sum(col("l_quantity").cast("decimal(12,2)"))
-          .cast("decimal(38,2)").as("total_qty"),
+      .agg(gateBoundary(sum(col("l_quantity").cast("decimal(12,2)")))
+          .as("total_qty"),
         count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
   }

@@ -993,6 +993,47 @@ object StreamingQueries {
       .orderBy("hour_start")
   }
 
+  /** Sub-watermark ADMISSION (q210): the corner q203's probe saw behave
+    * "inconsistently" until DedupGateRepro resolved it — Spark's dedup
+    * late-input filter runs against the PREVIOUS batch's planning
+    * watermark (one batch behind eviction), so a row BELOW the current
+    * batch's eviction watermark is still ADMITTED (and emitted as
+    * first-seen) when it clears the lagged filter value. Fixture: batch 1
+    * anchors at t1 (its own planning watermark is unset → batch 2's late
+    * filter passes everything); batch 2 carries every events-user at
+    * t1 − 2h — BELOW batch 2's 1-hour eviction watermark (t1 − 1h) yet
+    * admitted and emitted; batch 3 carries disjoint users (+10^9) at the
+    * SAME timestamp — now ≤ batch 2's planning watermark (t1 − 1h), so
+    * every one is late-dropped. Output = anchor + all batch-2 users and
+    * NO batch-3 user: both halves of the dual-watermark design in one
+    * hash. (Round-9 verdict item 5: the rule frozen as a gate, not just
+    * a probe note.)
+    */
+  val q210DedupSubWmAdmission: Q = Q(
+    "q210_dedup_subwm_admission",
+    """SELECT DISTINCT user_id FROM events
+      |UNION ALL SELECT 999999999 AS user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val t1Us = 1700000000000000L
+    val subUs = t1Us - 2L * 3600L * 1000000L // below the eviction watermark
+    import s.implicits._
+    val p1 = Seq(999999999L).toDF("user_id")
+      .select(col("user_id"), expr(s"timestamp_micros(${t1Us}L)").as("ts"))
+    val users = Tables.events(s, dir).select("user_id").distinct()
+      .localCheckpoint()
+    val p2 = users
+      .select(col("user_id"), expr(s"timestamp_micros(${subUs}L)").as("ts"))
+    val p3 = users
+      .select((col("user_id") + 1000000000L).as("user_id"),
+        expr(s"timestamp_micros(${subUs}L)").as("ts"))
+    EventStream.runBatchedAppend(s, Seq(p1, p2, p3),
+      d => d.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id"),
+      "q210_subwm")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -1002,5 +1043,5 @@ object StreamingQueries {
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
     q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter,
     q205AppendWindows, q206AppendSessions, q207SemiStreamJoin,
-    q208ChainedStateful)
+    q208ChainedStateful, q210DedupSubWmAdmission)
 }

@@ -559,6 +559,11 @@ object EventStream {
     val tmp = java.nio.file.Files.createTempDirectory("graft_restart").toString
     val inDir = s"$tmp/in"
     val ckpt = s"$tmp/ckpt"
+    // try/finally: a failed drain must still delete the staging/checkpoint
+    // dirs and stop the state-store maintenance pool — repeated failing
+    // gates in one JVM otherwise accumulate temp data and leave the pool
+    // running (round-10 advice).
+    try {
     val src = ss.read.parquet(eventsPath).filter(rowFilter)
     val tsType = src.schema("ts").dataType
     val half = pmod(xxhash64(col("event_id")), lit(2))
@@ -582,11 +587,14 @@ object EventStream {
     graft.io.SingleFile.writeParquetAtomic(
       src.filter(half === 1), s"$inDir/part2.parquet")
     drain(queryName) // resumes from the checkpoint: file 2 only + restored state
-    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
     // the memory-sink table is driver-resident — the staged input files and
     // the checkpoint are no longer needed once the drain committed
-    graft.io.TempDirs.deleteRecursively(tmp)
     ss.table(queryName)
+    } finally {
+      try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+      catch { case _: Throwable => () }
+      graft.io.TempDirs.deleteRecursively(tmp)
+    }
   }
 
   /** Two-micro-batch Append drain for operators whose OUTPUT only exists
@@ -613,6 +621,9 @@ object EventStream {
     val inDir = s"$tmp/in"
     val outDir = s"$tmp/out"
     val ckpt = s"$tmp/ckpt"
+    // try/finally: the tripwire throw (and any query failure) must still
+    // clean the staging/checkpoint dirs and stop the state-store pool.
+    try {
     val src = ss.read.parquet(eventsPath)
     val tsType = src.schema("ts").dataType
     graft.io.SingleFile.writeParquetAtomic(
@@ -642,10 +653,12 @@ object EventStream {
       s"graft two-batch drain [$queryName]: expected 2 data micro-batches, " +
         s"saw $nBatches — file ordering or trigger changed; the " +
         "cross-batch emission contract no longer holds")
-    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
-    val out = ss.read.parquet(outDir).localCheckpoint()
-    graft.io.TempDirs.deleteRecursively(tmp)
-    out
+    ss.read.parquet(outDir).localCheckpoint() // pin before staging is deleted
+    } finally {
+      try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+      catch { case _: Throwable => () }
+      graft.io.TempDirs.deleteRecursively(tmp)
+    }
   }
 
   /** Generalized N-batch Append drain: each frame in `parts` becomes one
@@ -667,6 +680,8 @@ object EventStream {
     val inDir = s"$tmp/in"
     val outDir = s"$tmp/out"
     val ckpt = s"$tmp/ckpt"
+    // try/finally: same failure-path cleanup contract as runTwoBatchAppend.
+    try {
     parts.zipWithIndex.foreach { case (p, i) =>
       graft.io.SingleFile.writeParquetAtomic(p, f"$inDir/part$i%03d.parquet")
       java.nio.file.Files.setLastModifiedTime(
@@ -690,10 +705,12 @@ object EventStream {
     if (nBatches != parts.size) throw new IllegalStateException(
       s"graft n-batch drain [$queryName]: expected ${parts.size} data " +
         s"micro-batches, saw $nBatches — file ordering or trigger changed")
-    org.apache.spark.sql.graft.GraftBridge.stopStateStore()
-    val out = ss.read.parquet(outDir).localCheckpoint()
-    graft.io.TempDirs.deleteRecursively(tmp)
-    out
+    ss.read.parquet(outDir).localCheckpoint() // pin before staging is deleted
+    } finally {
+      try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
+      catch { case _: Throwable => () }
+      graft.io.TempDirs.deleteRecursively(tmp)
+    }
   }
 
   /** Drive a streaming DataFrame from the static events parquet through a

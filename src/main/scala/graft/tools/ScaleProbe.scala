@@ -39,6 +39,39 @@ object ScaleProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(calib ${calibrate()}%.3f s)"); r
     }
+    // round-10: the one mapPartitions surface family with no probe entry
+    // (Probe.ffprobe subprocess fan-out + Media decode chain). Run with
+    //   PATH=/tmp/graft_fakebin:$PATH tools/run_verify.sh graft.tools.ScaleProbe media
+    // where /tmp/graft_fakebin/ffprobe is a stub that prints fixed stream
+    // JSON — the measurement is subprocess spawn + JSON parse + row
+    // plumbing, exactly the part that is ours (codec cost is the codec's).
+    if (args.contains("media")) {
+      val media = graft.multimodal.Media.syntheticMediaFromDocs(docs)
+        .repartition(64).cache()
+      println(s"[probe] media blobs: ${media.count()}")
+      t("decodeFrames→resizeFeatures 50k blobs (mapPartitions fake codec)") {
+        val r = graft.multimodal.Media.resizeFeatures(spark,
+          graft.multimodal.Media.decodeFrames(spark, media), 16)
+        println(s"[probe]   frames: ${r.count()}")
+      }
+      t("byteStats 50k blobs (pure column pass, no decode)") {
+        println(s"[probe]   rows: " +
+          graft.multimodal.Media.byteStats(media).count())
+      }
+      import spark.implicits._
+      val paths = (0 until 20000).map(i => s"/tmp/graft_fake_media/clip_$i.mp4")
+      for (parts <- Seq(32, 128, 512)) {
+        t(s"ffprobe 20k paths / $parts partitions (subprocess per file)") {
+          val ds = spark.createDataset(paths).repartition(parts)
+          val ok = ds.mapPartitions(it =>
+            it.map(p => graft.ops.Probe.ffprobe(p).isDefined))
+            .filter(x => x).count()
+          println(s"[probe]   probed ok: $ok / ${paths.size}" +
+            (if (ok == 0) "  (stub ffprobe not on PATH?)" else ""))
+        }
+      }
+      spark.stop(); return
+    }
     if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {

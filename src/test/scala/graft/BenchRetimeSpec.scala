@@ -86,6 +86,22 @@ class BenchRetimeSpec extends AnyFunSuite {
       300 - qs.size)
   }
 
+  test("the emitted line NEVER exceeds the budget it was given (real omitted fields)") {
+    // round-10 advice: the old greedy scan measured candidates with
+    // placeholder omitted fields (0 / 0.000) and the emitted line's real,
+    // longer values could overshoot by a few bytes. The scan now measures
+    // with the actual omitted count/seconds, so `<= budget` is exact.
+    // Sweep budgets across the range where the omitted-field width changes
+    // (1-digit to 3-digit counts, 2- to 4-digit seconds).
+    for (budget <- Seq(600, 800, 1000, 1300, 1700)) {
+      val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
+        2, byteBudget = budget)
+      assert(line.length <= budget,
+        s"budget $budget: emitted ${line.length} bytes")
+      assert(jackson.readTree(line).get("queries_n").asInt === 300)
+    }
+  }
+
   test("a small board still reports every gate inline") {
     val line = Bench.metricJson(run, shortKey, "/sf", 100.0, 0.03, 0.03, 0)
     val node = jackson.readTree(line)

@@ -39,4 +39,29 @@ class HitsSpec extends SparkSuite {
       h >= 0 && a >= 0 && h <= Hits.Scale && a <= Hits.Scale })
     assert(out === Hits.runRef(edges, 4))
   }
+
+  test("overflow guard: a sign-flipped half-step sum raises instead of rescaling garbage") {
+    // Triggering a REAL overflow needs a ~9.2e6-degree node (too big for a
+    // unit test), so pin the guard expression itself on the exact shape
+    // Hits.rescaled builds: a negative _mn (only possible via Long
+    // wraparound — scores are sums of non-negatives) must raise_error, not
+    // flow into the DIV. Under Spark 4's default ANSI mode the sum itself
+    // would also throw; this guard keeps the failure loud when a caller
+    // runs with ansi disabled.
+    import org.apache.spark.sql.functions._
+    val d = spark.range(1)
+      .select(lit(5L).as("h"), lit(10L).as("_mx"), lit(-3L).as("_mn"))
+    val guarded = d.select(
+      (expr(s"h DIV greatest(1L, (_mx + ${Hits.Scale - 1}L) DIV ${Hits.Scale}L)") +
+        coalesce(expr("assert_true(_mn >= 0, concat('graft hits: half-step " +
+          "Long sum overflowed (min=', _mn, ')'))").cast("long"), lit(0L))).as("h"))
+    val e = intercept[Exception] { guarded.collect() }
+    assert(e.getMessage != null && e.getMessage.contains("overflowed"),
+      s"expected the guard's raise, got: ${e.getMessage}")
+    // and the success path is the identity it claims to be
+    val ok = d.withColumn("_mn", lit(3L)).select(
+      (col("h") + coalesce(expr("assert_true(_mn >= 0, 'x')").cast("long"),
+        lit(0L))).as("h")).collect()
+    assert(ok.head.getLong(0) == 5L)
+  }
 }

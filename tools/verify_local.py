@@ -12,6 +12,7 @@ feedback loop only.
 import sys, json, glob, hashlib
 import duckdb
 import numpy as np
+import pyarrow.parquet as pq
 
 def norm_cell(v):
     # Mimic the driver: both sides are fetched via pandas (.df()), so DuckDB
@@ -58,9 +59,19 @@ def main(sf_dir, out_dir):
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-            spark_rel = con.sql("SELECT * FROM read_parquet(" + repr(files) + ")")
-            scols = [c.lower() for c in spark_rel.columns]
-            srows = fetch_pandas(spark_rel)
+            # Fetch the SPARK side via pyarrow, exactly as the driver does —
+            # reading it through DuckDB would degrade parquet DECIMAL to
+            # float64 on both sides and mask the Decimal-vs-float rendering
+            # seam the driver sees (round-9 q198: values identical, hash red
+            # here only; 204/204 locally through the old DuckDB path).
+            stbl = pq.read_table(files)
+            scols = [c.lower() for c in stbl.column_names]
+            # date_as_object=False: DATE -> datetime64, matching DuckDB's
+            # pandas rendering (driver evidence: every DATE-columned gate,
+            # e.g. q01, hash-matches in CORRECTNESS_r09 — so the driver's
+            # fetch normalizes dates; only DECIMAL demonstrably diverges).
+            sdf = stbl.to_pandas(date_as_object=False)
+            srows = [tuple(row) for row in sdf.itertuples(index=False, name=None)]
             duck_rel = con.sql(sql)
             dcols = [c.lower() for c in duck_rel.columns]
             drows = fetch_pandas(duck_rel)
