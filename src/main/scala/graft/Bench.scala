@@ -207,7 +207,7 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      spark.catalog.clearCache() // per-query caches must not leak across timings
+      graft.ops.Pins.releaseAll(spark) // caches AND checkpoint blocks must not leak across timings
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, calibrate()) // ~20 ms probe: host-health timeline per query
     }
@@ -224,7 +224,7 @@ object Bench {
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] retime $name failed: ${e.getMessage}"); false }
-      spark.catalog.clearCache()
+      graft.ops.Pins.releaseAll(spark)
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val c = calibrate()
       System.err.println(f"[bench] retimed $name: retry $sec%.3f s (calib $c%.3f s)")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -157,5 +157,54 @@ object Corpus {
         .withColumn("tvd", col("numer").cast("double") / (lit(2L) * col("n_g") * col("n")).cast("double"))
         .select(col("grp"), col("n_g").as("group_tokens"), col("tvd")),
       gt)
+  }
+
+  /** Vocabulary-growth (Heaps-law) curve: distinct-vocabulary size and
+    * cumulative token count at `points` equal-spaced corpus prefixes in
+    * `idCol` order. The signal behind tokenizer sizing and dedup-health
+    * monitoring — a corpus whose vocabulary stops growing is repeating
+    * itself.
+    *
+    * Scale shape: the naive form (one COUNT DISTINCT per checkpoint)
+    * rescans the corpus `points` times. Instead: each term's FIRST-SEEN
+    * doc id is one map-side-combined groupBy; bucketing first-seens (and
+    * per-doc token counts) onto the checkpoint grid reduces everything to
+    * two `points`-sized tables, and the curve is a cumulative sum over a
+    * single-partition window of `points` rows. One corpus shuffle total,
+    * whatever `points` is.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      points: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(max(col(idCol)).cast("long")).head().getLong(0) + 1L
+    // checkpoint i covers ids < t_i = floor(n·i/points); i = points is the
+    // whole corpus. A term or doc at id d belongs to the FIRST checkpoint
+    // with d < t_i, i.e. bucket(d) = floor(d·points/n) + 1 clamped high.
+    // integer floor-div (non-negative operands): exact at any id scale
+    def bucket(c: String): Column =
+      expr(s"least(($c * ${points}L) DIV ${n}L + 1L, ${points}L)")
+    val firstSeen = docs
+      .select(col(idCol).cast("long").as("_d"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("_t"))
+      .groupBy("_t").agg(min(col("_d")).as("_fs"))
+      .groupBy(bucket("_fs").as("i"))
+      .agg(count(lit(1)).as("_new_terms"))
+    val tokCounts = docs
+      .select(col(idCol).cast("long").as("_d"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy(bucket("_d").as("i"))
+      .agg(sum(col("_nt")).as("_new_toks"))
+    // points rows: the single-partition window is grid-sized, not
+    // corpus-sized
+    val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    docs.sparkSession.range(1, points + 1).select(col("id").as("i"))
+      .join(firstSeen, Seq("i"), "left")
+      .join(tokCounts, Seq("i"), "left")
+      .select(col("i"),
+        // #(ids d with d·points < i·n) = ceil(i·n/points), in pure integer
+        // arithmetic — identical on any engine, no FP division
+        expr(s"(i * ${n}L + ${points - 1}L) DIV ${points}L").as("prefix_docs"),
+        sum(coalesce(col("_new_toks"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("_new_terms"), lit(0L))).over(w).as("vocab"))
   }
 }

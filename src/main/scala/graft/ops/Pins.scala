@@ -46,4 +46,21 @@ object Pins {
     pins.foreach(_.unpersist())
     (oa, ob)
   }
+
+  /** Release EVERYTHING a finished gate can have pinned: the session cache
+    * (catalog-registered persists) AND every still-persistent RDD — which
+    * is where `localCheckpoint` blocks live. The sealed outputs above are
+    * freed by the ContextCleaner on GC, but a 200-gate harness run never
+    * GC-pressures a 100 GiB heap, so checkpoint blocks from dozens of
+    * prior gates accumulate in the block manager and inflate later gates
+    * (round-10: q154 read 7 s isolated vs 14 s in-bench behind 150 gates'
+    * leftovers). Harness loops (Bench/Verify/ProfileSeq) call this between
+    * gates; safe there because gates are self-contained — nothing crosses
+    * the boundary except the driver-side result already counted/written.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped simple OLS (y on x) from exact integer sufficient statistics.
+  *
+  * The five sums (n, Σx, Σx², Σy, Σxy) are computed on integer-scaled
+  * values — x as Long, y as round(y·1e6) Long, Σy² per-row Long cast to
+  * DECIMAL(38,0) before summing (the one sum that can pass 2⁶³) — so the
+  * aggregation is EXACT and order-independent: no FP tree-sum
+  * nondeterminism, which is what makes the closed-form solution
+  * replayable bit-for-bit on another engine. Only the final closed form
+  * runs in DOUBLE, on identical integer inputs with an identical
+  * operation order, so both engines produce the same IEEE result.
+  *
+  * Scale shape: one map-side-combined groupBy over skinny longs — the
+  * same shuffle profile as any grouped sum; the closed form is a
+  * projection on the group-sized result. This is the textbook
+  * distributed-OLS decomposition (sufficient statistics, not row
+  * iteration).
+  */
+object Regression {
+
+  /** Per-group (n, slope, intercept, r2), 1e-6-rounded. Groups where x is
+    * constant get null slope/intercept/r2; constant y additionally nulls
+    * r2 (0/0).
+    */
+  def groupedOls(df: DataFrame, groupCol: String, x: Column, y: Column)
+      : DataFrame = {
+    val sums = df
+      .select(col(groupCol).as("grp"), x.cast("long").as("_x"),
+        round(y * 1000000).cast("long").as("_ys"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_ys")).as("sy"),
+        sum(col("_x") * col("_ys")).as("sxy"),
+        // per-row ys² fits a Long (|ys| < 3e9 here → < 9.2e18); the SUM
+        // does not — promote before aggregating
+        sum((col("_ys") * col("_ys")).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    // n·Σxy can pass 2⁶³; form every cross term in double FROM the exact
+    // integer sums — products of exactly-represented integers, correctly
+    // rounded, so any engine replaying this order gets the same bits
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val slopeScaled = cov / denX // y still in 1e6 units
+    def r6(c: Column): Column = graft.functions.Exact.roundPortable(c, 6)
+    sums.select(col("grp").as(groupCol), col("n"),
+      r6(when(denX =!= 0.0, slopeScaled / 1000000.0)).as("slope"),
+      r6(when(denX =!= 0.0,
+        (col("sy").cast("double") / nD -
+          slopeScaled * (col("sx").cast("double") / nD)) / 1000000.0))
+        .as("intercept"),
+      r6(when(denX =!= 0.0 && denY =!= 0.0, cov * cov / (denX * denY)))
+        .as("r2"))
+  }
+}

@@ -4,19 +4,31 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Per-node triangle counting with degree-ordered orientation (the
-  * MapReduce-clique-counting construction of Suri & Vassilvitskii, WWW'11):
-  * orient every undirected edge from the endpoint with the smaller
-  * (degree, id) toward the larger, enumerate wedges by self-joining the
-  * oriented list on its source, and close each wedge with one more
-  * equi-join. Orientation bounds every node's out-degree at O(√m), so the
-  * wedge table is O(m^{3/2}) WORST-case — the best possible for exact
-  * triangle counting — and each triangle is generated exactly once (from
-  * its smallest-ranked vertex).
+/** Per-node triangle counting with degree-ordered orientation (Suri &
+  * Vassilvitskii, WWW'11) in the EDGE-ITERATOR formulation: orient every
+  * undirected edge from the endpoint with the smaller (degree, id) toward
+  * the larger, build each node's out-neighbor array, and for every
+  * oriented edge (u, v) take N⁺(u) ∩ N⁺(v) — each member w closes the
+  * triangle u→v, u→w, v→w exactly once (from its two smallest-ranked
+  * corners' edge; the other two edges of the triangle contribute nothing,
+  * since their intersections would need a back-edge the orientation
+  * forbids).
   *
-  * Every step is an equi-join or a map-side-combined aggregation; nothing
-  * is quadratic in a hub node's degree, which is the failure mode of the
-  * naive adjacency self-join on skewed (power-law) graphs at 100 TB.
+  * Why not the wedge self-join (rounds ≤ 9): it materializes AND shuffles
+  * every wedge — Σ C(outdeg, 2) rows — before the closing join can drop
+  * the open ones. On the q154 co-occurrence graph that is 41 M wedge rows
+  * for 1.88 M triangles (22× waste), and the ratio only worsens on denser
+  * graphs. The edge-iterator ships each adjacency array once (total
+  * payload m ids), intersects per edge row inside one projection, and the
+  * only triangle-sized row set is the explode of the intersection members
+  * — output-sized, the exact-counting floor. Orientation still bounds
+  * every array at O(√m), so no hub blow-up on power-law graphs, and the
+  * per-edge intersect is O(min(|N⁺(u)|, |N⁺(v)|)) hash probes.
+  *
+  * Shuffle budget: one groupBy for degrees, one for adjacency, one for
+  * the final credits — all map-side combined; the two adjacency joins
+  * broadcast when the adjacency table (total payload ≈ m ids ≈ 8m bytes)
+  * fits an executor, else they are plain shuffled equi-joins of m rows.
   */
 object Triangles {
 
@@ -27,16 +39,10 @@ object Triangles {
     *
     * `canonical = true` asserts the input is already a DISTINCT src<dst
     * pair list (the [[Cooccur.coedges]] contract), skipping the
-    * normalization distinct entirely.
-    *
-    * The whole pre-wedge phase runs on the CANONICAL m-row pair list — the
-    * graph is never symmetrized (round-10: the former 2m-row symmetrize
-    * union fed the dedup AND both degree joins at double width; orienting
-    * a canonical pair is just a projection choosing which endpoint is u,
-    * since both orders are present in the one row). Degrees come from a
-    * 2m-row unionAll→groupBy (map-side combined, no join), and
-    * non-canonical input normalizes via least/greatest + distinct at m
-    * rows instead of 2m.
+    * normalization distinct entirely; otherwise the input normalizes via
+    * least/greatest + distinct at m rows (never symmetrized to 2m —
+    * orienting a canonical pair is a projection choosing which endpoint
+    * is u, since both orders are present in the one row).
     */
   def perNode(edgesDf: DataFrame, srcCol: String, dstCol: String,
       canonical: Boolean = false): DataFrame = {
@@ -48,8 +54,9 @@ object Triangles {
                      greatest(col("src"), col("dst")).as("dst"))
                    .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = canon.count() // materializes the persist; sizes the broadcast
     // deg(v) = # canonical pairs containing v = undirected degree; persisted
-    // because it feeds both orientation joins and the final left join
+    // because it feeds the orientation joins and the final left join
     val deg = canon.select(col("src").as("v"))
       .unionAll(canon.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -62,35 +69,42 @@ object Triangles {
       .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
       .select(
         when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
-        when(srcFirst, col("dst")).otherwise(col("src")).as("w"),
-        when(srcFirst, struct(col("dd").as("d"), col("dst").as("v")))
-          .otherwise(struct(col("ds").as("d"), col("src").as("v")))
-          .as("rank_w"))
+        when(srcFirst, col("dst")).otherwise(col("src")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // wedges from u: unordered out-neighbor pairs {v, w}, emitted once in
-    // rank order (rank(v) < rank(w)); the closing edge, if the triangle
-    // exists, is then oriented v→w, so ONE equi-join on (v, w) closes each
-    // triangle exactly once.
-    val wedges = oriented
-      .select(col("u"), col("w").as("v"), col("rank_w").as("rank_v"))
-      .join(oriented.select(col("u"), col("w"), col("rank_w")), "u")
-      .where(col("rank_v") < col("rank_w"))
-      .select(col("u"), col("v"), col("w"))
-    val tri = wedges
-      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
+    // out-neighbor arrays, ≤ O(√m) long by orientation; total payload m ids
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nb"))
+    // total adjacency payload ≈ 8m bytes + per-node overhead: broadcast
+    // well under the 8 GiB broadcast-table ceiling, else shuffle-join
+    def maybeBcast(d: DataFrame): DataFrame =
+      if (m <= 32L * 1000 * 1000) broadcast(d) else d
+    // per oriented edge (u, v): every w ∈ N⁺(u) ∩ N⁺(v) closes one
+    // triangle u→v, u→w, v→w — counted exactly once, from the edge
+    // between the triangle's two smallest-ranked corners
+    val closed = oriented.select(col("u"), col("w").as("v"))
+      .join(maybeBcast(adj.select(col("u"), col("nb").as("nb_u"))), Seq("u"))
+      .join(maybeBcast(adj.select(col("u").as("v"), col("nb").as("nb_v"))),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nb_u"), col("nb_v")).as("ws"))
+      .where(size(col("ws")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each triangle (u, v, w) credits all three corners
-    val credits = tri.select(col("u").as("node_id"))
-      .unionAll(tri.select(col("v").as("node_id")))
-      .unionAll(tri.select(col("w").as("node_id")))
-      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+    // credits: u and v each earn the full intersection count in one row
+    // (no per-triangle fan-out); only the w corner explodes — one row per
+    // triangle, the exact-counting output floor
+    val credits = closed
+      .select(col("u").as("node_id"), size(col("ws")).cast("long").as("n"))
+      .unionAll(closed
+        .select(col("v").as("node_id"), size(col("ws")).cast("long").as("n")))
+      .unionAll(closed
+        .select(explode(col("ws")).as("node_id"), lit(1L).as("n")))
+      .groupBy("node_id").agg(sum(col("n")).as("n_triangles"))
     Pins.sealOutput(
       deg.select(col("v").as("node_id"))
         .join(credits, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles")),
-      canon, deg, oriented, tri)
+      canon, deg, oriented, closed)
   }
 
   /** In-memory reference for tests. */

@@ -343,7 +343,52 @@ object BehaviorQueries {
       .orderBy("day")
   }
 
+  /** Grouped simple OLS: per event type, regress value on hour-of-day.
+    * The sufficient statistics (n, Σx, Σx², Σy, Σxy, Σy²) are EXACT
+    * integer sums — y scaled to 1e-6 units, Σy² promoted to DECIMAL(38,0)
+    * before summing — so the aggregation is order-independent and the
+    * closed form runs in DOUBLE on identical integer inputs with an
+    * identical op order on both engines (graft.ops.Regression scaladoc
+    * has the determinism argument). 1e-6-rounded outputs.
+    */
+  val q213GroupedOls: Q = {
+    def r6(e: String) = graft.functions.Exact.roundPortableSql(e, 6)
+    Q(
+      "q213_grouped_ols",
+      s"""WITH s AS (
+         |  SELECT event_type, count(*) AS n,
+         |    sum(x) AS sx, sum(x*x) AS sxx,
+         |    sum(ys) AS sy, sum(x*ys) AS sxy,
+         |    sum(CAST(ys*ys AS DECIMAL(38,0))) AS syy
+         |  FROM (
+         |    SELECT event_type,
+         |      CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         |      CAST(round(value * 1000000) AS BIGINT) AS ys
+         |    FROM events)
+         |  GROUP BY event_type
+         |), d AS (
+         |  SELECT event_type, n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |  FROM s)
+         |SELECT event_type, n,
+         |  ${r6("CASE WHEN denx <> 0 THEN (cov / denx) / 1000000.0 END")} AS slope,
+         |  ${r6("CASE WHEN denx <> 0 THEN (syd / CAST(n AS DOUBLE) - (cov / denx) * (sxd / CAST(n AS DOUBLE))) / 1000000.0 END")} AS intercept,
+         |  ${r6("CASE WHEN denx <> 0 AND deny <> 0 THEN cov * cov / (denx * deny) END")} AS r2
+         |FROM d ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ops.Regression.groupedOls(Tables.events(s, dir), "event_type",
+          hour(col("ts")), col("value"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
     q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
-    q178Ewma, q181ActivityStreak, q188Scd2, q190RunningDistinct)
+    q178Ewma, q181ActivityStreak, q188Scd2, q190RunningDistinct,
+    q213GroupedOls)
 }

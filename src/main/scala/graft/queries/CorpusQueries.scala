@@ -227,6 +227,48 @@ object CorpusQueries {
     }
   }
 
+  /** Heaps-law vocabulary-growth curve at 8 equal corpus prefixes (in
+    * doc_id order): cumulative token count and distinct-vocabulary size.
+    * The engine computes it in ONE corpus shuffle — each term's first-seen
+    * doc id, bucketed onto the grid, then a grid-sized cumulative window —
+    * never one COUNT DISTINCT per checkpoint (`Corpus.vocabGrowth`); the
+    * oracle replays the same first-seen/bucket decomposition (equivalent
+    * to prefix distinct-counts by construction: a term is in the prefix
+    * vocabulary iff its first occurrence is).
+    */
+  val q212VocabGrowth: Q = {
+    val points = 8
+    Q(
+      "q212_vocab_growth",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $DuckToks AS l FROM documents
+         |), nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |fs AS (
+         |  SELECT tok, min(doc_id) AS fs FROM (
+         |    SELECT doc_id, unnest(list_distinct(l)) AS tok FROM tk)
+         |  GROUP BY tok
+         |), ft AS (
+         |  SELECT least((fs * $points) // n + 1, $points) AS i,
+         |    count(*) AS new_terms
+         |  FROM fs, nn GROUP BY 1
+         |), tc AS (
+         |  SELECT least((doc_id * $points) // n + 1, $points) AS i,
+         |    sum(len(l)) AS new_toks
+         |  FROM tk, nn GROUP BY 1
+         |), grid AS (SELECT unnest(generate_series(1, $points)) AS i)
+         |SELECT CAST(g.i AS BIGINT) AS i,
+         |  (g.i * nn.n + ${points - 1}) // $points AS prefix_docs,
+         |  CAST(sum(coalesce(tc.new_toks, 0)) OVER (ORDER BY g.i) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(ft.new_terms, 0)) OVER (ORDER BY g.i) AS BIGINT) AS vocab
+         |FROM grid g CROSS JOIN nn
+         |LEFT JOIN ft ON ft.i = g.i LEFT JOIN tc ON tc.i = g.i
+         |ORDER BY i""".stripMargin) { (s, dir) =>
+      Corpus.vocabGrowth(Tables.documents(s, dir), "doc_id", "text", points)
+        .orderBy("i")
+    }
+  }
+
   val all: Seq[Q] = Seq(q64Repetition, q65InvertedIndex, q66Collocations,
-    q67EditDistance, q68SourceDrift, q117VocabCoverage, q121StupidBackoff)
+    q67EditDistance, q68SourceDrift, q117VocabCoverage, q121StupidBackoff,
+    q212VocabGrowth)
 }

@@ -878,9 +878,71 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Lloyd k-means (k=8, 2 iterations, smallest-id seeds) on exact
+    * 1e6-scaled integer distances — the iterative-clustering surface the
+    * board lacked (DBSCAN/label-prop are density/graph clustering; this is
+    * the centroid-refinement loop). Determinism argument for the one FP
+    * step (the floored per-dimension mean): sum and count are exact
+    * integers; IEEE division is correctly rounded, so floor(sum/count) can
+    * only disagree with the exact floor when sum/count sits within one ulp
+    * (~1e-7 at the 1e9 magnitudes here) of an integer — but a non-integer
+    * exact ratio is at least 1/count ≥ 2e-4 away from any integer, and an
+    * integer exact ratio divides exactly. The gate checks the FINAL
+    * assignment: per-cluster membership count, integer SSE against the
+    * iteration-1 centroids, and the smallest member id.
+    */
+  val q211KmeansLloyd: Q = {
+    val (k, scale) = (8, "1000000")
+    def duckD2(s: String, c: String): String =
+      s"CAST(list_sum(list_transform(list_zip($s, $c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    Q(
+      "q211_kmeans_lloyd",
+      s"""WITH sv AS (
+         |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS cid, s AS c FROM sv WHERE vec_id < $k
+         |), d1 AS (
+         |  SELECT sv.vec_id, c0.cid, ${duckD2("sv.s", "c0.c")} AS d2
+         |  FROM sv, c0
+         |), a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1
+         |), m1 AS (
+         |  SELECT cid, dim, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a1.cid, unnest(generate_series(0, len(sv.s) - 1)) AS dim,
+         |      unnest(sv.s) AS x
+         |    FROM a1 JOIN sv USING (vec_id))
+         |  GROUP BY cid, dim
+         |), c1 AS (
+         |  SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY cid
+         |), d2t AS (
+         |  SELECT sv.vec_id, c1.cid, ${duckD2("sv.s", "c1.c")} AS d2
+         |  FROM sv, c1
+         |), a2 AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2t) WHERE rn = 1
+         |)
+         |SELECT cid AS cluster_id, count(*) AS n_members,
+         |  CAST(sum(d2) AS BIGINT) AS sse, min(vec_id) AS min_member
+         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      graft.ops.KMeans.lloydAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k, iters = 2)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("d2")).cast("long").as("sse"),
+          min(col("vec_id")).as("min_member"))
+        .orderBy("cluster_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
-    q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc)
+    q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc, q211KmeansLloyd)
 }

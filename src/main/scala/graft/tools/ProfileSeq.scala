@@ -16,7 +16,7 @@ object ProfileSeq {
     args.foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      spark.catalog.clearCache()
+      graft.ops.Pins.releaseAll(spark) // bench-faithful inter-gate cleanup
       println(f"[seq] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
