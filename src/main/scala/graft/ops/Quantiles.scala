@@ -77,4 +77,31 @@ object Quantiles {
           col(s"_lo_$name") + frac * (col(s"_hi_$name") - col(s"_lo_$name")), 6))
     }.select(col("dim") +: col("n") +: ps.map { case (name, _) => col(name) }: _*)
   }
+
+  /** Per-group LOWER WEIGHTED MEDIAN with integer weights: the smallest
+    * value v whose cumulative weight (in value order) reaches half the
+    * group total — exact integer comparison `2·cum ≥ total`, no FP.
+    *
+    * Scale shape: the corpus first collapses to one row per (group,
+    * value) with a map-side-combined weight sum; the rank window then
+    * runs over that VALUE-DISTINCT table (bounded by the value domain,
+    * not the row count), so a 100 TB group with a million distinct
+    * lengths windows a million rows, not its billions of documents.
+    * Returns (group, w_total, wmedian); groups with zero/negative total
+    * weight are dropped (no median is defined).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val vw = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .groupBy("_g", "_v").agg(sum(col("_w")).as("_wv"))
+    val wOrd = Window.partitionBy("_g").orderBy("_v")
+    val wAll = Window.partitionBy("_g")
+    vw.withColumn("_cum", sum(col("_wv")).over(wOrd))
+      .withColumn("_tot", sum(col("_wv")).over(wAll))
+      .where(col("_tot") > 0L && col("_cum") * 2 >= col("_tot"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(min(col("_tot")).as("w_total"), min(col("_v")).as("wmedian"))
+  }
 }

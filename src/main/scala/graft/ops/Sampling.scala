@@ -135,4 +135,35 @@ object Sampling {
       .filter(Hashing.hashUnit(key.cast("string"), seed) < col("_frac"))
       .drop("_frac", "fraction")
   }
+
+  /** EXACT-proportion stratified split: within each stratum, rank rows by
+    * (seeded hash, key) and send the first `⌊n·num/den⌋` to "train", the
+    * rest to "test" — per-stratum counts land exactly on the quota, unlike
+    * the Bernoulli hash-threshold split ([[hashSample]] / splitAssign)
+    * whose realized fraction fluctuates ±O(1/√n) per stratum.
+    *
+    * Scale shape: the per-stratum rank is NOT a per-stratum window (one
+    * hot stratum = one reducer). It is the distributed global
+    * [[PrefixSum.rowNumber]] over (stratum, hash, key) — fully
+    * range-partitioned — minus each stratum's first global rank (a
+    * stratum-sized broadcast join). Two passes over the data, no
+    * single-reducer stage, any stratum skew tolerated.
+    */
+  def exactStratifiedSplit(df: DataFrame, stratumCol: String, key: Column,
+      seed: String, trainNum: Int, trainDen: Int): DataFrame = {
+    require(trainNum >= 0 && trainDen > 0 && trainNum <= trainDen,
+      s"train fraction $trainNum/$trainDen out of [0,1]")
+    val withH = df
+      .withColumn("_h", Hashing.hash60(key.cast("string"), seed))
+      .withColumn("_k", key)
+    val rn = PrefixSum.rowNumber(withH, Seq(stratumCol, "_h", "_k"), "_rn")
+    val offs = rn.groupBy(stratumCol)
+      .agg(min(col("_rn")).as("_off"), count(lit(1)).as("_n"))
+    rn.join(broadcast(offs), Seq(stratumCol))
+      .withColumn("_rank", col("_rn") - col("_off") + 1L)
+      .withColumn("split",
+        when(col("_rank") * trainDen <= col("_n") * trainNum, "train")
+          .otherwise("test"))
+      .drop("_h", "_k", "_rn", "_off", "_n", "_rank")
+  }
 }

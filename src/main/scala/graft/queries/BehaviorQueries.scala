@@ -387,8 +387,58 @@ object BehaviorQueries {
     }
   }
 
+  /** Peak concurrent sessions (interval sweep-line): sessionize (30-min
+    * gap, half-open [start, last+30min) intervals), then the classic
+    * +1/−1 boundary sweep — distributed via per-timestamp delta
+    * aggregation + two-pass PrefixSum, NEVER a global single-reducer
+    * window (ops/Sweep scaladoc). Output: the peak, the earliest µs
+    * attaining it, and the session count. The oracle replays the sweep
+    * with DuckDB's (single-node, so safe there) global window.
+    */
+  val q216PeakConcurrency: Q = Q(
+    "q216_peak_concurrency",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), sess AS (
+      |  SELECT user_id, sid, min(ts_us) AS start_us,
+      |    max(ts_us) + 1800000000 AS end_us
+      |  FROM (
+      |    SELECT user_id, ts_us,
+      |      sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sid
+      |    FROM (
+      |      SELECT user_id, event_id, ts_us,
+      |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |      FROM e))
+      |  GROUP BY user_id, sid
+      |), d AS (
+      |  SELECT t, sum(d) AS d FROM (
+      |    SELECT start_us AS t, 1 AS d FROM sess
+      |    UNION ALL SELECT end_us AS t, -1 AS d FROM sess)
+      |  GROUP BY t HAVING sum(d) <> 0
+      |), c AS (
+      |  SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM d
+      |)
+      |SELECT CAST(conc AS BIGINT) AS peak_concurrent, t AS first_peak_ts_us,
+      |  (SELECT count(*) FROM sess) AS n_sessions
+      |FROM c ORDER BY conc DESC, t LIMIT 1""".stripMargin) { (s, dir) =>
+    val sess = graft.ops.Sessionize.sessions(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), 1800000000L)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) + 1800000000L).as("end_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Pins.sealOutput(
+      graft.ops.Sweep.peakConcurrency(sess, "start_us", "end_us")
+        .select(col("peak_concurrent"),
+          col("first_peak_t").as("first_peak_ts_us"))
+        .crossJoin(sess.agg(count(lit(1)).as("n_sessions"))),
+      sess)
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
     q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
     q178Ewma, q181ActivityStreak, q188Scd2, q190RunningDistinct,
-    q213GroupedOls)
+    q213GroupedOls, q216PeakConcurrency)
 }

@@ -175,6 +175,37 @@ object SamplingQueries {
       .orderBy("doc_id", "copy")
   }
 
+  /** Exact-proportion stratified split: within each language, rank by
+    * (seeded hash, doc_id) and send the first ⌊0.8·n⌋ to train — quotas
+    * land exactly, unlike q07/q51's Bernoulli threshold (±O(1/√n) drift
+    * per stratum). The engine ranks with the distributed two-pass
+    * PrefixSum minus per-stratum first-rank offsets (no per-stratum
+    * window reducer — Sampling.exactStratifiedSplit scaladoc); the oracle
+    * states the same order as a plain partitioned row_number, and the
+    * `rk·5 ≤ n·4` quota rule is pure integer arithmetic on both engines.
+    */
+  val q214ExactStratifiedSplit: Q = Q(
+    "q214_exact_stratified_split",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5('xs1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM h)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rk * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Sampling.exactStratifiedSplit(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", col("doc_id"), "xs1", 4, 5)
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q51StratifiedSample, q100PrioritySample,
-    q114EpochShuffle, q125Unimax, q126EpochUpsample)
+    q114EpochShuffle, q125Unimax, q126EpochUpsample,
+    q214ExactStratifiedSplit)
 }

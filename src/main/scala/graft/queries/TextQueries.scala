@@ -666,10 +666,38 @@ object TextQueries {
     }
   }
 
+  /** Char-mass-weighted median document length per language: the smallest
+    * length v such that docs of length ≤ v hold at least half the
+    * language's characters — the "where does the corpus mass sit" signal
+    * behind packing and length-bucket budgeting (a plain median is
+    * dominated by short docs; the mass median is not). Exact integer
+    * cumulative-weight rule 2·cum ≥ total; the engine windows over the
+    * (lang, length)-DISTINCT table, never the corpus
+    * (Quantiles.weightedMedian scaladoc).
+    */
+  val q215WeightedMedian: Q = Q(
+    "q215_weighted_median",
+    """WITH vw AS (
+      |  SELECT lang, n_chars AS v, sum(n_chars) AS wv
+      |  FROM documents GROUP BY lang, n_chars
+      |), c AS (
+      |  SELECT lang, v,
+      |    sum(wv) OVER (PARTITION BY lang ORDER BY v) AS cum,
+      |    sum(wv) OVER (PARTITION BY lang) AS tot
+      |  FROM vw)
+      |SELECT lang, CAST(min(tot) AS BIGINT) AS w_total,
+      |  CAST(min(v) AS BIGINT) AS wmedian
+      |FROM c WHERE tot > 0 AND cum * 2 >= tot
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.ops.Quantiles.weightedMedian(
+        Tables.documents(s, dir), "lang", "n_chars", "n_chars")
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenClasses, q22LangId,
     q23QualityScore, q24DocFingerprint, q50TfIdfTopTerms, q52HeavyHitters,
     q61CountMinEstimates, q62Boilerplate, q63SequencePacking,
     q103SparseCosine, q109Blocklist, q128HtmlExtract, q129NfcNormalize,
     q164Augment, q165Kappa, q186TokenEntropy, q187BigramDiversity,
-    q195PhraseSearch)
+    q195PhraseSearch, q215WeightedMedian)
 }

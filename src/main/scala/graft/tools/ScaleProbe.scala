@@ -72,6 +72,47 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // round-10 ops at 10–100×:
+    //   tools/run_verify.sh graft.tools.ScaleProbe r10
+    if (args.contains("r10")) {
+      val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val emb = (0 until 10).map { r =>
+        emb0.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(r.toFloat / 1000f)).as("embedding"))
+      }.reduce(_ unionByName _).repartition(64).cache()
+      println(s"[probe] embeddings: ${emb.count()}")
+      t("kmeans lloyd k=8 iters=2, 20k×64d") {
+        println("[probe]   clusters: " + graft.ops.KMeans
+          .lloydAssign(emb, "vec_id", "embedding", 8, 2)
+          .groupBy("cluster_id").count().count())
+      }
+      t("vocabGrowth 8 points, 50k docs") {
+        println("[probe]   rows: " + graft.ops.Corpus
+          .vocabGrowth(docs, "doc_id", "text", 8).count())
+      }
+      t("exactStratifiedSplit 50k docs (5 strata)") {
+        println("[probe]   splits: " + graft.ops.Sampling
+          .exactStratifiedSplit(docs.select("doc_id", "lang"), "lang",
+            col("doc_id"), "xs1", 4, 5)
+          .groupBy("lang", "split").count().count())
+      }
+      t("weightedMedian 50k docs") {
+        println("[probe]   rows: " + graft.ops.Quantiles
+          .weightedMedian(docs, "lang", "n_chars", "n_chars").count())
+      }
+      // sweep-line at 100×: 10 M synthetic half-open intervals
+      val iv = spark.range(10000000L).select(
+        ((col("id") * 7919L) % 100000000L).as("s"))
+        .select(col("s"), (col("s") + 1L + (col("s") * 104729L) % 600L).as("e"))
+        .repartition(64).cache()
+      println(s"[probe] intervals: ${iv.count()}")
+      t("sweep peakConcurrency 10M intervals") {
+        graft.ops.Sweep.peakConcurrency(iv, "s", "e").collect()
+          .foreach(r => println(s"[probe]   peak=${r.getLong(0)}"))
+      }
+      spark.stop(); return
+    }
     if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {
