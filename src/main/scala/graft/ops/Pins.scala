@@ -60,7 +60,10 @@ object Pins {
     */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
+    // blocking: harness loops call this OUTSIDE any timed window, and an
+    // async removal would churn the block manager inside the NEXT gate's
+    // timing instead
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mann-Whitney U rank test between two samples, computed entirely from
+  * EXACT integer rank sums so the statistic replays bit-for-bit on any
+  * engine.
+  *
+  * Ties make naive ranking fractional (average ranks step by ½); this op
+  * works at DOUBLED scale: for a tied block of size t starting after
+  * `prior` earlier values, 2·avgrank = 2·prior + t + 1 (always an
+  * integer), so 2·R₁ = Σ c₁(v)·(2·prior(v) + t(v) + 1) and
+  * 2·U₁ = 2·R₁ − n₁(n₁+1) stay exact Longs. The tie-corrected normal
+  * approximation
+  *   z = (2U₁ − n₁n₂) / (2·√( n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) ))
+  * is one fixed IEEE formula over those integers.
+  *
+  * Scale shape: one map-side-combined groupBy collapses both samples to
+  * the VALUE-DISTINCT table (per-value counts c₁, c₂); the exclusive
+  * rank offset `prior` is the distributed two-pass [[PrefixSum]] over
+  * value order (never a global single-reducer window); the rank sums
+  * reduce in one aggregate. Total shuffle: the value domain, not the
+  * rows.
+  */
+object RankTest {
+
+  /** One row: (n1, n2, u1_x2, z). `inA` marks sample 1; rows in neither
+    * sample must be filtered by the caller (`inA` false ⇒ sample 2).
+    */
+  def mannWhitney(df: DataFrame, valueCol: Column, inA: Column): DataFrame = {
+    val counts = df
+      .select(valueCol.cast("double").as("v"),
+        when(inA, 1L).otherwise(0L).as("_a"))
+      .groupBy("v")
+      .agg(sum(col("_a")).as("c1"), sum(lit(1L) - col("_a")).as("c2"))
+      .withColumn("t", col("c1") + col("c2"))
+    val ranked = PrefixSum.exclusive(counts, "v", "t", "_prior")
+    val sums = ranked.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"),
+      // 2·R₁ = Σ c₁·(2·prior + t + 1)
+      sum(col("c1") * (col("_prior") * 2 + col("t") + 1)).as("r1_x2"),
+      // tie term Σ(t³ − t); t is a per-value count, cubes stay small
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = (col("n1") + col("n2")).cast("double")
+    val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1)
+    val variance = n1 * n2 / 12.0 *
+      ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))
+    sums.select(col("n1"), col("n2"), u1x2.as("u1_x2"),
+      graft.functions.Exact.roundPortable(
+        (u1x2.cast("double") - n1 * n2) / (lit(2.0) * sqrt(variance)), 6)
+        .as("z"))
+  }
+}

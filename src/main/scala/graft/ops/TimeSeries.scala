@@ -43,4 +43,39 @@ object TimeSeries {
         last(col("_v"), ignoreNulls = true).over(w)
           .as(s"filled_$valueName"))
   }
+
+  /** One-sided CUSUM changepoint detector (zero allowance) over a
+    * pre-aggregated (period, count) series, in EXACT integer arithmetic:
+    * deviations are scaled by the period count D (dev = n·D − total, so
+    * the mean needs no division), and the recursive clamp
+    * S_t = max(0, S_{t−1} + dev_t) is rewritten as the closed form
+    * cum_t − min(0, min_{j≤t} cum_j) — a plain cumulative sum minus a
+    * running minimum, two windows instead of an inexpressible recursion.
+    * The alarm fires when S exceeds `num/den` of the total mass (again
+    * integer-compared at the D scale: S·den > total·D·num).
+    *
+    * Scale shape: the input is the PERIOD-aggregated table (one row per
+    * day/hour — grid-sized, produced upstream by a map-side-combined
+    * groupBy), so the global-order windows here run over the grid, never
+    * the event log.
+    */
+  def cusum(perPeriod: DataFrame, periodCol: String, countCol: String,
+      alarmNum: Int, alarmDen: Int): DataFrame = {
+    require(alarmNum > 0 && alarmDen > 0, "alarm fraction must be positive")
+    val w = Window.orderBy(periodCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perPeriod.agg(
+      count(lit(1)).as("_d"),
+      sum(col(countCol).cast("long")).as("_total"))
+    perPeriod
+      .select(col(periodCol), col(countCol).cast("long").as("n"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_dev", col("n") * col("_d") - col("_total"))
+      .withColumn("_cum", sum(col("_dev")).over(w))
+      .withColumn("cusum_scaled",
+        col("_cum") - least(lit(0L), min(col("_cum")).over(w)))
+      .select(col(periodCol), col("n"), col("cusum_scaled"),
+        (col("cusum_scaled") * alarmDen >
+          col("_total") * col("_d") * alarmNum).cast("long").as("is_alarm"))
+  }
 }

@@ -437,8 +437,77 @@ object BehaviorQueries {
       sess)
   }
 
+  /** CUSUM changepoint detection over the daily event-count series, in
+    * exact integer arithmetic: deviations scaled by the day count D (no
+    * mean division), the recursive clamp max(0, S+dev) rewritten as
+    * cum − min(0, running-min(cum)) — two windows over the DAY-sized
+    * table (TimeSeries.cusum scaladoc). Alarm = S exceeding 5% of total
+    * mass, integer-compared at the same scale.
+    */
+  val q217Cusum: Q = Q(
+    "q217_cusum_daily",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+      |), tot AS (SELECT count(*) AS d, sum(n) AS total FROM daily),
+      |c AS (
+      |  SELECT day, n, d, total,
+      |    sum(n * d - total) OVER (ORDER BY day) AS cum
+      |  FROM daily, tot
+      |), s AS (
+      |  SELECT day, n, d, total,
+      |    cum - least(CAST(0 AS BIGINT), min(cum) OVER (ORDER BY day)) AS cs
+      |  FROM c)
+      |SELECT day, n, CAST(cs AS BIGINT) AS cusum_scaled,
+      |  CAST(CASE WHEN cs * 20 > total * d * 1 THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+      |FROM s ORDER BY day""".stripMargin) { (s, dir) =>
+    graft.ops.TimeSeries.cusum(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n", alarmNum = 1, alarmDen = 20)
+      .orderBy("day")
+  }
+
+  /** Mann-Whitney U between the click and view value distributions —
+    * the distribution-drift test a pipeline runs between sources or
+    * before/after a change. Exact doubled-scale integer rank sums
+    * (2·avgrank of a tied block is always an integer), tie-corrected z
+    * as one fixed IEEE formula over those integers; the rank offsets run
+    * through the distributed PrefixSum, never a global window
+    * (ops/RankTest scaladoc).
+    */
+  val q218MannWhitney: Q = Q(
+    "q218_mann_whitney",
+    s"""WITH v AS (
+       |  SELECT value AS v,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+       |  FROM events WHERE event_type IN ('click', 'view') GROUP BY value
+       |), r AS (
+       |  SELECT c1, c2, c1 + c2 AS t,
+       |    coalesce(sum(c1 + c2) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM v
+       |), s AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    CAST(sum(c1 * (prior * 2 + t + 1)) AS BIGINT) AS r1_x2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+       |  FROM r)
+       |SELECT n1, n2, CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       |  ${graft.functions.Exact.roundPortableSql(
+            "(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / " +
+            "(2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
+            "((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / " +
+            "(CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))", 6)} AS z
+       |FROM s""".stripMargin) { (s, dir) =>
+    graft.ops.RankTest.mannWhitney(
+      Tables.events(s, dir)
+        .where(col("event_type").isin("click", "view")),
+      col("value"), col("event_type") === "click")
+  }
+
   val all: Seq[Q] = Seq(q168Funnel, q169CohortRetention, q170Transitions,
     q173Cooccurrence, q175IntervalMerge, q176RollingActive, q177Debounce,
     q178Ewma, q181ActivityStreak, q188Scd2, q190RunningDistinct,
-    q213GroupedOls, q216PeakConcurrency)
+    q213GroupedOls, q216PeakConcurrency, q217Cusum, q218MannWhitney)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RankTest, TimeSeries}
+
+class CusumRankSpec extends SparkSuite {
+
+  test("cusum closed form equals the recursive clamp, alarms fire correctly") {
+    import spark.implicits._
+    // a level shift at period 6: counts double
+    val series = Seq(10L, 11L, 9L, 10L, 10L, 22L, 21L, 23L, 22L, 22L)
+    val df = series.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p", "n")
+    val got = TimeSeries.cusum(df, "p", "n", 1, 20)
+      .orderBy("p").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    // recursive reference at the same D scale
+    val d = series.size
+    val total = series.sum
+    var s = 0L
+    val expected = series.map { n =>
+      s = math.max(0L, s + (n * d - total))
+      (s, if (s * 20 > total * d * 1) 1L else 0L)
+    }
+    assert(got.toSeq == expected)
+    assert(expected.last._2 == 1L, "the shifted tail must alarm")
+    assert(expected.head._2 == 0L, "the stable head must not")
+  }
+
+  test("mannWhitney matches a JVM replay with ties; identical samples give z = 0") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0)
+    val b = Seq(2.0, 4.0, 5.0, 6.0, 6.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val r = RankTest.mannWhitney(df, col("v"), col("g") === "a").head()
+    // doubled-scale rank reference
+    val all = (a ++ b).sorted
+    def avgRankX2(v: Double): Long = {
+      val first = all.indexOf(v); val t = all.count(_ == v)
+      2L * first + t + 1
+    }
+    val r1x2 = a.map(avgRankX2).sum
+    val (n1, n2) = (a.size.toLong, b.size.toLong)
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2 && r.getLong(2) == u1x2)
+    val n = (n1 + n2).toDouble
+    val ties = all.distinct.map(v => all.count(_ == v).toLong)
+      .map(t => t * t * t - t).sum
+    val varU = n1 * n2 / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    val z = (u1x2 - n1.toDouble * n2) / (2.0 * math.sqrt(varU))
+    assert(r.getDouble(3) == math.floor(z * 1e6 + 0.5) / 1e6)
+    // symmetric input → U₁ = n₁n₂/2 exactly, z = 0
+    val sym = (a.map(("a", _)) ++ a.map(("b", _))).toDF("g", "v")
+    val rs = RankTest.mannWhitney(sym, col("v"), col("g") === "a").head()
+    assert(rs.getLong(2) == a.size.toLong * a.size)
+    assert(rs.getDouble(3) == 0.0)
+  }
+}
