@@ -29,11 +29,14 @@ import org.apache.spark.storage.StorageLevel
   * (scores are sums of non-negatives, so any negative is an overflow),
   * turning the silent-garbage mode into a loud failure (round-10 advice).
   *
-  * Scale shape: the edge table is persisted once and reused by every
-  * half-step (two keyed joins + groupBys per round — map-side combine on
-  * uniform keys); the score tables are node-sized; per-round
-  * localCheckpoint cuts the 2·iters-join lineage. Output sealed, edge pin
-  * released ([[Pins]]).
+  * Scale shape: two regimes on the same arithmetic. Node-sized score
+  * tables broadcast into edge copies pre-partitioned by each half-step's
+  * GROUP key (src / dst) — the broadcast join preserves that
+  * partitioning, so every per-round groupBy runs on co-located data and
+  * the edge-sized shuffle is paid twice TOTAL, not twice per round. Past
+  * the broadcast ceiling (32 M nodes) the keyed-join form runs unchanged.
+  * Per-round localCheckpoint cuts the 2·iters-join lineage; output
+  * sealed, all edge pins released ([[Pins]]).
   */
 object Hits {
 
@@ -56,6 +59,21 @@ object Hits {
       .union(edges.select(col("dst").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Broadcast regime (score tables are node-sized): pre-partition the
+    // edge table ONCE by each half-step's GROUP key and broadcast the
+    // score side — the broadcast join preserves the edge partitioning, so
+    // every groupBy lands on already-co-located data and the per-half-step
+    // edge-sized shuffle disappears (2·iters shuffles → 2, paid once).
+    // Past the broadcast ceiling the keyed-join form below runs unchanged.
+    val bcastScores = nodes.count() <= 32L * 1000 * 1000
+    val edgesByDst = if (bcastScores)
+      edges.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+      else edges
+    val edgesBySrc = if (bcastScores)
+      edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      else edges
+    def scoreSide(s: DataFrame): DataFrame =
+      if (bcastScores) broadcast(s) else s
 
     // integer max-rescale: x -> x DIV max(1, ceil(max(x)/Scale)); the
     // 1-row max arrives via broadcast crossJoin — no driver action.
@@ -84,7 +102,8 @@ object Hits {
     var auth: DataFrame = null
     for (i <- 1 to iters) {
       // authority half-step: a(v) = Σ_{u→v} h(u), absent in-edges → 0
-      val aRaw = edges.join(hub.withColumnRenamed("v", "src"), "src")
+      val aRaw = edgesByDst
+        .join(scoreSide(hub.withColumnRenamed("v", "src")), "src")
         .groupBy(col("dst").as("v")).agg(sum("h").as("a"))
       // each rescaled() output is a cheap projection over its internal
       // pin, so no further checkpoints are needed: auth feeds the hub
@@ -94,7 +113,8 @@ object Hits {
         nodes.join(aRaw, Seq("v"), "left")
           .select(col("v"), coalesce(col("a"), lit(0L)).as("a")), "a")
       // hub half-step: h(v) = Σ_{v→w} a(w), absent out-edges → 0
-      val hRaw = edges.join(auth.withColumnRenamed("v", "dst"), "dst")
+      val hRaw = edgesBySrc
+        .join(scoreSide(auth.withColumnRenamed("v", "dst")), "dst")
         .groupBy(col("src").as("v")).agg(sum("a").as("h"))
       hub = rescaled(
         nodes.join(hRaw, Seq("v"), "left")
@@ -104,7 +124,7 @@ object Hits {
       hub.join(auth, "v")
         .select(col("v").as("node_id"), col("h").as("hub_scaled"),
           col("a").as("auth_scaled")),
-      edges, nodes)
+      edges, nodes, edgesByDst, edgesBySrc)
   }
 
   /** In-memory reference for tests (same integer arithmetic). */

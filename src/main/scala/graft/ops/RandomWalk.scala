@@ -15,11 +15,16 @@ import graft.functions.Hashing
   * neighbor-index table, so every walk is a pure function of the graph —
   * same corpus on any cluster, replayable by a SQL oracle.
   *
-  * Scale shape: the adjacency index is one per-node window
-  * (partition-by-v — distributed); each step is two equi-joins (walk
-  * frontier ⋈ degree on the current node, then ⋈ adjacency on
-  * (node, chosen index)). The frontier stays one row per walk; lineage is
-  * cut every 4 steps (fan-out 1 per step).
+  * Scale shape, two regimes on the same arithmetic (same oracle): when
+  * the adjacency-ARRAY table (total payload = the symmetrized edge list,
+  * ≈ 16m bytes) fits a broadcast, every step is ONE broadcast join + an
+  * `element_at` projection — zero shuffles after the adjacency build, and
+  * no per-step lineage cut is needed (the whole multi-step union is a
+  * stack of map-side joins over walk-count rows). Past the broadcast
+  * ceiling, the original two-equi-join form runs (frontier ⋈ degree,
+  * then ⋈ the per-node neighbor-index table), with the frontier
+  * checkpointed per step. `neighbors(v)` is the dst-sorted list in both
+  * regimes, so `[hash mod deg]` picks the identical node.
   */
 object RandomWalk {
 
@@ -35,6 +40,34 @@ object RandomWalk {
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = edges.count()
+    if (m <= 32L * 1000 * 1000) {
+      // broadcast regime: dst-sorted neighbor arrays, one map-side join
+      // per step, walk state never shuffles. The aggregate is PINNED:
+      // each step of the final union re-derives its frontier prefix, and
+      // without the pin every branch would re-run the graph-sized groupBy
+      // (measured 7 s of pure recompute at sf0.1).
+      val adjTbl = edges.groupBy(col("src").as("cur"))
+        .agg(sort_array(collect_list(col("dst"))).as("_nb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adjArr = broadcast(adjTbl)
+      var frontier = adjTbl.select(col("cur").as("walk_id"), col("cur"))
+      var out = frontier.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("node"))
+      for (t <- 1 to steps) {
+        val pick = Hashing.hash60(
+          concat(col("walk_id").cast("string"), lit(":"), lit(t.toString)),
+          seed) % size(col("_nb"))
+        frontier = frontier.join(adjArr, "cur")
+          .select(col("walk_id"),
+            element_at(col("_nb"), (pick + 1).cast("int")).as("cur"))
+        out = out.unionByName(
+          frontier.select(col("walk_id"), lit(t).as("step"),
+            col("cur").as("node")))
+      }
+      return Pins.sealOutput(out, edges, adjTbl)
+    }
     val adjW = Window.partitionBy("src").orderBy("dst")
     val adj = edges
       .select(col("src").as("v"), col("dst").as("nbr"),
@@ -68,6 +101,7 @@ object RandomWalk {
     }
     adj.unpersist(false)
     deg.unpersist(false)
+    edges.unpersist(false)
     out
   }
 }
