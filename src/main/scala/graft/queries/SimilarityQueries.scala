@@ -891,42 +891,49 @@ object SimilarityQueries {
     * assignment: per-cluster membership count, integer SSE against the
     * iteration-1 centroids, and the smallest member id.
     */
+  private def duckD2(s: String, c: String): String =
+    s"CAST(list_sum(list_transform(list_zip($s, $c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+
+  /** The q211 2-iteration Lloyd replay as a WITH-clause body (`a2` is the
+    * final assignment) — shared with q220's composition oracle.
+    */
+  private def kmeansCtes(k: Int): String =
+    s"""sv AS (
+       |  SELECT vec_id, $DuckScaled AS s FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cid, s AS c FROM sv WHERE vec_id < $k
+       |), d1 AS (
+       |  SELECT sv.vec_id, c0.cid, ${duckD2("sv.s", "c0.c")} AS d2
+       |  FROM sv, c0
+       |), a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), m1 AS (
+       |  SELECT cid, dim, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+       |  FROM (
+       |    SELECT a1.cid, unnest(generate_series(0, len(sv.s) - 1)) AS dim,
+       |      unnest(sv.s) AS x
+       |    FROM a1 JOIN sv USING (vec_id))
+       |  GROUP BY cid, dim
+       |), c1 AS (
+       |  SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY cid
+       |), d2t AS (
+       |  SELECT sv.vec_id, c1.cid, ${duckD2("sv.s", "c1.c")} AS d2
+       |  FROM sv, c1
+       |), a2 AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t) WHERE rn = 1
+       |)""".stripMargin
+
   val q211KmeansLloyd: Q = {
-    val (k, scale) = (8, "1000000")
-    def duckD2(s: String, c: String): String =
-      s"CAST(list_sum(list_transform(list_zip($s, $c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val k = 8
     Q(
       "q211_kmeans_lloyd",
-      s"""WITH sv AS (
-         |  SELECT vec_id, $DuckScaled AS s FROM embeddings
-         |), c0 AS (
-         |  SELECT vec_id AS cid, s AS c FROM sv WHERE vec_id < $k
-         |), d1 AS (
-         |  SELECT sv.vec_id, c0.cid, ${duckD2("sv.s", "c0.c")} AS d2
-         |  FROM sv, c0
-         |), a1 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM d1) WHERE rn = 1
-         |), m1 AS (
-         |  SELECT cid, dim, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
-         |  FROM (
-         |    SELECT a1.cid, unnest(generate_series(0, len(sv.s) - 1)) AS dim,
-         |      unnest(sv.s) AS x
-         |    FROM a1 JOIN sv USING (vec_id))
-         |  GROUP BY cid, dim
-         |), c1 AS (
-         |  SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY cid
-         |), d2t AS (
-         |  SELECT sv.vec_id, c1.cid, ${duckD2("sv.s", "c1.c")} AS d2
-         |  FROM sv, c1
-         |), a2 AS (
-         |  SELECT vec_id, cid, d2 FROM (
-         |    SELECT vec_id, cid, d2,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM d2t) WHERE rn = 1
-         |)
+      s"""WITH ${kmeansCtes(k)}
          |SELECT cid AS cluster_id, count(*) AS n_members,
          |  CAST(sum(d2) AS BIGINT) AS sse, min(vec_id) AS min_member
          |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin) { (s, dir) =>
@@ -940,9 +947,46 @@ object SimilarityQueries {
     }
   }
 
+  /** Cluster-balanced train/test split — the composition the two ops were
+    * built for: k-means assigns every vector a topic cluster (q211's exact
+    * replay), then the EXACT-proportion splitter holds out ⌊0.2·n⌋ per
+    * CLUSTER (q214's rank rule with cluster_id as the stratum), so the
+    * holdout has the same topic mix as the training set — the
+    * topic-stratified eval-set construction a curation pipeline runs
+    * before finetuning. Per-cluster split counts out; the oracle replays
+    * both stages end-to-end.
+    */
+  val q220ClusterBalancedSplit: Q = {
+    val k = 8
+    Q(
+      "q220_cluster_balanced_split",
+      s"""WITH ${kmeansCtes(k)}, r AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY
+         |      CAST(('0x' || substring(md5('cb1:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |      vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY cid) AS n
+         |  FROM a2)
+         |SELECT cid AS cluster_id,
+         |  CASE WHEN rk * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split,
+         |  count(*) AS n_vecs, min(vec_id) AS min_vec
+         |FROM r GROUP BY 1, 2
+         |ORDER BY cluster_id, split""".stripMargin) { (s, dir) =>
+      val assign = graft.ops.KMeans.lloydAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k, iters = 2)
+      graft.ops.Sampling.exactStratifiedSplit(
+          assign.select("vec_id", "cluster_id"),
+          "cluster_id", col("vec_id"), "cb1", 4, 5)
+        .groupBy("cluster_id", "split")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        .orderBy("cluster_id", "split")
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
-    q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc, q211KmeansLloyd)
+    q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc, q211KmeansLloyd,
+    q220ClusterBalancedSplit)
 }

@@ -1034,6 +1034,41 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Dynamic-gap streaming sessionization: purchase events hold the
+    * session open 1 hour, others 30 minutes (`session_window(ts,
+    * gapExpr)`). Windows [ts, ts+gap(row)) merge on overlap (inclusive at
+    * the boundary, the q34-pinned rule) with merged end = max end — so
+    * the batch replay needs a RUNNING MAX of window ends (a lag of the
+    * previous timestamp, the fixed-gap replay, is wrong the moment a
+    * long-gap event is followed by a short-gap one inside its window).
+    */
+  val q219DynamicSessionGap: Q = Q(
+    "q219_dynamic_session_gap",
+    """SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(end_us) AS session_end_us, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM (
+      |  SELECT user_id, ts_us, value, end_us,
+      |    sum(CASE WHEN cme IS NULL OR ts_us > cme THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sid
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us, value, ts_us + gap_us AS end_us,
+      |      max(ts_us + gap_us) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cme
+      |    FROM (
+      |      SELECT user_id, event_id, value,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |        CASE WHEN event_type = 'purchase' THEN 3600000000
+      |             ELSE 1800000000 END AS gap_us
+      |      FROM events)))
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    EventStream.runToMemory(s, s"$dir/events.parquet",
+      EventStream.dynamicSessionAgg, "q219_mem", OutputMode.Complete)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(q33StreamingHourly, q34StreamingSessions,
     q35MediaByteStats, q39RunningUserCounts, q55StreamingDedup,
     q59SlidingWindows, q69StreamJoin, q73StreamStaticJoin,
@@ -1043,5 +1078,5 @@ object StreamingQueries {
     q185TwsRecentEvents, q191TwsWarmStart, q199OuterStreamJoin,
     q200FullOuterStreamJoin, q203DedupReadmission, q204DedupLateFilter,
     q205AppendWindows, q206AppendSessions, q207SemiStreamJoin,
-    q208ChainedStateful, q210DedupSubWmAdmission)
+    q208ChainedStateful, q210DedupSubWmAdmission, q219DynamicSessionGap)
 }

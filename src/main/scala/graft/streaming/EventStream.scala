@@ -70,6 +70,28 @@ object EventStream {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("sum_value_cents"))
 
+  /** DYNAMIC-gap sessionization: the gap is an expression of the row —
+    * purchase events hold a session open for 1 hour, everything else
+    * 30 minutes (the "checkout dwell" modeling an event-dependent
+    * timeout). Exercises `session_window(ts, gapExpr)`, whose windows
+    * [ts, ts + gap(row)) MERGE on overlap with the merged end = max end —
+    * so unlike the fixed-gap case the batch replay needs a running max of
+    * window ENDS, not a lag of the previous timestamp (q219's oracle).
+    */
+  def dynamicSessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "1 hour")
+          .otherwise("30 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.Exact.cents(col("value"))).as("sum_value_cents"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value_cents"))
+
   /** Custom stateful operator: running per-user event counter with
     * mapGroupsWithState (the KeyValueGroupedDataset state-machine surface —
     * here a simple monotone counter with processing-time timeout).
