@@ -159,6 +159,51 @@ object Corpus {
       gt)
   }
 
+  /** Jensen-Shannon divergence of each group's unigram distribution from
+    * the corpus distribution — the bounded (≤ ln 2), symmetric drift
+    * signal next to [[groupDriftTvd]]'s TVD. Same one-corpus-shuffle
+    * shape; two portability moves make the log arithmetic replayable:
+    *  - per-(group, token) contributions 0.5·p·ln(p/m) + 0.5·q·ln(q/m)
+    *    are QUANTIZED to 1e-12-scaled Longs before summing (the q88
+    *    discipline: float sums are partial-agg-order-nondeterministic,
+    *    integer sums are not);
+    *  - tokens ABSENT from the group (p = 0) contribute analytically:
+    *    their mass is 0.5·q·ln 2 each, so the whole tail collapses to
+    *    0.5·(1 − Σ_present q)·ln 2 — one exact integer numerator sum and
+    *    one closed-form double, never a vocab×groups dense grid.
+    */
+  def jsDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c_tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokTotals = gt.groupBy("tok").agg(sum("c_tg").as("c_t"))
+    val grpTotals = gt.groupBy("grp").agg(sum("c_tg").as("n_g"))
+    val nTotal = tokTotals.agg(sum("c_t").as("n"))
+    val p = col("c_tg").cast("double") / col("n_g").cast("double")
+    val q = col("c_t").cast("double") / col("n").cast("double")
+    val m = (p + q) / 2.0
+    val term = lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)
+    Pins.sealOutput(
+      gt.join(broadcast(tokTotals), "tok")
+        .join(broadcast(grpTotals), "grp")
+        .crossJoin(broadcast(nTotal))
+        .groupBy("grp")
+        .agg(
+          first(col("n_g")).as("n_g"),
+          first(col("n")).as("n"),
+          sum(floor(term * 1e12 + 0.5).cast("long")).as("_t12"),
+          sum(col("c_t")).as("_qnum"))
+        .select(col("grp"), col("n_g").as("group_tokens"),
+          graft.functions.Exact.roundPortable(
+            col("_t12").cast("double") / 1e12 +
+              (lit(0.5) * (lit(1.0) -
+                col("_qnum").cast("double") / col("n").cast("double"))) *
+                log(lit(2.0)), 6).as("js")),
+      gt)
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: distinct-vocabulary size and
     * cumulative token count at `points` equal-spaced corpus prefixes in
     * `idCol` order. The signal behind tokenizer sizing and dedup-health

@@ -121,6 +121,99 @@ object PageRank {
       edges, nodes, edgesD, pr)
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
+    * (one column `v`, each a graph node), so ranks measure proximity to
+    * the seed set — the "relevance to a trusted corpus" signal behind
+    * seed-expanded curation (find pages close to known-good ones). Same
+    * integer contract as [[run]]: init = Scale DIV |S| on seeds (0
+    * elsewhere), per-round r(v) = b(v) + ⌊17·Σ contrib⌋/20 with the
+    * per-NODE base b(v) = (3·Scale/20) DIV |S| on seeds and 0 elsewhere
+    * — the only structural change from run() is that the base is a
+    * node-attributed column instead of a constant. Same broadcast-regime
+    * plan: edges pre-partitioned on dst, rank table broadcast, zero
+    * per-iteration edge shuffles.
+    */
+  def personalized(edgesDf: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    val edges = edgesDf
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val seedSet = seeds.select(col("v").cast("long").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
+    val init = Scale / nSeeds
+    val b = (Scale * 3L / 20L) / nSeeds
+    // node universe + per-node base/init in ONE node-sized table
+    val nodes = edges.select(col("src").as("v")).distinct()
+      .join(seedSet.withColumn("_s", lit(1)), Seq("v"), "left")
+      .select(col("v"), when(col("_s").isNotNull, lit(b)).otherwise(lit(0L)).as("b"),
+        when(col("_s").isNotNull, lit(init)).otherwise(lit(0L)).as("r0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val nSeedsInGraph = nodes.where(col("b") > 0).count()
+    require(nSeedsInGraph == nSeeds,
+      s"${nSeeds - nSeedsInGraph} seed(s) are not graph nodes — the " +
+        "teleport mass would silently vanish; intersect the seed set first")
+    val broadcastRanks = n <= 1000000L
+    val edgesD = edges.join(deg, "src")
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesD.count()
+    val nDangling = edges.select(col("dst").as("v")).distinct()
+      .join(nodes, Seq("v"), "left_anti").count()
+    require(nDangling == 0L, s"$nDangling node(s) have in-edges but no " +
+      "out-edges — symmetrize the edge list (or drop sink edges) first")
+    var pr = nodes.select(col("v"), col("r0").as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    var chain = List(pr)
+    val ckpt = new CheckpointChain(spark)
+    for (i <- 1 to iters) {
+      val prSide = if (broadcastRanks) broadcast(pr) else pr
+      val contrib = edgesD.join(prSide, edgesD("src") === pr("v"))
+        .select(col("dst").as("v"), expr("r DIV d").as("c"))
+        .groupBy("v")
+        .agg(sum("c").as("s"))
+      val next0 = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (col("b") + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+      val next =
+        if (i % 4 == 0) ckpt.next(next0)
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      chain.foreach(_.unpersist(false))
+      chain = if (i % 4 == 0) Nil else List(next)
+      pr = next
+    }
+    Pins.sealOutput(
+      pr.select(col("v").as("node_id"), col("r").as("rank_scaled")),
+      edges, nodes, edgesD, seedSet, pr)
+  }
+
+  /** JVM twin of [[personalized]] for tests. */
+  def personalizedRef(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val deg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val nodes = es.map(_._1).distinct
+    val init = Scale / seeds.size
+    val b = (Scale * 3L / 20L) / seeds.size
+    var pr = nodes.map(v => v -> (if (seeds(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contribs = es.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v ->
+        ((if (seeds(v)) b else 0L) + 17L * contribs.getOrElse(v, 0L) / 20L)).toMap
+    }
+    pr
+  }
+
   /** In-memory reference for tests (same integer arithmetic). */
   def runRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val es = edges.distinct

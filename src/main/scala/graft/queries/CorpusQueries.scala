@@ -268,7 +268,42 @@ object CorpusQueries {
     }
   }
 
+  /** Jensen-Shannon unigram drift per source (the bounded, symmetric
+    * companion to q68's TVD): present-token contributions quantized to
+    * 1e-12 Longs before summing (q88's log-portability discipline — the
+    * ONLY floats crossing an aggregation boundary are already integers),
+    * absent-token mass folded analytically into 0.5·(1−Σq)·ln 2.
+    */
+  val q222JsDrift: Q = Q(
+    "q222_js_drift",
+    s"""WITH gt AS (
+       |  SELECT source AS grp, tok, count(*) AS c_tg FROM (
+       |    SELECT source, unnest($DuckToks) AS tok FROM documents)
+       |  GROUP BY source, tok
+       |), tt AS (SELECT tok, sum(c_tg) AS c_t FROM gt GROUP BY tok),
+       |gg AS (SELECT grp, sum(c_tg) AS n_g FROM gt GROUP BY grp),
+       |nn AS (SELECT sum(c_t) AS n FROM tt),
+       |pq AS (
+       |  SELECT gt.grp, gg.n_g, nn.n, tt.c_t,
+       |    CAST(gt.c_tg AS DOUBLE) / CAST(gg.n_g AS DOUBLE) AS p,
+       |    CAST(tt.c_t AS DOUBLE) / CAST(nn.n AS DOUBLE) AS q
+       |  FROM gt JOIN tt USING (tok) JOIN gg USING (grp) CROSS JOIN nn
+       |), terms AS (
+       |  SELECT grp, n_g, n, c_t,
+       |    CAST(floor((0.5 * p * ln(p / ((p + q) / 2.0))
+       |      + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1e12 + 0.5) AS BIGINT) AS t12
+       |  FROM pq)
+       |SELECT grp AS source, CAST(min(n_g) AS BIGINT) AS group_tokens,
+       |  ${graft.functions.Exact.roundPortableSql(
+          "CAST(CAST(sum(t12) AS BIGINT) AS DOUBLE) / 1e12 + " +
+          "(0.5 * (1.0 - CAST(CAST(sum(c_t) AS BIGINT) AS DOUBLE) / CAST(min(n) AS DOUBLE))) * ln(2)", 6)} AS js
+       |FROM terms GROUP BY grp ORDER BY source""".stripMargin) { (s, dir) =>
+    Corpus.jsDrift(Tables.documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q64Repetition, q65InvertedIndex, q66Collocations,
     q67EditDistance, q68SourceDrift, q117VocabCoverage, q121StupidBackoff,
-    q212VocabGrowth)
+    q212VocabGrowth, q222JsDrift)
 }

@@ -306,6 +306,59 @@ object GraphQueries {
     }
   }
 
+  /** Personalized PageRank from a seed set (every 50th part node): the
+    * teleport mass lands only on seeds, so rank = proximity to the
+    * trusted set — the seed-expansion signal behind "find documents close
+    * to known-good ones". Same integer contract as q76 with a per-NODE
+    * base column; the oracle unrolls 3 rounds with nodes LEFT JOIN the
+    * contrib aggregate (zero-rank nodes must survive every round — q76's
+    * GROUP-BY-dst form would silently drop them).
+    */
+  val q221PersonalizedPagerank: Q = {
+    val S = graft.ops.PageRank.Scale
+    val iters = 3
+    val head =
+      s"""WITH edges AS (
+         |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+         |  UNION
+         |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+         |), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
+         |nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |seeds AS (SELECT v FROM nodes WHERE v % 100 = 0),
+         |consts AS (SELECT CAST($S AS BIGINT) // count(*) AS init,
+         |                  (CAST($S AS BIGINT) * 3 // 20) // count(*) AS b
+         |           FROM seeds),
+         |pr0 AS (
+         |  SELECT n.v, CASE WHEN s.v IS NOT NULL THEN consts.init
+         |              ELSE CAST(0 AS BIGINT) END AS r
+         |  FROM nodes n LEFT JOIN seeds s ON s.v = n.v CROSS JOIN consts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.v,
+         |    (CASE WHEN s.v IS NOT NULL THEN consts.b ELSE CAST(0 AS BIGINT) END)
+         |      + (17 * coalesce(c.s, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN seeds s ON s.v = n.v
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS v, sum(p.r // ed.d) AS s
+         |    FROM ed JOIN pr${i - 1} p ON p.v = ed.src GROUP BY ed.dst) c
+         |    ON c.v = n.v
+         |  CROSS JOIN consts)""".stripMargin
+    }
+    val sql = (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS node_id, CAST(r AS BIGINT) AS rank_scaled FROM pr$iters ORDER BY node_id"
+    Q("q221_personalized_pagerank", sql) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+      val edges = fwd.unionByName(rev)
+      val seeds = edges.select(col("src").as("v")).distinct()
+        .where(col("v") % 100 === 0)
+      graft.ops.PageRank.personalized(edges, "src", "dst", seeds, iters)
+        .orderBy("node_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(q76PageRank, q153LabelProp, q154Triangles, q158KCore,
-    q163RandomWalks, q184Hits, q193Bfs)
+    q163RandomWalks, q184Hits, q193Bfs, q221PersonalizedPagerank)
 }
