@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) diverse
+  * top-k: greedily pick the candidate maximizing
+  * `sim(query) − λ·max_sim(selected)` — the exemplar-selection /
+  * dedup-aware retrieval op (top-k WITHOUT k near-copies of the best hit).
+  *
+  * Determinism contract: similarities are the exact scaled-integer cosine
+  * rounded to 1e-6 ([[Similarity]] / q29's formula) BEFORE any score
+  * arithmetic, and ties break on the smaller id — so the greedy trace
+  * replays exactly on another engine.
+  *
+  * Scale shape: greedy MMR is inherently k sequential passes; what each
+  * pass costs is the design choice. The max-sim-to-selected term updates
+  * INCREMENTALLY — one `greatest(prev, sim(·, newest pick))` projection
+  * per round against the newest pick's vector only (a driver-held
+  * array literal), never a candidates × selected join — so each round is
+  * one map pass + one argmax aggregate over the candidate table, O(n·dim)
+  * per round, k·O(n·dim) total. The per-round localCheckpoint keeps the
+  * plan depth constant.
+  */
+object Diversify {
+
+  /** Pick `k` diverse ids relevant to `queryId`'s vector; returns
+    * (rank, idCol) with rank 1..k in pick order. The query row itself is
+    * excluded from the candidates.
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sv0 = df.select(col(idCol).cast("long").as("_id"),
+      Similarity.scaled(col(vecCol)).as("_s"))
+    val qVec: Seq[Long] = sv0.where(col("_id") === queryId)
+      .select(col("_s")).head().getSeq[Long](0)
+    def r6(c: org.apache.spark.sql.Column) =
+      graft.functions.Exact.roundPortable(c, 6)
+    // q29's cosine shape: dot / (sqrt(aa) · sqrt(bb)), rounded at 1e-6
+    def cosTo(vec: Seq[Long]): org.apache.spark.sql.Column = {
+      val v = typedLit(vec)
+      r6(Similarity.dotScaled(col("_s"), v).cast("double") /
+        (sqrt(Similarity.dotScaled(col("_s"), col("_s")).cast("double")) *
+          math.sqrt(vec.map(x => x.toDouble * x).sum)))
+    }
+    var cands = sv0.where(col("_id") =!= queryId)
+      .withColumn("_sq", cosTo(qVec))
+      .withColumn("_maxSel", lit(null).cast("double"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    var picked = Vector.empty[Long]
+    for (_ <- 1 to k) {
+      val score = when(col("_maxSel").isNull, col("_sq"))
+        .otherwise(col("_sq") - lit(lambda) * col("_maxSel"))
+      // argmax with smaller-id ties, one aggregate — no sort, no limit
+      val top = cands.where(!col("_id").isInCollection(picked))
+        .agg(min(struct((-score).as("ns"), col("_id").as("id"))).as("m"))
+        .select(col("m.id")).head().getLong(0)
+      picked = picked :+ top
+      val topVec = cands.where(col("_id") === top)
+        .select(col("_s")).head().getSeq[Long](0)
+      val next = cands.withColumn("_maxSel",
+          greatest(coalesce(col("_maxSel"), lit(-1.0)), cosTo(topVec)))
+        .localCheckpoint()
+      cands.unpersist(false)
+      cands = next
+    }
+    cands.unpersist(false)
+    picked.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }
+      .toDF("rank", idCol)
+  }
+}

@@ -983,10 +983,62 @@ object SimilarityQueries {
     }
   }
 
+  /** MMR diverse top-10 (Carbonell & Goldstein SIGIR'98) relevant to
+    * vec 0: greedy argmax of sim(query) − 0.5·max_sim(selected), sims
+    * rounded at 1e-6 BEFORE score arithmetic and ties to the smaller id,
+    * so the greedy trace replays exactly. The engine updates the
+    * diversity penalty incrementally (one greatest() projection per round
+    * against the newest pick — never a candidates × selected join); the
+    * oracle unrolls all 10 picks as chained argmax CTEs over a
+    * precomputed pair-sim table.
+    */
+  val q223MmrDiverse: Q = {
+    val (k, lam) = (10, 0.5)
+    def r6(e: String) = graft.functions.Exact.roundPortableSql(e, 6)
+    def cos(a: String, b: String) =
+      r6(s"CAST(${duckDot(s"$a.s", s"$b.s")} AS DOUBLE) / " +
+        s"(sqrt(CAST(${duckDot(s"$a.s", s"$a.s")} AS DOUBLE)) * " +
+        s"sqrt(CAST(${duckDot(s"$b.s", s"$b.s")} AS DOUBLE)))")
+    val head =
+      s"""WITH sv AS MATERIALIZED (SELECT vec_id, $DuckScaled AS s FROM embeddings),
+         |simq AS MATERIALIZED (
+         |  SELECT a.vec_id, ${cos("a", "q")} AS sq
+         |  FROM sv a, (SELECT s FROM sv WHERE vec_id = 0) q
+         |  WHERE a.vec_id <> 0),
+         |pair AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, ${cos("a", "b")} AS sab
+         |  FROM sv a, sv b
+         |  WHERE a.vec_id <> 0 AND b.vec_id <> 0 AND a.vec_id <> b.vec_id),
+         |p1 AS MATERIALIZED (SELECT vec_id FROM simq ORDER BY sq DESC, vec_id LIMIT 1),
+         |k1 AS MATERIALIZED (SELECT vec_id FROM p1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.vec_id FROM simq s
+         |  JOIN (SELECT p.ia, max(p.sab) AS ms FROM pair p
+         |        JOIN k${i - 1} sel ON p.ib = sel.vec_id GROUP BY p.ia) m
+         |    ON m.ia = s.vec_id
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM k${i - 1})
+         |  ORDER BY s.sq - $lam * m.ms DESC, s.vec_id
+         |  LIMIT 1),
+         |k$i AS MATERIALIZED (SELECT vec_id FROM k${i - 1}
+         |        UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+    }
+    val ranks = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id FROM p$i")
+      .mkString("\n  UNION ALL ")
+    val sql = (head +: steps).mkString(",\n") +
+      s"\nSELECT rank, vec_id FROM (\n  $ranks\n) ORDER BY rank"
+    Q("q223_mmr_diverse", sql) { (s, dir) =>
+      graft.ops.Diversify.mmrTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = k, lambda = lam)
+    }
+  }
+
   val all: Seq[Q] = Seq(q29CosineTopK, q30EmbedNearDup, q31EmbedDimStats,
     q32Sessionize, q36SignLshTopK, q37IvfTopK, q38EmbedQuantiles,
     q57EmbedQuantize, q70MllibIvf, q98HardNegatives, q99RandomProjection,
     q107SemanticDedup, q110SignLshRecall, q111MultiProbeRecall, q119PqCodes,
     q124PqAdc, q133CentroidSim, q142Dbscan, q209IvfAdc, q211KmeansLloyd,
-    q220ClusterBalancedSplit)
+    q220ClusterBalancedSplit, q223MmrDiverse)
 }
