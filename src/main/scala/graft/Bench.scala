@@ -52,9 +52,35 @@ object Bench {
     * catastrophically. Pure, so BenchRetimeSpec can pin the budget at
     * simulated 300-gate scale.
     */
+  /** Render the retime audit trail (round-10 verdict #7: the driver saw
+    * `retimed_n: 1` and a wall/metric gap with no way to tell WHICH gate
+    * retimed or WHY). One compact entry per retimed gate: original
+    * reading, retry reading, and the trailing calib probe that triggered
+    * the retime (the policy: trailing calib > 3× the run's best probe ⇒
+    * the gate was timed inside a contended host window; min-of-runs
+    * ships). Capped so a pathological all-contended run can't blow the
+    * stdout byte budget — the full detail is always on stderr + in
+    * bench_last.json.
+    */
+  def retimedJson(detail: Seq[(String, Double, Double, Double)],
+      cap: Int = 8): String = {
+    val entries = detail.take(cap).map { case (q, orig, retry, calib) =>
+      s"""{"q":"$q","orig":${cs(orig)},"retry":${cs(retry)},""" +
+        s""""trailing_calib":${ms(calib)}}"""
+    }.mkString("[", ",", "]")
+    val trunc = if (detail.size > cap)
+      s""","retimed_truncated":${detail.size - cap}""" else ""
+    s""""retimed_n":${detail.size},"retime_reason":""" +
+      (if (detail.isEmpty) "\"\"" else
+        "\"trailing calib > 3x run-best probe (contended window); " +
+          "min-of-runs shipped\"") +
+      s""","retimed":$entries$trunc"""
+  }
+
   def metricJson(merged: Seq[(String, Double, Double)],
       shortKey: String => String, sfDir: String, wallSec: Double,
-      calibStart: Double, calibEnd: Double, retimedN: Int,
+      calibStart: Double, calibEnd: Double,
+      retimeDetail: Seq[(String, Double, Double, Double)],
       byteBudget: Int = 1700): String = {
     val total = merged.map(_._2).filter(_ >= 0).sum
     val calibs = merged.map(_._3)
@@ -72,7 +98,8 @@ object Bench {
         s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
         s""""calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},""" +
         s""""calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax",""" +
-        s""""retimed_n":$retimedN}"""
+        retimedJson(retimeDetail.map { case (q, o, r, c) =>
+          (shortKey(q), o, r, c) }) + "}"
     }
     // failed gates first (never dropped), then slowest-first
     val ordered = merged.map { case (n, s, _) => (shortKey(n), s) }
@@ -104,15 +131,16 @@ object Bench {
     */
   def fullJson(merged: Seq[(String, Double, Double)], sfDir: String,
       wallSec: Double, calibStart: Double, calibEnd: Double,
-      retimedN: Int): String = {
+      retimeDetail: Seq[(String, Double, Double, Double)]): String = {
     val total = merged.map(_._2).filter(_ >= 0).sum
     val qs = merged.map { case (n, s, c) =>
       s"""{"name":"$n","sec":${ms(s)},"calib_sec":${ms(c)}}"""
     }.mkString("[", ",", "]")
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
-      s""""calib_end_sec":${ms(calibEnd)},"retimed_n":$retimedN,""" +
-      s""""queries":$qs}"""
+      s""""calib_end_sec":${ms(calibEnd)},""" +
+      retimedJson(retimeDetail, cap = Int.MaxValue) +
+      s""","queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,6 +265,12 @@ object Bench {
       results.filter(r => retimed.contains(r._1)).map(r =>
         f"${r._1}=orig:${r._2}%.3f/retry:${retimed(r._1)}%.3f").mkString(" "))
     val merged = mergeRetimed(results, retimed)
+    // audit trail for the artifact: name, original, retry, and the trailing
+    // calib probe that triggered the retime
+    val retimeDetail = results.collect {
+      case (name, orig, calib) if retimed.contains(name) =>
+        (name, orig, retimed(name), calib)
+    }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
     // The driver keeps only the LAST 2000 BYTES of stdout (round-5 lost
@@ -255,7 +289,7 @@ object Bench {
       merged.map { case (k, _, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       fullJson(merged, sfDir, wallSec, calibStart, calibEnd,
-        toRetime.size).getBytes("UTF-8"))
+        retimeDetail).getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_last.json write failed: $e") }
     // Orderly teardown BEFORE emitting the metric line: stop any streaming
@@ -268,7 +302,7 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () } // metric line must still print
     System.out.flush()
     val line = metricJson(merged, shortKey, sfDir, wallSec, calibStart,
-      calibEnd, toRetime.size)
+      calibEnd, retimeDetail)
     if (line.length > 1900) // headroom under the driver's 2000-byte tail
       System.err.println(s"[bench] WARNING metric line ${line.length} bytes")
     println(line)

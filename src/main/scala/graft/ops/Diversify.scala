@@ -51,7 +51,11 @@ object Diversify {
       .withColumn("_sq", cosTo(qVec))
       .withColumn("_maxSel", lit(null).cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cands.count()
+    val nCands = cands.count()
+    // once every candidate is picked the argmax aggregate returns a null
+    // struct and getLong would NPE opaquely — fail loudly up front instead
+    require(k <= nCands, s"mmrTopK: k=$k exceeds the $nCands candidate(s) " +
+      s"(corpus minus the query row); lower k or widen the candidate pool")
     var picked = Vector.empty[Long]
     for (_ <- 1 to k) {
       val score = when(col("_maxSel").isNull, col("_sq"))

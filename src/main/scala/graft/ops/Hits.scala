@@ -34,7 +34,10 @@ import org.apache.spark.storage.StorageLevel
   * GROUP key (src / dst) — the broadcast join preserves that
   * partitioning, so every per-round groupBy runs on co-located data and
   * the edge-sized shuffle is paid twice TOTAL, not twice per round. Past
-  * the broadcast ceiling (32 M nodes) the keyed-join form runs unchanged.
+  * the broadcast ceiling (1 M nodes — [[PageRank.BcastNodeCeiling]]; the
+  * table is re-broadcast every half-step) the keyed-join form runs
+  * unchanged, including the overflow guard: `rescaled` is shared by both
+  * regimes, so the raise_error projection is regime-independent.
   * Per-round localCheckpoint cuts the 2·iters-join lineage; output
   * sealed, all edge pins released ([[Pins]]).
   */
@@ -49,7 +52,8 @@ object Hits {
     * mass.
     */
   def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, bcastNodeCeiling: Long = PageRank.BcastNodeCeiling)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val edges = edgesDf
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -65,7 +69,15 @@ object Hits {
     // every groupBy lands on already-co-located data and the per-half-step
     // edge-sized shuffle disappears (2·iters shuffles → 2, paid once).
     // Past the broadcast ceiling the keyed-join form below runs unchanged.
-    val bcastScores = nodes.count() <= 32L * 1000 * 1000
+    // Ceiling = PageRank's 1M-node figure, NOT the 32M edge-payload
+    // threshold Triangles/RandomWalk use: the score table is a row-per-node
+    // hashed relation (~64 B/row driver-side), and it is re-broadcast
+    // 2·iters times (once per half-step) — 1M nodes ≈ 64 MB per broadcast
+    // is the most the driver should absorb every half-step. 32M would have
+    // meant two ~2 GiB collects+broadcasts per round: an OOM cliff.
+    // (bcastNodeCeiling is a test knob: the fallback-parity spec pins the
+    // keyed-join regime to the broadcast regime's exact output.)
+    val bcastScores = nodes.count() <= bcastNodeCeiling
     val edgesByDst = if (bcastScores)
       edges.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
       else edges

@@ -30,7 +30,8 @@ object KCore {
     * surviving subgraph.
     */
   def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      bcastNodeCeiling: Long = PageRank.BcastNodeCeiling): DataFrame = {
     require(rounds >= 1 && k >= 1, s"need rounds >= 1 and k >= 1")
     val spark = edgesDf.sparkSession
     val dir = edgesDf.select(
@@ -60,7 +61,7 @@ object KCore {
         .select("v")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val keepCount = keep0.count()
-      val keep = if (keepCount <= 1000000L) broadcast(keep0) else keep0
+      val keep = if (keepCount <= bcastNodeCeiling) broadcast(keep0) else keep0
       // drop every edge with a peeled endpoint (two semi-joins)
       val next0 = edges
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")

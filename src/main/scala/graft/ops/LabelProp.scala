@@ -29,7 +29,8 @@ object LabelProp {
     * (node_id, community) for every node incident to an edge.
     */
   def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, bcastNodeCeiling: Long = PageRank.BcastNodeCeiling)
+      : DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edgesDf.sparkSession
     val dir = edgesDf.select(
@@ -43,7 +44,7 @@ object LabelProp {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val broadcastLabels = n <= 1000000L
+    val broadcastLabels = n <= bcastNodeCeiling
     val edgesD = edges
       .repartition(if (broadcastLabels) col("dst") else col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -26,6 +26,16 @@ object PageRank {
 
   val Scale: Long = 1000000000000L // 1e12 mass units
 
+  /** Broadcast-regime ceiling for ROW-PER-NODE score/label tables that are
+    * re-broadcast every iteration (~64 B/row in the driver-built hashed
+    * relation → 1M nodes ≈ 64 MB per round): shared by PageRank, PPR,
+    * HITS and LabelProp. Edge-payload broadcasts (array-packed, 8–16
+    * B/row, built once) use the separate 32M figure in
+    * Triangles/RandomWalk. Overridable per call as a test knob so the
+    * keyed-join fallback regime is parity-testable on small graphs.
+    */
+  val BcastNodeCeiling: Long = 1000000L
+
   /** Run `iters` fixed iterations over a directed edge list (srcCol,
     * dstCol). The node universe is the SOURCE side: every node must have
     * out-degree ≥ 1, and a destination that never appears as a source (a
@@ -34,7 +44,7 @@ object PageRank {
     * sink-bearing inputs first. Returns (node_id, rank_scaled).
     */
   def run(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, bcastNodeCeiling: Long = BcastNodeCeiling): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edgesDf.sparkSession
     val edges = edgesDf
@@ -65,7 +75,7 @@ object PageRank {
     // accumulation is bounded by one round's table, not `iters` of them).
     // The round-7 10M cutoff risked ~640 MB/round re-broadcasts and
     // driver memory pressure right at the threshold.
-    val broadcastRanks = n <= 1000000L
+    val broadcastRanks = n <= bcastNodeCeiling
     // one prepared, co-partitioned edge table reused by every iteration
     val edgesD = edges.join(deg, "src")
       .repartition(if (broadcastRanks) col("dst") else col("src"))
@@ -134,7 +144,8 @@ object PageRank {
     * per-iteration edge shuffles.
     */
   def personalized(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, iters: Int): DataFrame = {
+      seeds: DataFrame, iters: Int,
+      bcastNodeCeiling: Long = BcastNodeCeiling): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edgesDf.sparkSession
     val edges = edgesDf
@@ -159,7 +170,7 @@ object PageRank {
     require(nSeedsInGraph == nSeeds,
       s"${nSeeds - nSeedsInGraph} seed(s) are not graph nodes — the " +
         "teleport mass would silently vanish; intersect the seed set first")
-    val broadcastRanks = n <= 1000000L
+    val broadcastRanks = n <= bcastNodeCeiling
     val edgesD = edges.join(deg, "src")
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -31,8 +31,16 @@ object RandomWalk {
   /** One walk of `steps` steps from every node of the symmetrized graph.
     * Returns (walk_id, step, node) — step 0 is the start node itself.
     */
+  /** Broadcast ceiling for the adjacency-ARRAY table: edge-payload rows
+    * (~16 B/edge packed in arrays, built ONCE — not re-broadcast per
+    * step), hence 32M edges ≈ 512 MB, not PageRank's per-round
+    * 1M-node figure. Overridable as a test knob (fallback-parity spec).
+    */
+  val BcastEdgeCeiling: Long = 32L * 1000 * 1000
+
   def walks(edgesDf: DataFrame, srcCol: String, dstCol: String,
-      steps: Int, seed: String = "rw"): DataFrame = {
+      steps: Int, seed: String = "rw",
+      bcastEdgeCeiling: Long = BcastEdgeCeiling): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val dir = edgesDf.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -42,7 +50,7 @@ object RandomWalk {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
-    if (m <= 32L * 1000 * 1000) {
+    if (m <= bcastEdgeCeiling) {
       // broadcast regime: dst-sorted neighbor arrays, one map-side join
       // per step, walk state never shuffles. The aggregate is PINNED:
       // each step of the final union re-derives its frontier prefix, and

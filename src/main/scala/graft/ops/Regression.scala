@@ -50,15 +50,27 @@ object Regression {
       col("sx").cast("double") * col("sx").cast("double")
     val denY = nD * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
+    // The constant-x / constant-y NULL contract is decided EXACTLY: once
+    // n·sxx or sx² passes 2⁵³ the double cancellation above can leave a
+    // tiny nonzero for a truly constant group (→ garbage slope instead of
+    // null). The zero TEST therefore runs in DECIMAL(38,0) integer
+    // arithmetic (exact while |n·sxx| < 10³⁸ — n ≤ 1e10 rows of |x| ≤ 1e9
+    // stays under that); the closed-form VALUES keep the double order
+    // above, which both engines replay identically.
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val denXExact = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val denYExact = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    val xVaries = denXExact =!= 0
+    val yVaries = denYExact =!= 0
     val slopeScaled = cov / denX // y still in 1e6 units
     def r6(c: Column): Column = graft.functions.Exact.roundPortable(c, 6)
     sums.select(col("grp").as(groupCol), col("n"),
-      r6(when(denX =!= 0.0, slopeScaled / 1000000.0)).as("slope"),
-      r6(when(denX =!= 0.0,
+      r6(when(xVaries, slopeScaled / 1000000.0)).as("slope"),
+      r6(when(xVaries,
         (col("sy").cast("double") / nD -
           slopeScaled * (col("sx").cast("double") / nD)) / 1000000.0))
         .as("intercept"),
-      r6(when(denX =!= 0.0 && denY =!= 0.0, cov * cov / (denX * denY)))
+      r6(when(xVaries && yVaries, cov * cov / (denX * denY)))
         .as("r2"))
   }
 }

@@ -374,12 +374,16 @@ object BehaviorQueries {
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
          |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+         |    CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) <> 0 AS x_varies,
+         |    CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) <> 0 AS y_varies,
          |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
          |  FROM s)
          |SELECT event_type, n,
-         |  ${r6("CASE WHEN denx <> 0 THEN (cov / denx) / 1000000.0 END")} AS slope,
-         |  ${r6("CASE WHEN denx <> 0 THEN (syd / CAST(n AS DOUBLE) - (cov / denx) * (sxd / CAST(n AS DOUBLE))) / 1000000.0 END")} AS intercept,
-         |  ${r6("CASE WHEN denx <> 0 AND deny <> 0 THEN cov * cov / (denx * deny) END")} AS r2
+         |  ${r6("CASE WHEN x_varies THEN (cov / denx) / 1000000.0 END")} AS slope,
+         |  ${r6("CASE WHEN x_varies THEN (syd / CAST(n AS DOUBLE) - (cov / denx) * (sxd / CAST(n AS DOUBLE))) / 1000000.0 END")} AS intercept,
+         |  ${r6("CASE WHEN x_varies AND y_varies THEN cov * cov / (denx * deny) END")} AS r2
          |FROM d ORDER BY event_type""".stripMargin) { (s, dir) =>
       graft.ops.Regression.groupedOls(Tables.events(s, dir), "event_type",
           hour(col("ts")), col("value"))

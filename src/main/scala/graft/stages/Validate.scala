@@ -229,9 +229,16 @@ object Validate {
       .select(col("episode_index"), col("video_front_uri"), col("video_wrist_uri"), col("rows"))
       .as[(Long, Option[String], Option[String], Option[Long])]
       .mapPartitions { it =>
+        // ONE persistent probe worker per partition (spawn cost amortized
+        // across the partition's files; one ffprobe invocation per file
+        // still — see Probe.Worker). Closed on task completion, success or
+        // failure, so no subprocess outlives its task.
+        val worker = new Probe.Worker()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => worker.close()))
         it.map { case (ep, vf, vw, rowsOpt) =>
           val issues = Seq(("front", vf), ("wrist", vw)).flatMap { case (cam, uriOpt) =>
-            val meta = uriOpt.flatMap(Probe.ffprobe)
+            val meta = uriOpt.flatMap(worker.probe)
             meta match {
               case None =>
                 Seq((s"${cam}_video_missing", uriOpt.getOrElse("null")))

@@ -18,8 +18,10 @@ object ScaleProbe {
     val sf = "/root/testdata/sf0.1"
     val docs0 = spark.read.parquet(s"$sf/documents.parquet")
     val n0 = docs0.count()
+    // offset by n0, not a round constant: keeps doc ids DENSE 0-based at
+    // 10×, which vocabGrowth's precondition now asserts
     val docs = (0 until 10).map { r =>
-      docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+      docs0.select((col("doc_id") + lit(r * n0)).as("doc_id"),
         concat(col("text"), lit(s" v$r")).as("text"), col("n_chars"), col("lang"))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"[probe] docs: ${docs.count()} (from $n0)")
@@ -60,12 +62,23 @@ object ScaleProbe {
       }
       import spark.implicits._
       val paths = (0 until 20000).map(i => s"/tmp/graft_fake_media/clip_$i.mp4")
-      for (parts <- Seq(32, 128, 512)) {
-        t(s"ffprobe 20k paths / $parts partitions (subprocess per file)") {
+      for (parts <- Seq(32, 128)) {
+        t(s"ffprobe 20k paths / $parts partitions (JVM spawn per file)") {
           val ds = spark.createDataset(paths).repartition(parts)
           val ok = ds.mapPartitions(it =>
             it.map(p => graft.ops.Probe.ffprobe(p).isDefined))
             .filter(x => x).count()
+          println(s"[probe]   probed ok: $ok / ${paths.size}" +
+            (if (ok == 0) "  (stub ffprobe not on PATH?)" else ""))
+        }
+        t(s"ffprobe 20k paths / $parts partitions (per-partition worker)") {
+          val ds = spark.createDataset(paths).repartition(parts)
+          val ok = ds.mapPartitions { it =>
+            val w = new graft.ops.Probe.Worker()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => w.close()))
+            it.map(p => w.probe(p).isDefined)
+          }.filter(x => x).count()
           println(s"[probe]   probed ok: $ok / ${paths.size}" +
             (if (ok == 0) "  (stub ffprobe not on PATH?)" else ""))
         }

@@ -65,8 +65,14 @@ class BenchRetimeSpec extends AnyFunSuite {
       (f"q$i%03d_gate_name_$i", sec, 0.03)
     }
 
+  // two retimed gates with their audit detail (name, orig, retry, calib)
+  private val retimeDetail = Seq(
+    ("q004_gate_name_4", 40.7, 4.9, 0.310),
+    ("q005_gate_name_5", 43.6, 50.0, 0.250))
+
   test("metricJson stays under the tail budget at 300 gates and parses") {
-    val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03, 2)
+    val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
+      retimeDetail)
     assert(line.length <= 1900, s"line is ${line.length} bytes")
     val node = jackson.readTree(line)
     assert(node.get("queries_n").asInt === 300)
@@ -95,7 +101,7 @@ class BenchRetimeSpec extends AnyFunSuite {
     // (1-digit to 3-digit counts, 2- to 4-digit seconds).
     for (budget <- Seq(600, 800, 1000, 1300, 1700)) {
       val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
-        2, byteBudget = budget)
+        retimeDetail, byteBudget = budget)
       assert(line.length <= budget,
         s"budget $budget: emitted ${line.length} bytes")
       assert(jackson.readTree(line).get("queries_n").asInt === 300)
@@ -103,7 +109,7 @@ class BenchRetimeSpec extends AnyFunSuite {
   }
 
   test("a small board still reports every gate inline") {
-    val line = Bench.metricJson(run, shortKey, "/sf", 100.0, 0.03, 0.03, 0)
+    val line = Bench.metricJson(run, shortKey, "/sf", 100.0, 0.03, 0.03, Nil)
     val node = jackson.readTree(line)
     assert(node.get("queries").size === run.size)
     assert(node.get("queries_omitted").asInt === 0)
@@ -111,10 +117,46 @@ class BenchRetimeSpec extends AnyFunSuite {
 
   test("fullJson carries every gate with its calib probe") {
     val node = jackson.readTree(
-      Bench.fullJson(bigRun, "/sf", 400.0, 0.03, 0.03, 2))
+      Bench.fullJson(bigRun, "/sf", 400.0, 0.03, 0.03, retimeDetail))
     assert(node.get("queries").size === 300)
     assert(node.get("queries").get(0).get("name").asText ===
       "q001_gate_name_1")
     assert(node.get("queries").get(0).get("calib_sec").asDouble === 0.03)
+  }
+
+  // ---- retime audit trail (round-10 verdict #7: retimed_n with no
+  // which/why forced the driver to guess) ----
+
+  test("the metric line names each retimed gate with orig/retry/reason") {
+    val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
+      retimeDetail)
+    val node = jackson.readTree(line)
+    assert(node.get("retimed_n").asInt === 2)
+    assert(node.get("retime_reason").asText.contains("contended window"))
+    val r = node.get("retimed")
+    assert(r.size === 2)
+    assert(r.get(0).get("q").asText === "q004")
+    assert(r.get(0).get("orig").asDouble === 40.7)
+    assert(r.get(0).get("retry").asDouble === 4.9)
+    assert(r.get(0).get("trailing_calib").asDouble === 0.31)
+  }
+
+  test("no retimes → empty audit fields, and the cap keeps the line bounded") {
+    val clean = jackson.readTree(
+      Bench.metricJson(run, shortKey, "/sf", 100.0, 0.03, 0.03, Nil))
+    assert(clean.get("retimed_n").asInt === 0)
+    assert(clean.get("retimed").size === 0)
+    // pathological: 50 retimed gates must not blow the stdout budget
+    val many = (1 to 50).map(i => (f"q$i%03d_g", 10.0, 1.0, 0.3))
+    val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
+      many)
+    assert(line.length <= 1700, s"line is ${line.length} bytes")
+    val node = jackson.readTree(line)
+    assert(node.get("retimed").size === 8) // capped
+    assert(node.get("retimed_truncated").asInt === 42)
+    // fullJson is uncapped — the complete trail is always recoverable
+    val full = jackson.readTree(
+      Bench.fullJson(bigRun, "/sf", 400.0, 0.03, 0.03, many))
+    assert(full.get("retimed").size === 50)
   }
 }

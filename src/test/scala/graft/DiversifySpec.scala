@@ -70,4 +70,14 @@ class DiversifySpec extends SparkSuite {
       .collect().map(_.getLong(1)).toSet
     assert(got == Set(1L, 2L, 3L, 4L))
   }
+
+  test("k past the candidate count fails loudly up front, not via NPE") {
+    import spark.implicits._
+    val df = (0L to 2L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Diversify.mmrTopK(df, "vec_id", "embedding", 0L, 3, 0.5)
+    }
+    assert(e.getMessage.contains("exceeds the 2 candidate"))
+  }
 }

@@ -27,6 +27,49 @@ class ProbeSpec extends SparkSuite {
     assert(Probe.ffprobe("/nonexistent/file.mp4") === None)
   }
 
+  test("probe worker degrades identically to one-shot without a binary") {
+    val w = new Probe.Worker()
+    try {
+      // the worker shell stays alive across per-file failures (exit 127 =
+      // ffprobe missing) — every probe degrades to None, never crashes
+      (1 to 5).foreach(i => assert(w.probe(s"/nonexistent/v$i.mp4") === None))
+      assert(w.probe(null) === None)
+      assert(w.probe("/tmp/has\nnewline.mp4") === None) // one-shot fallback
+    } finally w.close()
+    w.close() // idempotent
+  }
+
+  test("probe worker speaks the full line protocol against a stub ffprobe") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    val binDir = Files.createTempDirectory("graft_stub_bin")
+    val stub = binDir.resolve("ffprobe")
+    // last arg is the path; emit multi-line JSON exactly like the real tool
+    Files.write(stub,
+      ("#!/bin/sh\n" +
+        "for last; do :; done\n" +
+        "case \"$last\" in *bad*) exit 1;; esac\n" +
+        "cat <<EOF\n" +
+        "{\n  \"streams\": [{\n    \"nb_frames\": \"100\",\n" +
+        "    \"r_frame_rate\": \"30000/1001\",\n" +
+        "    \"avg_frame_rate\": \"30/1\",\n    \"duration\": \"3.34\"\n" +
+        "  }]\n}\nEOF\n").getBytes("UTF-8"))
+    Files.setPosixFilePermissions(stub, PosixFilePermissions.fromString("rwxr-xr-x"))
+    val w = new Probe.Worker(Some(binDir.toString))
+    try {
+      val m = w.probe("/tmp/clip_ok.mp4")
+      assert(m.isDefined, "stub probe must parse")
+      assert(m.get.nbFrames === Some(100L))
+      assert(m.get.avgFps === Some(30.0))
+      assert(m.get.duration === Some(3.34))
+      // a failing file mid-stream must NOT poison the worker
+      assert(w.probe("/tmp/clip_bad.mp4") === None)
+      assert(w.probe("/tmp/clip_ok2.mp4").isDefined)
+      // many sequential probes over ONE worker (the amortization claim)
+      assert((1 to 200).forall(i => w.probe(s"/tmp/clip_$i.mp4").isDefined))
+    } finally w.close()
+  }
+
   test("validate with video checks flags missing/unreadable videos") {
     val root = tmpDir("probe_fix")
     dataset(spark, root, Map(0L -> cleanFrames(0, 10)),

@@ -49,4 +49,17 @@ class RegressionSpec extends SparkSuite {
     assert(r.getDouble(2) == r6((cov / denX) / 1e6))
     assert(r.getDouble(4) == r6(cov * cov / (denX * (n * syy - sy * sy))))
   }
+
+  test("constant-x null contract survives double cancellation error") {
+    import spark.implicits._
+    // x = 100000007 over n = 5 rows: n·sxx and sx² both pass 2⁵³, and the
+    // DOUBLE cancellation leaves denX = 32.0 (nonzero!) for a group whose
+    // x never varies — the old denX != 0.0 gate emitted a garbage slope
+    // here. The DECIMAL zero-test must yield null slope/intercept/r2.
+    val x = 100000007L
+    val df = (1 to 5).map(i => ("g", x, i.toDouble)).toDF("grp", "x", "y")
+    val r = Regression.groupedOls(df, "grp", col("x"), col("y")).head()
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+      s"constant-x group must null out: got $r")
+  }
 }

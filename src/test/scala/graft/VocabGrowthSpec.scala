@@ -31,11 +31,35 @@ class VocabGrowthSpec extends SparkSuite {
 
   test("last checkpoint covers the whole corpus") {
     import spark.implicits._
-    val df = Seq((0L, "x y"), (7L, "y z")).toDF("doc_id", "text")
+    val df = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
     val got = Corpus.vocabGrowth(df, "doc_id", "text", 8)
       .orderBy("i").collect()
-    assert(got.last.getLong(1) == 8L)   // prefix_docs = n at i = points
+    assert(got.last.getLong(1) == 2L)   // prefix_docs = n at i = points
     assert(got.last.getLong(2) == 4L)   // all tokens
     assert(got.last.getLong(3) == 3L)   // {x, y, z}
+  }
+
+  test("sparse or non-0-based ids are rejected, not silently inflated") {
+    import spark.implicits._
+    // ids {0, 7}: the old behavior reported prefix_docs up to 8 for a
+    // 2-doc corpus — the dense-id precondition is now asserted up front
+    val sparse = Seq((0L, "x y"), (7L, "y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.vocabGrowth(sparse, "doc_id", "text", 4)
+    }
+    assert(e.getMessage.contains("dense 0-based"))
+    val oneBased = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.vocabGrowth(oneBased, "doc_id", "text", 2)
+    }
+  }
+
+  test("empty corpus fails loudly instead of NPE-ing on the null max") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.vocabGrowth(empty, "doc_id", "text", 4)
+    }
+    assert(e.getMessage.contains("empty corpus"))
   }
 }
