@@ -20,6 +20,50 @@ object Bench {
     results.collect { case (name, sec, calib)
       if sec >= 0 && calib > baselineCalib * factor => name }
 
+  /** The K slowest successful gates, re-timed warm after the main pass
+    * (round-10 verdict #1): a single-shot reading of a JIT-heavy gate
+    * mixes cold-start (codegen class loading, C2 compilation of its
+    * kernels) into the engine cost, which is why the heavy closure/LSH
+    * gates showed 2–4× run-to-run spread with clean calib probes. The
+    * second, warm run is the steady-state estimate; both runs upper-bound
+    * the engine's cost, so min-of-runs is honest — and the retime audit
+    * trail in the artifact shows both readings.
+    */
+  def topSlowest(results: Seq[(String, Double, Double)], k: Int = 12)
+      : Seq[String] =
+    results.filter(_._2 >= 0).sortBy(-_._2).take(k).map(_._1)
+
+  /** The full retime policy, pure for the spec. Three reasons compose:
+    *  - "calib": trailing probe > 3× run-best — timed in a contended
+    *    window (round-7 pathology);
+    *  - "slowest": top-K by reading — their one-shot numbers carry JIT
+    *    cold-start (round-10 verdict #1);
+    *  - "slow3s": ANY gate over `slowSec` — on a steady sf0.1 run only
+    *    the genuinely heavy gates cross 3 s, so under contention this is
+    *    exactly the set whose readings are suspect (the round-11 repro:
+    *    a mid-run host disturbance inflated ~25 mid-tier gates 2–5× while
+    *    their trailing calibs stayed clean — CPU probes can't see
+    *    IO/memory-bandwidth contention).
+    * Capped at `cap` slowest-first: a fully-degraded run re-times a
+    * bounded suffix, not the whole board.
+    */
+  def retimeCandidates(results: Seq[(String, Double, Double)],
+      baselineCalib: Double, k: Int = 12, slowSec: Double = 3.0,
+      cap: Int = 40): Seq[(String, String)] = {
+    val why = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+    def add(n: String, w: String): Unit =
+      why(n) = why.getOrElse(n, Nil) :+ w
+    contendedGates(results, baselineCalib).foreach(add(_, "calib"))
+    topSlowest(results, k).foreach(add(_, "slowest"))
+    results.collect { case (n, s, _) if s >= slowSec => n }
+      .foreach(add(_, "slow3s"))
+    val secOf = results.map { case (n, s, _) => n -> s }.toMap
+    why.toSeq
+      .map { case (n, ws) => (n, ws.distinct.mkString("+")) }
+      .sortBy { case (n, _) => -secOf.getOrElse(n, 0.0) }
+      .take(cap)
+  }
+
   /** Min-of-runs merge: a retime only ever LOWERS a reading (both runs are
     * upper bounds on the engine's cost; contention inflates, never
     * deflates). A failed retry (-1) keeps the original.
@@ -62,25 +106,26 @@ object Bench {
     * stdout byte budget — the full detail is always on stderr + in
     * bench_last.json.
     */
-  def retimedJson(detail: Seq[(String, Double, Double, Double)],
+  def retimedJson(detail: Seq[(String, Double, Double, Double, String)],
       cap: Int = 8): String = {
-    val entries = detail.take(cap).map { case (q, orig, retry, calib) =>
+    val entries = detail.take(cap).map { case (q, orig, retry, calib, why) =>
       s"""{"q":"$q","orig":${cs(orig)},"retry":${cs(retry)},""" +
-        s""""trailing_calib":${ms(calib)}}"""
+        s""""trailing_calib":${ms(calib)},"why":"$why"}"""
     }.mkString("[", ",", "]")
     val trunc = if (detail.size > cap)
       s""","retimed_truncated":${detail.size - cap}""" else ""
     s""""retimed_n":${detail.size},"retime_reason":""" +
       (if (detail.isEmpty) "\"\"" else
-        "\"trailing calib > 3x run-best probe (contended window); " +
-          "min-of-runs shipped\"") +
+        "\"calib: trailing probe > 3x run-best (contended window); " +
+          "slowest: top-K steady confirm (warm re-run); min-of-runs " +
+          "shipped, both readings above\"") +
       s""","retimed":$entries$trunc"""
   }
 
   def metricJson(merged: Seq[(String, Double, Double)],
       shortKey: String => String, sfDir: String, wallSec: Double,
       calibStart: Double, calibEnd: Double,
-      retimeDetail: Seq[(String, Double, Double, Double)],
+      retimeDetail: Seq[(String, Double, Double, Double, String)],
       byteBudget: Int = 1700): String = {
     val total = merged.map(_._2).filter(_ >= 0).sum
     val calibs = merged.map(_._3)
@@ -88,8 +133,13 @@ object Bench {
     val calibMax = if (calibs.isEmpty) 0.0 else calibs.max
     val calibArgmax =
       if (merged.isEmpty) "" else shortKey(merged.maxBy(_._3)._1)
-    def line(entries: Seq[(String, Double)], omittedN: Int,
-        omittedSec: Double): String = {
+    val retimeShort = retimeDetail.map { case (q, o, r, c, w) =>
+      (shortKey(q), o, r, c, w) }
+    // the retime audit yields bytes to the query map under tight budgets:
+    // pick the largest per-entry cap whose EMPTY-queries line still fits
+    // (retimed_n + the reason string always survive)
+    def line0(entries: Seq[(String, Double)], omittedN: Int,
+        omittedSec: Double, retimeCap: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + cs(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
@@ -98,9 +148,14 @@ object Bench {
         s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
         s""""calib_end_sec":${ms(calibEnd)},"calib_min_sec":${ms(calibMin)},""" +
         s""""calib_max_sec":${ms(calibMax)},"calib_argmax":"$calibArgmax",""" +
-        retimedJson(retimeDetail.map { case (q, o, r, c) =>
-          (shortKey(q), o, r, c) }) + "}"
+        retimedJson(retimeShort, retimeCap) + "}"
     }
+    val retimeCap = Seq(8, 4, 2, 1, 0)
+      .find(c => line0(Nil, merged.size, total, c).length <= byteBudget)
+      .getOrElse(0)
+    def line(entries: Seq[(String, Double)], omittedN: Int,
+        omittedSec: Double): String =
+      line0(entries, omittedN, omittedSec, retimeCap)
     // failed gates first (never dropped), then slowest-first
     val ordered = merged.map { case (n, s, _) => (shortKey(n), s) }
       .sortBy { case (_, s) => (if (s < 0) Double.MinValue else -s) }
@@ -131,7 +186,7 @@ object Bench {
     */
   def fullJson(merged: Seq[(String, Double, Double)], sfDir: String,
       wallSec: Double, calibStart: Double, calibEnd: Double,
-      retimeDetail: Seq[(String, Double, Double, Double)]): String = {
+      retimeDetail: Seq[(String, Double, Double, Double, String)]): String = {
     val total = merged.map(_._2).filter(_ >= 0).sum
     val qs = merged.map { case (n, s, c) =>
       s"""{"name":"$n","sec":${ms(s)},"calib_sec":${ms(c)}}"""
@@ -157,50 +212,22 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT the interpreted higher-order-expression paths,
-    // whole-stage codegen, shuffle and window machinery once, so the first
-    // timed query measures the engine, not JVM cold start.
-    locally {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val d = spark.range(0, 20000)
-        .select(col("id"), transform(sequence(lit(0), lit(15)),
-          i => i.cast("double") * 0.5).as("v"))
-      d.select(
-          aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
-            lit(0.0), (a, x) => a + x).as("dot"),
-          conv(substring(md5(concat_ws(":", lit("w"), col("id"))), 1, 15), 16, 10).as("h"),
-          row_number().over(Window.partitionBy(col("id") % 16).orderBy("id")).as("rn"))
-        .groupBy("rn").count().count()
-      // streaming machinery (micro-batch engine, state store provider,
-      // memory sink) — first streaming query otherwise pays ~5 s of init
-      val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
-      spark.range(0, 1000)
-        .select(expr("timestamp_micros(id * 1000000)").as("ts"), (col("id") % 7).as("k"))
-        .write.mode("overwrite").parquet(warmDir)
-      def warmStream(qname: String)(build: org.apache.spark.sql.DataFrame =>
-          (org.apache.spark.sql.DataFrame, String)): Unit = {
-        val src = spark.readStream.schema("ts TIMESTAMP, k BIGINT").parquet(warmDir)
-        val (out, mode) = build(src)
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode(mode).start()
-        q.processAllAvailable(); q.stop(); q.awaitTermination()
-      }
-      // each stateful operator has its own state format/codegen to warm
-      warmStream("_bw_window") { s =>
-        (s.withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 minute"), col("k")).count(), "complete")
-      }
-      warmStream("_bw_session") { s =>
-        (s.withWatermark("ts", "1 hour")
-          .groupBy(session_window(col("ts"), "1 minute"), col("k")).count(), "complete")
-      }
-      warmStream("_bw_mgws") { s =>
-        (streaming.EventStream.runningUserCounts(spark,
-          s.selectExpr("k AS user_id", "CAST(k AS DOUBLE) AS value")), "update")
-      }
-      spark.catalog.clearCache()
-    }
+    // NO untimed warmup block — deliberately (round-11 finding). The old
+    // warmup (a 20k-row aggregate(zip_with)+md5+window pass plus three
+    // throwaway streaming queries) was A/B-measured against an otherwise
+    // identical run and turned out to be the round-10 "in-bench inflation"
+    // mechanism: with it, the higher-order-function-heavy embedding gates
+    // (q70, q102–q107, q118, q162) ran 2–4× their steady time (+33 s over
+    // the run); without it, every one of them landed on its isolated-
+    // steady number. Consistent with JIT call-site profile pollution: the
+    // warmup's lambda shapes train the shared generic-evaluator call sites
+    // that the vector kernels then hit with different shapes. The warmup
+    // also bought nothing — first-gate and first-streaming-gate costs were
+    // unchanged without it (q01 4.4 vs 4.1 s cold either way; streaming
+    // family 38.5 vs 40.7 s). Cold-start is handled where it belongs: the
+    // top-K steady retime below re-times the slowest gates warm and ships
+    // min-of-runs, which absorbs first-run JIT/cold effects per-gate
+    // instead of pre-biasing the whole JVM.
     // Fixed single-thread CPU probe (~20 ms), run before the first query,
     // after EVERY query, and after the last: if the host degrades
     // mid-bench (external contention — rounds 2-4 all showed a mid-run
@@ -249,7 +276,11 @@ object Bench {
     // it once, report BOTH measurements on stderr, and put min-of-runs in
     // the metric line (both runs upper-bound the engine's cost).
     val baselineCalib = (calibStart +: results.map(_._3)).min
-    val toRetime = contendedGates(results, baselineCalib)
+    // One warm second run + min-of-runs merge for every suspect reading
+    // (policy + rationale: retimeCandidates scaladoc)
+    val candidates = retimeCandidates(results, baselineCalib)
+    val whyRetime: Map[String, String] = candidates.toMap
+    val toRetime = candidates.map(_._1)
     val retimed: Map[String, Double] = toRetime.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -269,7 +300,7 @@ object Bench {
     // calib probe that triggered the retime
     val retimeDetail = results.collect {
       case (name, orig, calib) if retimed.contains(name) =>
-        (name, orig, retimed(name), calib)
+        (name, orig, retimed(name), calib, whyRetime(name))
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()

@@ -126,6 +126,125 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // round-11: probes for the round-10 batch 3-7 newcomers (verdict #2):
+    //   tools/run_verify.sh graft.tools.ScaleProbe r11
+    if (args.contains("r11")) {
+      import spark.implicits._
+      // CUSUM over a 1M-period grid (≈2700 years of daily periods — far
+      // past any real grid): the op's windows are GLOBAL-order over the
+      // grid by design (grid-sized ≪ event-log-sized), so this measures
+      // the single-reducer ceiling of that design decision.
+      val grid = spark.range(1000000L).select(col("id").as("p"),
+        (pmod(xxhash64(col("id")), lit(1000L)) + 1L).as("n"))
+        .repartition(64).cache()
+      println(s"[probe] cusum grid: ${grid.count()}")
+      t("cusum 1M-period grid (global-order window)") {
+        val r = graft.ops.TimeSeries.cusum(grid, "p", "n", 1, 100)
+        println(s"[probe]   alarms: ${r.agg(sum("is_alarm")).head().getLong(0)}")
+      }
+      // Mann-Whitney over 10M values (100× the gate): two-pass PrefixSum,
+      // no global window — the whole test is distinct-value-table-sized.
+      val mw = spark.range(10000000L).select(
+        (pmod(xxhash64(col("id")), lit(100000L)).cast("double") / 100.0).as("v"),
+        (col("id") % 3 === 0).as("in_a")).repartition(64).cache()
+      println(s"[probe] mann-whitney rows: ${mw.count()}")
+      t("mannWhitney 10M rows (~100k distinct values)") {
+        graft.ops.RankTest.mannWhitney(mw, col("v"), col("in_a"))
+          .collect().foreach(r => println(s"[probe]   $r"))
+      }
+      // jsDrift at 10×: 500k docs, vocab-sized joins — one corpus shuffle.
+      t("jsDrift 500k docs by lang") {
+        println("[probe]   rows: " +
+          graft.ops.Corpus.jsDrift(docs, "lang", "text").count())
+      }
+      // Personalized PageRank at 10×: a 2M-node synthetic graph — ABOVE
+      // the 1M-node broadcast ceiling, so this runs the keyed-join
+      // fallback regime at scale (verdict #4's missing measurement).
+      val m = 6000000L
+      val ed = spark.range(m).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(2000000L)).as("src"),
+          pmod(xxhash64(col("id"), lit(2)), lit(2000000L)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val und = ed.unionByName(
+        ed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(64).cache()
+      println(s"[probe] ppr edges (sym): ${und.count()}")
+      val seeds = spark.range(2000000L).select(col("id").as("v"))
+        .where(pmod(xxhash64(col("id"), lit(1)), lit(2000000L)) >= 0 &&
+          col("id") % 1000 === 0)
+        // seeds must be graph nodes: intersect with actual sources
+        .join(und.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+      t("personalized pagerank 2M nodes / 12M edges, 3 iters (keyed-join regime)") {
+        println("[probe]   rows: " + graft.ops.PageRank
+          .personalized(und, "src", "dst", seeds, 3).count())
+      }
+      // Dynamic-gap streaming sessions at 10×: replay a 10×-replicated
+      // event log through the real micro-batch engine (memory sink).
+      val ev0 = graft.Tables.events(spark, sf)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      val evDir = java.nio.file.Files.createTempDirectory("probe_ev").toString
+      (0 until 10).map(r => ev0.select(col("ts"),
+          (col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("value")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evDir)
+      t("dynamicSessionAgg 10x events through the micro-batch engine") {
+        val src = spark.readStream
+          .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .parquet(evDir)
+        val q = graft.streaming.EventStream.dynamicSessionAgg(src)
+          .writeStream.format("memory").queryName("_probe_dyn")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        println("[probe]   sessions: " +
+          spark.table("_probe_dyn").count())
+      }
+      // MMR at 100×: k=50 over a 2M-vector candidate pool. Greedy MMR is
+      // k sequential corpus passes WITH a per-round localCheckpoint of the
+      // candidate table — the probe prints s/round so the candidate-pool
+      // cap guidance below is a measured number, not a guess.
+      val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val embN = emb0.count()
+      val emb100 = (0 until 100).map { r =>
+        emb0.select((col("vec_id") + lit(r * embN)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(r.toFloat / 997f))
+            .as("embedding"))
+      }.reduce(_ unionByName _).repartition(64).cache()
+      println(s"[probe] mmr candidates: ${emb100.count()}")
+      t("mmrTopK k=50 over 2M candidates (k driver-looped rounds)") {
+        println("[probe]   picks: " + graft.ops.Diversify
+          .mmrTopK(emb100, "vec_id", "embedding", 0L, 50, 0.5).count())
+      }
+      // A6 decision refresh (round-10 verdict #5): the round-9 bench that
+      // justified "no custom Aggregator" predates the q01/q99
+      // percentile_approx columns computeFromFrames now carries. Re-time
+      // the CURRENT posexplode shape (with both sketches) against the
+      // typed-Aggregator moments-only fold at the same 5M×32 scale.
+      val frames = spark.range(5000000L).select(
+        transform(sequence(lit(0), lit(31)),
+          d => (pmod(xxhash64(col("id"), d), lit(1000L)).cast("double")
+            - 500.0) / 100.0).as("v"))
+        .repartition(64).cache()
+      println(s"[probe] frames100x: ${frames.count()} dim=32")
+      t("vecStats CURRENT shape: posexplode + builtins + q01/q99 sketches") {
+        val agg = frames
+          .select(posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), avg("x").as("mean"),
+            stddev_pop("x").as("std"), min("x").as("mn"), max("x").as("mx"),
+            percentile_approx(col("x"), lit(0.01), lit(100000)).as("q01"),
+            percentile_approx(col("x"), lit(0.99), lit(100000)).as("q99"))
+          .orderBy("dim").collect()
+        println(f"[probe]   dim0 mean=${agg.head.getDouble(2)}%.6f " +
+          f"q01=${agg.head.getDouble(6)}%.4f n=${agg.head.getLong(1)}")
+      }
+      t("vecStats typed Aggregator single pass (moments only — no sketch)") {
+        val agg = new VecStatsAgg(32)
+        val row = frames.as[Seq[Double]].select(agg.toColumn).head()
+        println(f"[probe]   dim0 mean=${row(1) / row(0)}%.6f n=${row(0).toLong}")
+      }
+      spark.stop(); return
+    }
     if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {

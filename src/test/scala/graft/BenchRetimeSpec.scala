@@ -65,10 +65,10 @@ class BenchRetimeSpec extends AnyFunSuite {
       (f"q$i%03d_gate_name_$i", sec, 0.03)
     }
 
-  // two retimed gates with their audit detail (name, orig, retry, calib)
+  // two retimed gates with their audit detail (name, orig, retry, calib, why)
   private val retimeDetail = Seq(
-    ("q004_gate_name_4", 40.7, 4.9, 0.310),
-    ("q005_gate_name_5", 43.6, 50.0, 0.250))
+    ("q004_gate_name_4", 40.7, 4.9, 0.310, "calib+slowest"),
+    ("q005_gate_name_5", 43.6, 50.0, 0.250, "slowest"))
 
   test("metricJson stays under the tail budget at 300 gates and parses") {
     val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
@@ -139,6 +139,30 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(r.get(0).get("orig").asDouble === 40.7)
     assert(r.get(0).get("retry").asDouble === 4.9)
     assert(r.get(0).get("trailing_calib").asDouble === 0.31)
+    assert(r.get(0).get("why").asText === "calib+slowest")
+  }
+
+  test("topSlowest picks the K slowest successful gates, skipping failures") {
+    val top = Bench.topSlowest(run, k = 3)
+    assert(top === Seq("q05_e", "q04_d", "q06_f")) // q08 failed (-1): excluded
+    assert(Bench.topSlowest(run, k = 100).size === run.count(_._2 >= 0))
+  }
+
+  test("retimeCandidates composes calib/slowest/slow3s with a slowest-first cap") {
+    val cands = Bench.retimeCandidates(run, idle, k = 2, slowSec = 3.0,
+      cap = 40).toMap
+    // q04/q05: contended AND top-2 AND over 3 s
+    assert(cands("q04_d") === "calib+slowest+slow3s")
+    assert(cands("q05_e") === "calib+slowest+slow3s")
+    // q06: contended + over 3 s but not top-2
+    assert(cands("q06_f") === "calib+slow3s")
+    // failures are never candidates (q08 has the worst calib of the run)
+    assert(!cands.contains("q08_h"))
+    // sub-3 s clean gates are untouched
+    assert(!cands.contains("q01_a") && !cands.contains("q09_i"))
+    // the cap keeps a fully-degraded run bounded, slowest first
+    val capped = Bench.retimeCandidates(run, idle, cap = 2)
+    assert(capped.map(_._1) === Seq("q05_e", "q04_d"))
   }
 
   test("no retimes → empty audit fields, and the cap keeps the line bounded") {
@@ -147,7 +171,7 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(clean.get("retimed_n").asInt === 0)
     assert(clean.get("retimed").size === 0)
     // pathological: 50 retimed gates must not blow the stdout budget
-    val many = (1 to 50).map(i => (f"q$i%03d_g", 10.0, 1.0, 0.3))
+    val many = (1 to 50).map(i => (f"q$i%03d_g", 10.0, 1.0, 0.3, "calib"))
     val line = Bench.metricJson(bigRun, shortKey, "/sf", 400.0, 0.03, 0.03,
       many)
     assert(line.length <= 1700, s"line is ${line.length} bytes")
