@@ -7,6 +7,79 @@ import graft.functions.TextAnalysis
 /** One-off 10x scale probe (dev): documents/embeddings replicated 10x with
   * perturbed ids; times the quadratic-risk operators. */
 object ScaleProbe {
+
+  /** A6 decision refresh (round-10 verdict #5): the round-9 bench that
+    * justified "no custom Aggregator" predates the q01/q99 percentile
+    * sketches computeFromFrames carries. Three shapes at 5M×32 (160M
+    * values): (a) the ROUND-10 shape (two independent percentile_approx
+    * sketches at accuracy 1e5) — measured 108 s, the sketch build IS the
+    * cost; (b) the SHIPPED round-11 shape (ONE sketch for both tails at
+    * the default 1e4 accuracy); (c) the typed-Aggregator moments fold —
+    * fast but structurally unable to produce percentiles, so it stays
+    * benchmark-only unless the sketches are dropped.
+    */
+  private def vecStatsProbes(spark: SparkSession,
+      t: String => (=> Any) => Any): Unit = {
+    import spark.implicits._
+    val frames = spark.range(5000000L).select(
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000L)).cast("double")
+          - 500.0) / 100.0).as("v"))
+      .repartition(64).cache()
+    println(s"[probe] frames100x: ${frames.count()} dim=32")
+    def moments = Seq(count(lit(1)).as("n"), avg("x").as("mean"),
+      stddev_pop("x").as("std"), min("x").as("mn"), max("x").as("mx"))
+    t("vecStats r10 shape: two percentile_approx sketches, accuracy 1e5") {
+      val agg = frames.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(moments.head, (moments.tail :+
+          percentile_approx(col("x"), lit(0.01), lit(100000)).as("q01") :+
+          percentile_approx(col("x"), lit(0.99), lit(100000)).as("q99")): _*)
+        .orderBy("dim").collect()
+      println(f"[probe]   dim0 mean=${agg.head.getDouble(2)}%.6f " +
+        f"q01=${agg.head.getDouble(6)}%.4f n=${agg.head.getLong(1)}")
+    }
+    t("vecStats SHIPPED shape: one two-tail sketch, default 1e4 accuracy") {
+      val agg = frames.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(moments.head, (moments.tail :+
+          percentile_approx(col("x"), array(lit(0.01), lit(0.99)),
+            lit(10000)).as("qq")): _*)
+        .orderBy("dim").collect()
+      println(f"[probe]   dim0 mean=${agg.head.getDouble(2)}%.6f " +
+        f"q01=${agg.head.getAs[Seq[Double]]("qq").head}%.4f " +
+        f"n=${agg.head.getLong(1)}")
+    }
+    t("vecStats typed Aggregator single pass (moments only — no sketch)") {
+      val agg = new VecStatsAgg(32)
+      val row = frames.as[Seq[Double]].select(agg.toColumn).head()
+      println(f"[probe]   dim0 mean=${row(1) / row(0)}%.6f n=${row(0).toLong}")
+    }
+    t("vecStats SHIPPED r11 shape: moments pass + fixed-width histogram tails") {
+      // the exact computeFromFrames decomposition over a synthetic frame
+      // table (it expects the episode schema, so replay its two passes)
+      val dims = frames.select(posexplode(col("v")).as(Seq("dim", "x")))
+      val agg = dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), avg("x").as("mean"),
+          stddev_pop("x").as("std"), min("x").as("mn"), max("x").as("mx"))
+        .orderBy("dim").collect()
+      val ranges = spark.createDataFrame(agg.map(r =>
+        (r.getAs[Int]("dim"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+        .toSeq).toDF("dim", "_lo", "_hi")
+      val bins = graft.stages.Stats.HistBins
+      val b = least(lit(bins - 1), greatest(lit(0),
+        when(col("_hi") > col("_lo"),
+          floor((col("x") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
+            .cast("int")).otherwise(lit(0))))
+      val hist = dims.join(broadcast(ranges), "dim")
+        .groupBy(col("dim"), b.as("_b")).agg(count(lit(1)).as("_c"))
+        .collect()
+      println(s"[probe]   hist cells: ${hist.length} " +
+        s"(grid max ${32 * bins}); dim0 mean=${agg.head.getDouble(2)}")
+    }
+    frames.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -215,35 +288,11 @@ object ScaleProbe {
         println("[probe]   picks: " + graft.ops.Diversify
           .mmrTopK(emb100, "vec_id", "embedding", 0L, 50, 0.5).count())
       }
-      // A6 decision refresh (round-10 verdict #5): the round-9 bench that
-      // justified "no custom Aggregator" predates the q01/q99
-      // percentile_approx columns computeFromFrames now carries. Re-time
-      // the CURRENT posexplode shape (with both sketches) against the
-      // typed-Aggregator moments-only fold at the same 5M×32 scale.
-      val frames = spark.range(5000000L).select(
-        transform(sequence(lit(0), lit(31)),
-          d => (pmod(xxhash64(col("id"), d), lit(1000L)).cast("double")
-            - 500.0) / 100.0).as("v"))
-        .repartition(64).cache()
-      println(s"[probe] frames100x: ${frames.count()} dim=32")
-      t("vecStats CURRENT shape: posexplode + builtins + q01/q99 sketches") {
-        val agg = frames
-          .select(posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("dim")
-          .agg(count(lit(1)).as("n"), avg("x").as("mean"),
-            stddev_pop("x").as("std"), min("x").as("mn"), max("x").as("mx"),
-            percentile_approx(col("x"), lit(0.01), lit(100000)).as("q01"),
-            percentile_approx(col("x"), lit(0.99), lit(100000)).as("q99"))
-          .orderBy("dim").collect()
-        println(f"[probe]   dim0 mean=${agg.head.getDouble(2)}%.6f " +
-          f"q01=${agg.head.getDouble(6)}%.4f n=${agg.head.getLong(1)}")
-      }
-      t("vecStats typed Aggregator single pass (moments only — no sketch)") {
-        val agg = new VecStatsAgg(32)
-        val row = frames.as[Seq[Double]].select(agg.toColumn).head()
-        println(f"[probe]   dim0 mean=${row(1) / row(0)}%.6f n=${row(0).toLong}")
-      }
+      vecStatsProbes(spark, t)
       spark.stop(); return
+    }
+    if (args.contains("vecstats")) {
+      vecStatsProbes(spark, t); spark.stop(); return
     }
     if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))

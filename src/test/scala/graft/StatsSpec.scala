@@ -124,6 +124,24 @@ class StatsSpec extends SparkSuite {
     val rt = graft.core.StatsDoc.parse(text).get
     assert(rt.features("action").q01 === gs.features("action").q01)
     assert(rt.features("action").q99 === gs.features("action").q99)
+
+    // VALUE-error contract of the histogram tails (round-11 rework): each
+    // estimate is within one bucket width (max−min)/HistBins of the exact
+    // ceil(p·n)-rank order statistic, per dimension
+    import org.apache.spark.sql.functions.{col => fcol}
+    val k = features.head
+    val f = gs.features(k)
+    val raw = Episodes.readDataDir(spark, s"$root/data")
+    f.mean.indices.foreach { d =>
+      val vals = raw.select(fcol(k).getItem(d).cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      def exact(p: Double) = vals(((vals.length * p).ceil.toInt - 1).max(0))
+      val width = (f.max(d) - f.min(d)) / Stats.HistBins
+      assert(math.abs(f.q01.get(d) - exact(0.01)) <= width + 1e-12,
+        s"$k dim $d q01 off by more than a bucket")
+      assert(math.abs(f.q99.get(d) - exact(0.99)) <= width + 1e-12,
+        s"$k dim $d q99 off by more than a bucket")
+    }
   }
 
   test("full run writes a parseable global_stats.json") {
