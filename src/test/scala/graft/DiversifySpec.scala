@@ -71,6 +71,29 @@ class DiversifySpec extends SparkSuite {
     assert(got == Set(1L, 2L, 3L, 4L))
   }
 
+  test("poolCap: non-binding cap is a no-op; binding cap keeps top relevance") {
+    import spark.implicits._
+    // 20 candidates on distinct rays → distinct query similarities
+    val df = (0L to 20L).map(i => (i, Seq(100f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val full = Diversify.mmrTopK(df, "vec_id", "embedding", 0L, 3, 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val capped = Diversify.mmrTopK(df, "vec_id", "embedding", 0L, 3, 0.5,
+      poolCap = 20)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(capped === full, "cap ≥ pool size must not change the trace")
+    // binding cap: only the 5 most query-similar candidates (smallest i —
+    // closest to the (100, 0) query ray) stay eligible
+    val tight = Diversify.mmrTopK(df, "vec_id", "embedding", 0L, 3, 0.5,
+      poolCap = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSet
+    assert(tight.subsetOf(Set(1L, 2L, 3L, 4L, 5L)),
+      s"capped picks must come from the relevance top-5, got $tight")
+    intercept[IllegalArgumentException] {
+      Diversify.mmrTopK(df, "vec_id", "embedding", 0L, 6, 0.5, poolCap = 5)
+    }
+  }
+
   test("k past the candidate count fails loudly up front, not via NPE") {
     import spark.implicits._
     val df = (0L to 2L).map(i => (i, Seq(i.toFloat, 1f)))
