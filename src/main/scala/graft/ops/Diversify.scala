@@ -51,8 +51,11 @@ object Diversify {
     import spark.implicits._
     val sv0 = df.select(col(idCol).cast("long").as("_id"),
       Similarity.scaled(col(vecCol)).as("_s"))
-    val qVec: Seq[Long] = sv0.where(col("_id") === queryId)
-      .select(col("_s")).head().getSeq[Long](0)
+    val qRows = sv0.where(col("_id") === queryId)
+      .select(col("_s")).limit(1).collect()
+    require(qRows.nonEmpty,
+      s"mmrTopK: query id $queryId not found in column '$idCol'")
+    val qVec: Seq[Long] = qRows.head.getSeq[Long](0)
     def r6(c: org.apache.spark.sql.Column) =
       graft.functions.Exact.roundPortable(c, 6)
     // q29's cosine shape: dot / (sqrt(aa) · sqrt(bb)), rounded at 1e-6

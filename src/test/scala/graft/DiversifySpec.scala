@@ -103,4 +103,14 @@ class DiversifySpec extends SparkSuite {
     }
     assert(e.getMessage.contains("exceeds the 2 candidate"))
   }
+
+  test("a query id absent from the corpus fails with a clear message") {
+    import spark.implicits._
+    val df = (0L to 2L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Diversify.mmrTopK(df, "vec_id", "embedding", 99L, 1, 0.5)
+    }
+    assert(e.getMessage.contains("query id 99 not found"))
+  }
 }
