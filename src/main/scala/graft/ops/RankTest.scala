@@ -41,8 +41,13 @@ object RankTest {
       sum(col("c2")).as("n2"),
       // 2·R₁ = Σ c₁·(2·prior + t + 1)
       sum(col("c1") * (col("_prior") * 2 + col("t") + 1)).as("r1_x2"),
-      // tie term Σ(t³ − t); t is a per-value count, cubes stay small
-      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      // tie term Σ(t³ − t): t is a PER-VALUE count, and one dominant value
+      // (t ≳ 2.1M) already pushes t³ past 2⁶³ — DuckDB's SUM(BIGINT)
+      // silently promotes to HUGEINT while Spark's long sum would raise
+      // (ANSI) or wrap, so the term is promoted to DECIMAL(38,0) per row
+      // (exact to t ≈ 4.6e12; it only feeds the variance double anyway)
+      sum((col("t") * col("t").cast("decimal(19,0)") * col("t") -
+        col("t")).cast("decimal(38,0)")).as("ties"))
     val n1 = col("n1").cast("double")
     val n2 = col("n2").cast("double")
     val n = (col("n1") + col("n2")).cast("double")
