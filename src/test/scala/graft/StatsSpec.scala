@@ -144,6 +144,42 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("histogram tails on adversarial shapes: constant, skewed, negative dims") {
+    val root = tmpDir("stats_hist")
+    val rnd = new scala.util.Random(7)
+    val frames = (0 until 200).map { i =>
+      graft.core.Models.Frame(
+        action = Seq(
+          5.0f,                                      // constant dim
+          if (i % 40 == 0) 100f else 0f,             // 5-in-200 heavy skew
+          -10f + 9f * rnd.nextFloat()),              // negative-range uniform
+        observation_state = (0 until 8).map(d => (i + d).toFloat / 11f),
+        timestamp = i / 30.0, frame_index = i.toLong, episode_index = 0L,
+        index = i.toLong, task_index = 0L)
+    }
+    writeEpisode(spark, frames, s"$root/data/chunk-000/episode_000000.parquet")
+    val gs = Stats.computeFromFrames(
+      Episodes.readDataDir(spark, s"$root/data"), Seq("action"))
+    val f = gs.features("action")
+    // constant dim: degenerate range → both tails ARE the constant
+    assert(f.q01.get(0) === 5.0 && f.q99.get(0) === 5.0)
+    (0 until 3).foreach { d =>
+      val vals = frames.map(_.action(d).toDouble).sorted
+      def exact(p: Double) = vals(((vals.length * p).ceil.toInt - 1).max(0))
+      val width = (f.max(d) - f.min(d)) / Stats.HistBins
+      assert(math.abs(f.q01.get(d) - exact(0.01)) <= width + 1e-9,
+        s"dim $d q01: got ${f.q01.get(d)}, exact ${exact(0.01)}")
+      assert(math.abs(f.q99.get(d) - exact(0.99)) <= width + 1e-9,
+        s"dim $d q99: got ${f.q99.get(d)}, exact ${exact(0.99)}")
+      assert(f.min(d) <= f.q01.get(d) && f.q99.get(d) <= f.max(d))
+    }
+    // the skewed dim: exact q99 = 100 (rank 198 lands in the 5-value
+    // spike) — the bound above pins the estimate within one bucket of it;
+    // q01 sits at the spike-free bottom bucket's lower edge exactly
+    assert(f.q01.get(1) === 0.0)
+    assert(f.q99.get(1) > 99.0)
+  }
+
   test("full run writes a parseable global_stats.json") {
     val root = tmpDir("stats_run")
     val episodes = Map(0L -> cleanFrames(0, 8), 1L -> cleanFrames(1, 9))
