@@ -27,6 +27,12 @@ object RankTest {
 
   /** One row: (n1, n2, u1_x2, z). `inA` marks sample 1; rows in neither
     * sample must be filtered by the caller (`inA` false ⇒ sample 2).
+    *
+    * Degenerate corner, pinned not fixed: when EVERY value is tied (one
+    * distinct value) the tie-corrected variance is 0 and z = 0/0 = NaN —
+    * identically in Spark and DuckDB (both IEEE), so the gate contract
+    * holds; a NaN z is also the statistically honest answer (the test is
+    * undefined without rank variation).
     */
   def mannWhitney(df: DataFrame, valueCol: Column, inA: Column): DataFrame = {
     val counts = df
