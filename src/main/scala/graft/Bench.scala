@@ -297,11 +297,13 @@ object Bench {
         f"${r._1}=orig:${r._2}%.3f/retry:${retimed(r._1)}%.3f").mkString(" "))
     val merged = mergeRetimed(results, retimed)
     // audit trail for the artifact: name, original, retry, and the trailing
-    // calib probe that triggered the retime
+    // calib probe that triggered the retime — ordered by original reading
+    // DESCENDING, so when the stdout line's cap truncates the array it
+    // keeps the slowest/most-inflated gates, not the alphabetical head
     val retimeDetail = results.collect {
       case (name, orig, calib) if retimed.contains(name) =>
         (name, orig, retimed(name), calib, whyRetime(name))
-    }
+    }.sortBy { case (_, orig, _, _, _) => -orig }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
     // The driver keeps only the LAST 2000 BYTES of stdout (round-5 lost

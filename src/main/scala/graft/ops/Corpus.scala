@@ -224,17 +224,22 @@ object Corpus {
     // PRECONDITION (asserted, one column-pruned aggregate): ids are dense
     // 0..n-1. The checkpoint grid and the closed-form prefix_docs count
     // both assume it — with sparse ids prefix_docs would silently inflate.
-    // An empty corpus has no curve; fail loudly instead of NPE-ing on the
-    // null max.
+    // min/max/count alone admit duplicate+gap sets (e.g. {0, 0, 2} has
+    // min=0, count=max+1) — exactly the inflation this check exists to
+    // prevent — so distinctness is asserted too. An empty corpus has no
+    // curve; fail loudly instead of NPE-ing on the null max.
     val bounds = docs.agg(min(col(idCol)).cast("long").as("mn"),
-      max(col(idCol)).cast("long").as("mx"), count(lit(1)).as("cnt")).head()
+      max(col(idCol)).cast("long").as("mx"), count(lit(1)).as("cnt"),
+      countDistinct(col(idCol)).as("dct")).head()
     require(!bounds.isNullAt(1),
       "vocabGrowth: empty corpus — no growth curve to compute")
     val n = bounds.getLong(1) + 1L
-    require(bounds.getLong(0) == 0L && bounds.getLong(2) == n,
-      s"vocabGrowth requires dense 0-based doc ids: got min=" +
-        s"${bounds.getLong(0)}, max=${n - 1}, count=${bounds.getLong(2)} " +
-        s"(expected min=0, count=${n}); reindex ids first (W3 pattern)")
+    require(bounds.getLong(0) == 0L && bounds.getLong(2) == n &&
+        bounds.getLong(3) == n,
+      s"vocabGrowth requires dense 0-based UNIQUE doc ids: got min=" +
+        s"${bounds.getLong(0)}, max=${n - 1}, count=${bounds.getLong(2)}, " +
+        s"distinct=${bounds.getLong(3)} (expected min=0, count=distinct=" +
+        s"${n}); reindex ids first (W3 pattern)")
     // checkpoint i covers ids < t_i = floor(n·i/points); i = points is the
     // whole corpus. A term or doc at id d belongs to the FIRST checkpoint
     // with d < t_i, i.e. bucket(d) = floor(d·points/n) + 1 clamped high.

@@ -48,10 +48,13 @@ object RankTest {
       // 2·R₁ = Σ c₁·(2·prior + t + 1)
       sum(col("c1") * (col("_prior") * 2 + col("t") + 1)).as("r1_x2"),
       // tie term Σ(t³ − t): t is a PER-VALUE count, and one dominant value
-      // (t ≳ 2.1M) already pushes t³ past 2⁶³ — DuckDB's SUM(BIGINT)
-      // silently promotes to HUGEINT while Spark's long sum would raise
-      // (ANSI) or wrap, so the term is promoted to DECIMAL(38,0) per row
-      // (exact to t ≈ 4.6e12; it only feeds the variance double anyway)
+      // (t ≳ 2.1M) already pushes t³ past 2⁶³ — and only DuckDB's SUM
+      // promotes to HUGEINT; a per-row BIGINT t*t*t raises on overflow
+      // there just as Spark's long product would raise (ANSI) or wrap. So
+      // BOTH sides promote per row: DECIMAL(38,0) here, CAST(t AS HUGEINT)
+      // in the oracle SQL. Exact to t ≈ 4.6e12 (past that Spark's non-ANSI
+      // decimal overflow degrades the sum to NULL → z = NULL, loud not
+      // wrong); it only feeds the variance double anyway.
       sum((col("t") * col("t").cast("decimal(19,0)") * col("t") -
         col("t")).cast("decimal(38,0)")).as("ties"))
     val n1 = col("n1").cast("double")

@@ -39,7 +39,11 @@ object Regression {
         sum(col("_x") * col("_ys")).as("sxy"),
         // per-row ys² fits a Long (|ys| < 3e9 here → < 9.2e18); the SUM
         // does not — promote before aggregating
-        sum((col("_ys") * col("_ys")).cast("decimal(38,0)")).as("syy"))
+        sum((col("_ys") * col("_ys")).cast("decimal(38,0)")).as("syy"),
+        // min/max back the constant-x/constant-y tests below: exact at
+        // any scale, unlike a decimal n·s − s² product that can overflow
+        min(col("_x")).as("mnx"), max(col("_x")).as("mxx"),
+        min(col("_ys")).as("mny"), max(col("_ys")).as("mxy"))
     val nD = col("n").cast("double")
     // n·Σxy can pass 2⁶³; form every cross term in double FROM the exact
     // integer sums — products of exactly-represented integers, correctly
@@ -53,15 +57,15 @@ object Regression {
     // The constant-x / constant-y NULL contract is decided EXACTLY: once
     // n·sxx or sx² passes 2⁵³ the double cancellation above can leave a
     // tiny nonzero for a truly constant group (→ garbage slope instead of
-    // null). The zero TEST therefore runs in DECIMAL(38,0) integer
-    // arithmetic (exact while |n·sxx| < 10³⁸ — n ≤ 1e10 rows of |x| ≤ 1e9
-    // stays under that); the closed-form VALUES keep the double order
-    // above, which both engines replay identically.
-    def dec(c: Column): Column = c.cast("decimal(19,0)")
-    val denXExact = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
-    val denYExact = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
-    val xVaries = denXExact =!= 0
-    val yVaries = denYExact =!= 0
+    // null). The zero test is min==max on the raw integer values —
+    // equivalent to "variance numerator is zero" (Cauchy–Schwarz equality
+    // ⟺ all values equal) but exact at ANY scale with no intermediate
+    // products: the previous DECIMAL(38,0) n·syy − sy² form could
+    // silently NULL on capped-precision overflow past ~1e38 and take a
+    // genuinely-varying group's r2 with it. The closed-form VALUES keep
+    // the double order above, which both engines replay identically.
+    val xVaries = col("mnx") =!= col("mxx")
+    val yVaries = col("mny") =!= col("mxy")
     val slopeScaled = cov / denX // y still in 1e6 units
     def r6(c: Column): Column = graft.functions.Exact.roundPortable(c, 6)
     sums.select(col("grp").as(groupCol), col("n"),

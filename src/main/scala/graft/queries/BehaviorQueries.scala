@@ -359,7 +359,9 @@ object BehaviorQueries {
          |  SELECT event_type, count(*) AS n,
          |    sum(x) AS sx, sum(x*x) AS sxx,
          |    sum(ys) AS sy, sum(x*ys) AS sxy,
-         |    sum(CAST(ys*ys AS DECIMAL(38,0))) AS syy
+         |    sum(CAST(ys*ys AS DECIMAL(38,0))) AS syy,
+         |    min(x) <> max(x) AS x_varies,
+         |    min(ys) <> max(ys) AS y_varies
          |  FROM (
          |    SELECT event_type,
          |      CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
@@ -374,10 +376,7 @@ object BehaviorQueries {
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
          |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
-         |    CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-         |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) <> 0 AS x_varies,
-         |    CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
-         |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) <> 0 AS y_varies,
+         |    x_varies, y_varies,
          |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
          |  FROM s)
          |SELECT event_type, n,
@@ -495,7 +494,7 @@ object BehaviorQueries {
        |), s AS (
        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
        |    CAST(sum(c1 * (prior * 2 + t + 1)) AS BIGINT) AS r1_x2,
-       |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+       |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
        |  FROM r)
        |SELECT n1, n2, CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
        |  ${graft.functions.Exact.roundPortableSql(

@@ -206,9 +206,16 @@ object Stats {
             d -> rows.map(r => r.getAs[Int]("_b") -> r.getAs[Long]("_c"))
               .sortBy(_._1)
           }
-        // percentile p per dim: lower edge of the first bucket whose
-        // cumulative count reaches ceil(p·n_d) (exact integer rank)
-        def tail(dimIdx: Int, num: Long, den: Long): Double = {
+        // percentile p per dim from the bucket that reaches ceil(p·n_d)
+        // (exact integer rank). Edge choice is CONSERVATIVE for how each
+        // tail is used downstream (normalization bounds): the LOWER tail
+        // reports the bucket's lower edge (never over-trims from below),
+        // the UPPER tail its upper edge (never under-covers from above) —
+        // a lower-edge q99 would sit systematically low by up to one
+        // bucket width. Both stay within the documented one-bucket error
+        // band and inside [min, max].
+        def tail(dimIdx: Int, num: Long, den: Long, upper: Boolean)
+            : Double = {
           val nD = agg(dimIdx).getAs[Long]("n")
           val target = (nD * num + den - 1) / den // ceil(n·p), exact
           val (lo, hi) = (mns(dimIdx), mxs(dimIdx))
@@ -216,7 +223,10 @@ object Stats {
           var cum = 0L
           for ((bk, cnt) <- hist(dimIdx)) {
             cum += cnt
-            if (cum >= target) return lo + (hi - lo) * bk / HistBins
+            if (cum >= target) {
+              val edge = if (upper) bk + 1 else bk
+              return math.min(hi, lo + (hi - lo) * edge / HistBins)
+            }
           }
           hi
         }
@@ -226,8 +236,10 @@ object Stats {
           std = agg.map(_.getAs[Double]("std")).toSeq,
           min = mns.toSeq,
           max = mxs.toSeq,
-          q01 = Some(agg.indices.map(d => tail(d, 1L, 100L)).toSeq),
-          q99 = Some(agg.indices.map(d => tail(d, 99L, 100L)).toSeq)))
+          q01 = Some(agg.indices.map(d =>
+            tail(d, 1L, 100L, upper = false)).toSeq),
+          q99 = Some(agg.indices.map(d =>
+            tail(d, 99L, 100L, upper = true)).toSeq)))
       }
     }.toMap
     GlobalStats(epCount, frameCount, "frames", featureStats)
