@@ -141,6 +141,13 @@ class StatsSpec extends SparkSuite {
         s"$k dim $d q01 off by more than a bucket")
       assert(math.abs(f.q99.get(d) - exact(0.99)) <= width + 1e-12,
         s"$k dim $d q99 off by more than a bucket")
+      // CONSERVATIVE-edge contract (round-12): the lower tail reports a
+      // bucket's lower edge (≤ exact), the upper tail its upper edge
+      // (≥ exact) — normalization bounds built from them always cover
+      assert(f.q01.get(d) <= exact(0.01) + 1e-12,
+        s"$k dim $d q01 not a lower bound")
+      assert(f.q99.get(d) >= exact(0.99) - 1e-12,
+        s"$k dim $d q99 not an upper bound")
     }
   }
 
@@ -172,6 +179,9 @@ class StatsSpec extends SparkSuite {
       assert(math.abs(f.q99.get(d) - exact(0.99)) <= width + 1e-9,
         s"dim $d q99: got ${f.q99.get(d)}, exact ${exact(0.99)}")
       assert(f.min(d) <= f.q01.get(d) && f.q99.get(d) <= f.max(d))
+      // conservative edges even on adversarial shapes
+      assert(f.q01.get(d) <= exact(0.01) + 1e-9, s"dim $d q01 not lower")
+      assert(f.q99.get(d) >= exact(0.99) - 1e-9, s"dim $d q99 not upper")
     }
     // the skewed dim: exact q99 = 100 (rank 198 lands in the 5-value
     // spike) — the bound above pins the estimate within one bucket of it;

@@ -52,6 +52,13 @@ class VocabGrowthSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Corpus.vocabGrowth(oneBased, "doc_id", "text", 2)
     }
+    // duplicate+gap set {0, 0, 2}: min=0 and count=max+1 both hold, so
+    // only the distinctness assert catches it (round-12 advice)
+    val dupGap = Seq((0L, "x"), (0L, "y"), (2L, "z")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.vocabGrowth(dupGap, "doc_id", "text", 2)
+    }
+    assert(e2.getMessage.contains("UNIQUE"))
   }
 
   test("empty corpus fails loudly instead of NPE-ing on the null max") {
