@@ -37,6 +37,10 @@ object MlBridge {
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long,
       maxIter: Int = 10): Array[(Long, Seq[Double])] = {
     val data = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // MLlib's own empty-input failure is an opaque executor-side
+    // "Nothing has been added to this summarizer" — refuse clearly instead
+    require(!data.isEmpty,
+      "kmeansCentroids needs a non-empty training set — empty corpus?")
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(data)

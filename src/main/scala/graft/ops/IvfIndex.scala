@@ -68,6 +68,11 @@ object IvfIndex {
     * column ordered by descending similarity.
     */
   def probeList(v: Column, centroids: Array[(Long, Seq[Double])], nProbe: Int): Column = {
+    // A zero-centroid index has no probe order — and a bare `array()`
+    // literal is VOID-typed, so downstream getField would die with an
+    // opaque Catalyst error instead of this message (round-12 empty sweep)
+    require(centroids.nonEmpty,
+      "IVF probeList needs at least one centroid — empty corpus or k=0?")
     val scored = array(centroids.map { case (cid, cv) =>
       struct(cosToLit(v, cv).as("sim"), org.apache.spark.sql.functions.lit(cid).as("cid"))
     }: _*)

@@ -45,8 +45,10 @@ object Quantize {
     val rows = df.orderBy(col(idCol)).limit(k)
       .select(Similarity.scaled(col(vecCol)).as("_s"))
       .collect().map(_.getSeq[Long](0).toArray)
-    require(rows.nonEmpty && rows(0).length % m == 0,
-      s"need rows and dim divisible by m=$m")
+    require(rows.nonEmpty,
+      s"PQ codebook needs at least one seed vector — empty corpus?")
+    require(rows(0).length % m == 0,
+      s"need vector dim ${rows(0).length} divisible by m=$m")
     val sub = rows(0).length / m
     Array.tabulate(m)(mi => rows.map(r => r.slice(mi * sub, (mi + 1) * sub)))
   }

@@ -946,9 +946,12 @@ object Relational {
       |ORDER BY source""".stripMargin) { (s, dir) =>
     graft.io.TempDirs.withTempDir("q131") { tmpDir =>
       val tmp = tmpDir.toString
-      Tables.documents(s, dir)
-        .write.mode("overwrite").partitionBy("source").parquet(tmp)
-      val pruned = s.read.parquet(tmp)
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
+      // explicit schema on the read-back: an EMPTY corpus writes a
+      // zero-file layout and schema inference would fail on it — an
+      // empty partitioned export is legitimate (round-12 empty sweep)
+      val pruned = s.read.schema(docs.schema).parquet(tmp)
         .filter(col("source").isin("src0", "src1", "src2"))
       // plan tripwire — fail loudly if the partition filter didn't reach the
       // scan or didn't shrink the file list
@@ -956,12 +959,16 @@ object Relational {
         case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
       }.getOrElse(throw new IllegalStateException(
         "q131: no FileSourceScanExec in the executed plan"))
-      if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
-        "q131: partition filter did not reach the scan (partitionFilters empty)")
+      val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      // total == 0 (empty layout): nothing was partitioned (no dirs to
+      // discover, `source` reads as a data column) and nothing can be
+      // pruned — both assertions are vacuous, not violated
+      if (total > 0 && scan.partitionFilters.isEmpty)
+        throw new IllegalStateException(
+          "q131: partition filter did not reach the scan (partitionFilters empty)")
       val kept = scan.relation.location.listFiles(
         scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
-      val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
-      if (kept >= total) throw new IllegalStateException(
+      if (total > 0 && kept >= total) throw new IllegalStateException(
         s"q131: partition pruning ineffective — scan reads $kept of $total files")
       // localCheckpoint pins the rows before withTempDir deletes the staging
       // layout the plan reads from
@@ -1177,13 +1184,17 @@ object Relational {
       // execute THIS QueryExecution so the inspected adaptive plan is the
       // one that ran (same contract as q131/q132)
       val qe = joined.queryExecution
-      qe.toRdd.count()
+      // plan-shape assertion only when rows actually flowed: AQE's
+      // empty-relation propagation legitimately collapses the join on an
+      // empty input, so absence of the bloom node is vacuous then
+      // (round-12 empty-input sweep)
+      val flowed = qe.toRdd.count()
       val blooms = deepCollect(qe.executedPlan) {
         case f: org.apache.spark.sql.execution.FilterExec
             if f.condition.exists(_.isInstanceOf[
               org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
       }
-      if (blooms.isEmpty) throw new IllegalStateException(
+      if (flowed > 0 && blooms.isEmpty) throw new IllegalStateException(
         "q140: no BloomFilterMightContain in the executed plan — the " +
           "runtime bloom-filter injection did not fire")
       joined.groupBy("l_returnflag")
@@ -1227,29 +1238,40 @@ object Relational {
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").partitionBy("source")
         .parquet(s"$tmpDir/fact")
+      val dimSchema = org.apache.spark.sql.types.StructType(
+        Seq(docs.schema("source"),
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.IntegerType)))
       docs.select(col("source")).distinct()
         .withColumn("grp", expr("CAST(substring(source, 4) AS INT) % 4"))
         .write.mode("overwrite").parquet(s"$tmpDir/dim")
-      val fact = s.read.parquet(s"$tmpDir/fact")
-      val dim = s.read.parquet(s"$tmpDir/dim").filter(col("grp") === 1)
+      // explicit schemas: an EMPTY corpus writes zero-file layouts on both
+      // sides and schema inference would fail (round-12 empty sweep)
+      val fact = s.read.schema(docs.schema).parquet(s"$tmpDir/fact")
+      val dim = s.read.schema(dimSchema).parquet(s"$tmpDir/dim")
+        .filter(col("grp") === 1)
         .select(col("source").as("dim_source"))
       val joined = fact.join(dim, col("source") === col("dim_source"))
       val qe = joined.queryExecution
       qe.toRdd.count()
-      val scans = deepCollect(qe.executedPlan) {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.relation.partitionSchema.exists(_.name == "source") => sc
-      }
-      val dppScan = scans.find(_.partitionFilters.exists(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
-        .getOrElse(throw new IllegalStateException(
-          "q143: no DynamicPruningExpression on the partitioned fact scan — " +
-            "dynamic partition pruning did not fire"))
-      val partsRead = dppScan.metrics.get("numPartitions").map(_.value)
       val totalParts = docs.select("source").distinct().count()
-      partsRead.foreach { n =>
-        if (n >= totalParts) throw new IllegalStateException(
-          s"q143: DPP ineffective — fact scan read $n of $totalParts partitions")
+      // a zero-partition fact has nothing to dynamically prune: the DPP
+      // assertions are vacuous on an empty corpus, not violated
+      if (totalParts > 0) {
+        val scans = deepCollect(qe.executedPlan) {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec
+              if sc.relation.partitionSchema.exists(_.name == "source") => sc
+        }
+        val dppScan = scans.find(_.partitionFilters.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+          .getOrElse(throw new IllegalStateException(
+            "q143: no DynamicPruningExpression on the partitioned fact scan — " +
+              "dynamic partition pruning did not fire"))
+        val partsRead = dppScan.metrics.get("numPartitions").map(_.value)
+        partsRead.foreach { n =>
+          if (n >= totalParts) throw new IllegalStateException(
+            s"q143: DPP ineffective — fact scan read $n of $totalParts partitions")
+        }
       }
       joined.groupBy("source")
         .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
@@ -1325,12 +1347,13 @@ object Relational {
         .localCheckpoint()
       val joined = fact.join(dim, Seq("key"))
       val qe = joined.queryExecution
-      qe.toRdd.count()
+      // vacuous on an empty input — AQE collapses the join (round-12 sweep)
+      val flowed = qe.toRdd.count()
       val skewed = deepCollect(qe.executedPlan) {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
             if j.isSkewJoin => j
       }
-      if (skewed.isEmpty) throw new IllegalStateException(
+      if (flowed > 0 && skewed.isEmpty) throw new IllegalStateException(
         "q144: no skew-marked SortMergeJoin in the executed plan — " +
           "AQE skew-join split did not fire")
       joined.groupBy("l_returnflag")
@@ -1376,15 +1399,17 @@ object Relational {
           sum(cents(col("o_totalprice"))).as("sum_cents"))
         .orderBy("o_orderpriority")
       val qe = agg.queryExecution
-      qe.toRdd.count()
+      // vacuous on an empty input — the collapsed plan has no exchange to
+      // coalesce (round-12 empty-input sweep)
+      val flowed = qe.toRdd.count()
       val staticParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val reads = deepCollect(qe.executedPlan) {
         case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
       }
-      if (reads.isEmpty) throw new IllegalStateException(
+      if (flowed > 0 && reads.isEmpty) throw new IllegalStateException(
         "q145: no AQEShuffleRead in the executed plan — AQE coalescing " +
           "is not active")
-      if (!reads.exists(_.partitionSpecs.size < staticParts))
+      if (flowed > 0 && !reads.exists(_.partitionSpecs.size < staticParts))
         throw new IllegalStateException(
           s"q145: AQE did not coalesce below the static $staticParts " +
             s"partitions (specs: ${reads.map(_.partitionSpecs.size).mkString(",")})")
@@ -1476,11 +1501,12 @@ object Relational {
         .select("l_orderkey", "l_linestatus", "l_extendedprice")
         .join(dim, col("l_orderkey") === col("o_orderkey"))
       val qe = joined.queryExecution
-      qe.toRdd.count()
+      // vacuous on an empty input — AQE collapses the join (round-12 sweep)
+      val flowed = qe.toRdd.count()
       val bhj = deepCollect(qe.executedPlan) {
         case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
       }
-      if (bhj.isEmpty) throw new IllegalStateException(
+      if (flowed > 0 && bhj.isEmpty) throw new IllegalStateException(
         "q149: no BroadcastHashJoin in the executed plan — AQE did not " +
           "convert the stats-blind sort-merge join at runtime")
       joined.groupBy("l_linestatus")
@@ -1617,7 +1643,9 @@ object Relational {
     // Execute THIS QueryExecution, then unwrap AQE to the finalized plan
     // (the q132 idiom) before collecting window nodes.
     val qe = slid.queryExecution
-    qe.toRdd.count()
+    // vacuous on an empty input — AQE's empty-relation propagation elides
+    // the window entirely (round-12 empty-input sweep)
+    val flowed = qe.toRdd.count()
     // AQE cuts the tree at QueryStageExec boundaries, so a plain collect
     // never sees operators inside materialized stages — descend explicitly
     def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -1634,11 +1662,12 @@ object Relational {
     val windows = allNodes(qe.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    if (windows.isEmpty) throw new IllegalStateException(
+    if (flowed > 0 && windows.isEmpty) throw new IllegalStateException(
       "q172: no WindowExec in the executed plan")
-    if (!windows.exists(_.partitionSpec.size >= 2)) throw new IllegalStateException(
-      "q172: sliding window lost its slice partitioning — partitionSpec is " +
-        windows.map(_.partitionSpec.map(_.sql).mkString("(", ",", ")")).mkString("; "))
+    if (flowed > 0 && !windows.exists(_.partitionSpec.size >= 2))
+      throw new IllegalStateException(
+        "q172: sliding window lost its slice partitioning — partitionSpec is " +
+          windows.map(_.partitionSpec.map(_.sql).mkString("(", ",", ")")).mkString("; "))
     slid
   }
 
@@ -1712,12 +1741,14 @@ object Relational {
       // execute THIS QueryExecution so the inspected plan is the one that
       // ran (q140/q143 contract)
       val qe = composed.queryExecution
-      qe.toRdd.count()
+      // vacuous on an empty input — empty-relation propagation folds the
+      // whole expression tree away (round-12 empty-input sweep)
+      val flowed = qe.toRdd.count()
       def exprsOf(p: org.apache.spark.sql.execution.SparkPlan) =
         deepCollect(p) { case n => n.expressions }.flatten
           .flatMap(_.collect { case e => e })
       val exprs = exprsOf(qe.executedPlan)
-      if (!exprs.exists(_.isInstanceOf[graft.functions.Hash60]))
+      if (flowed > 0 && !exprs.exists(_.isInstanceOf[graft.functions.Hash60]))
         throw new IllegalStateException(
           "q182: no fused Hash60 in the executed plan — FuseHash60Rule " +
             "did not rewrite the composed md5-conv chain")
@@ -1729,7 +1760,7 @@ object Relational {
         case org.apache.spark.sql.catalyst.expressions.Levenshtein(_, _, None) => true
         case _ => false
       }
-      if (!bounded || unbounded)
+      if (flowed > 0 && (!bounded || unbounded))
         throw new IllegalStateException(
           s"q182: BoundLevenshteinRule did not rewrite (bounded=$bounded, " +
             s"unbounded=$unbounded)")
@@ -1805,12 +1836,17 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .localCheckpoint()
-    val worst = both.select(max(abs(col("approx_users") - col("exact_users"))
+    val worstRow = both.select(
+      max(abs(col("approx_users") - col("exact_users"))
         .cast("double") / col("exact_users").cast("double")).as("e"))
-      .head().getDouble(0)
-    if (worst > 3 * rsd) throw new IllegalStateException(
-      f"q192: HLL relative error $worst%.4f exceeds the 3-sigma budget " +
-        f"${3 * rsd}%.4f at rsd=$rsd")
+      .head()
+    // null max = zero groups (empty input): no sketch to hold to a budget
+    if (!worstRow.isNullAt(0)) {
+      val worst = worstRow.getDouble(0)
+      if (worst > 3 * rsd) throw new IllegalStateException(
+        f"q192: HLL relative error $worst%.4f exceeds the 3-sigma budget " +
+          f"${3 * rsd}%.4f at rsd=$rsd")
+    }
     both.select(col("event_type"), col("exact_users"),
         lit(true).as("hll_within_budget"))
       .orderBy("event_type")
@@ -1832,12 +1868,15 @@ object Relational {
       |  CAST((count(*) + 499) // 500 AS BIGINT) AS n_files
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     graft.io.TempDirs.withTempDir("q194") { tmpDir =>
-      Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
+      docs
         .repartition(col("lang"))
         .write.partitionBy("lang")
         .option("maxRecordsPerFile", 500)
         .mode("overwrite").parquet(tmpDir.toString)
-      val perFile = s.read.parquet(tmpDir.toString)
+      // explicit schema: an empty export writes zero files and schema
+      // inference would fail on the bare dir (round-12 empty sweep)
+      val perFile = s.read.schema(docs.schema).parquet(tmpDir.toString)
         .groupBy(col("lang"), input_file_name().as("_f"))
         .agg(count(lit(1)).as("_n"))
         .localCheckpoint() // pinned: consumed by the tripwire AND the output

@@ -542,7 +542,15 @@ object EventStream {
     */
   def tripwire(queryName: String, streamedRows: Long, streamedMaxUs: Long,
       ctlRows: Long, ctlRangeUs: Option[(Long, Long)]): Unit = {
-    if (streamedRows <= 0 || ctlRows <= 0 || streamedRows % ctlRows != 0)
+    // An EMPTY file is a legitimate drain (upstream filter matched
+    // nothing): ingesting 0 of 0 rows loses nothing — only ingesting
+    // rows that don't exist is wrong then. The round-12 empty-input
+    // sweep caught the old `ctlRows <= 0` branch false-alarming here.
+    if (ctlRows == 0) {
+      if (streamedRows != 0) throw new IllegalStateException(
+        s"graft streaming tripwire [$queryName]: source ingested " +
+          s"$streamedRows rows but the file is EMPTY — phantom rows")
+    } else if (streamedRows <= 0 || streamedRows % ctlRows != 0)
       throw new IllegalStateException(
         s"graft streaming tripwire [$queryName]: source ingested " +
           s"$streamedRows rows but the file holds $ctlRows — rows lost")
@@ -652,6 +660,12 @@ object EventStream {
       src.filter(col("event_id") % 2 === 0), s"$inDir/part1.parquet")
     graft.io.SingleFile.writeParquetAtomic(
       src.filter(col("event_id") % 2 === 1), s"$inDir/part2.parquet")
+    // a data micro-batch only exists per NON-EMPTY half: an empty or
+    // single-parity input legitimately drains in fewer batches (round-12
+    // empty-input sweep) — count from the just-written local files, not
+    // a second scan of the source
+    val expectedBatches = Seq("part1", "part2")
+      .count(p => ss.read.parquet(s"$inDir/$p.parquet").count() > 0)
     java.nio.file.Files.setLastModifiedTime(
       java.nio.file.Paths.get(inDir, "part1.parquet"),
       java.nio.file.attribute.FileTime.fromMillis(
@@ -662,7 +676,8 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .withColumn("ts", graft.Tables.normalizeTs(tsType, "events-twobatch"))
-    val q = transform(stream).writeStream
+    val out = transform(stream)
+    val q = out.writeStream
       .format("parquet")
       .outputMode(OutputMode.Append)
       .option("path", outDir)
@@ -671,11 +686,14 @@ object EventStream {
       .start()
     q.awaitTermination()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
-    if (nBatches != 2) throw new IllegalStateException(
-      s"graft two-batch drain [$queryName]: expected 2 data micro-batches, " +
-        s"saw $nBatches — file ordering or trigger changed; the " +
-        "cross-batch emission contract no longer holds")
-    ss.read.parquet(outDir).localCheckpoint() // pin before staging is deleted
+    if (nBatches != expectedBatches) throw new IllegalStateException(
+      s"graft two-batch drain [$queryName]: expected $expectedBatches data " +
+        s"micro-batches, saw $nBatches — file ordering or trigger changed; " +
+        "the cross-batch emission contract no longer holds")
+    // explicit schema on the read-back: a zero-emission drain leaves no
+    // parquet part files and schema inference would fail on the empty dir
+    ss.read.schema(out.schema).parquet(outDir)
+      .localCheckpoint() // pin before staging is deleted
     } finally {
       try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
       catch { case _: Throwable => () }
@@ -711,11 +729,16 @@ object EventStream {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 60000 + i * 2000))
     }
+    // only NON-EMPTY parts produce a data micro-batch (round-12
+    // empty-input sweep); count from the just-written local files
+    val expectedBatches = parts.indices
+      .count(i => ss.read.parquet(f"$inDir/part$i%03d.parquet").count() > 0)
     val stream = ss.readStream
       .schema(parts.head.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    val q = transform(stream).writeStream
+    val out = transform(stream)
+    val q = out.writeStream
       .format("parquet")
       .outputMode(OutputMode.Append)
       .option("path", outDir)
@@ -724,10 +747,12 @@ object EventStream {
       .start()
     q.awaitTermination()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
-    if (nBatches != parts.size) throw new IllegalStateException(
-      s"graft n-batch drain [$queryName]: expected ${parts.size} data " +
+    if (nBatches != expectedBatches) throw new IllegalStateException(
+      s"graft n-batch drain [$queryName]: expected $expectedBatches data " +
         s"micro-batches, saw $nBatches — file ordering or trigger changed")
-    ss.read.parquet(outDir).localCheckpoint() // pin before staging is deleted
+    // explicit schema: a zero-emission drain leaves no parquet part files
+    ss.read.schema(out.schema).parquet(outDir)
+      .localCheckpoint() // pin before staging is deleted
     } finally {
       try org.apache.spark.sql.graft.GraftBridge.stopStateStore()
       catch { case _: Throwable => () }

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Degenerate-input robustness sweep: run EVERY gate against a testdata
+  * directory whose tables carry the real schemas but ZERO rows.
+  *
+  * Contract under test (the operational one — at 100 TB a partition
+  * filter or a bad day upstream routinely hands an operator an empty
+  * input): each gate either
+  *  - returns a result (possibly 0 rows), or
+  *  - raises a DELIBERATE error — IllegalArgumentException (a
+  *    documented precondition like vocabGrowth's non-empty corpus) or
+  *    an AnalysisException — with a human-readable message.
+  * What it must never do: NPE, MatchError, NoSuchElementException on a
+  * silent `.head()`, index-out-of-bounds — the "worked until the first
+  * empty partition day" class.
+  *
+  * Usage: EmptySweep <schemaSourceSfDir> [gateSubstring]
+  * Writes the empty tables under java.io.tmpdir, prints one PASS/LOUD/
+  * FAIL line per gate and a summary; exits nonzero on any FAIL.
+  */
+object EmptySweep {
+  /** Exception classes that mean "the code fell over", not "the code
+    * refused": the sweep fails on these anywhere in the cause chain.
+    */
+  private val crashClasses = Seq(
+    classOf[NullPointerException],
+    classOf[scala.MatchError],
+    classOf[NoSuchElementException],
+    classOf[IndexOutOfBoundsException],
+    classOf[ArithmeticException],
+    classOf[ClassCastException],
+    classOf[UnsupportedOperationException])
+
+  def crashIn(e: Throwable): Option[Throwable] = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (crashClasses.exists(_.isInstance(cur))) return Some(cur)
+      cur = cur.getCause
+      depth += 1
+    }
+    None
+  }
+
+  def writeEmptyTables(spark: SparkSession, srcDir: String, outDir: String)
+      : Unit =
+    graft.Tables.all.foreach { t =>
+      val schema = spark.read.parquet(s"$srcDir/$t.parquet").schema
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = if (args.length > 1) args(1) else ""
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_empty_sf").toString
+    writeEmptyTables(spark, srcDir, outDir)
+    var pass, loud, fail = 0
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(only))
+      .foreach { case (name, fn) =>
+        val tq = System.nanoTime()
+        def sec = f"${(System.nanoTime() - tq) / 1e9}%.2f"
+        try {
+          val n = fn(spark, outDir).count()
+          pass += 1
+          println(s"PASS  $name ($n rows, ${sec}s)")
+        } catch {
+          case e: Throwable =>
+            crashIn(e) match {
+              case Some(crash) =>
+                fail += 1
+                println(s"FAIL  $name (${sec}s): ${crash.getClass.getName}: " +
+                  s"${crash.getMessage}")
+                crash.getStackTrace.take(6)
+                  .foreach(f => println(s"        at $f"))
+              case None =>
+                loud += 1
+                val m = Option(e.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString
+                println(s"LOUD  $name (${sec}s): ${e.getClass.getSimpleName}: $m")
+            }
+        }
+        graft.ops.Pins.releaseAll(spark)
+      }
+    println(f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+      s"$pass pass, $loud loud-refuse, $fail FAIL")
+    spark.stop()
+    if (fail > 0) sys.exit(1)
+  }
+}

@@ -115,6 +115,14 @@ class TablesSpec extends SparkSuite {
       EventStream.tripwire("shrunk", 20L, baseUs / 1000L, 20L, range)
     }
     assert(e2.getMessage.contains("corrupting"))
+    // an EMPTY file drained to zero rows is healthy (round-12 empty-input
+    // sweep: the old ctlRows <= 0 branch false-alarmed here) — but
+    // ingesting rows a 0-row file cannot hold is phantom data
+    EventStream.tripwire("empty_ok", 0L, Long.MinValue, 0L, None)
+    val e3 = intercept[IllegalStateException] {
+      EventStream.tripwire("phantom", 5L, Long.MinValue, 0L, None)
+    }
+    assert(e3.getMessage.contains("phantom"))
   }
 
   test("checkpointed restart recovers state and never replays a file") {
