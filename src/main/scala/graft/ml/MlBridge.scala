@@ -37,10 +37,13 @@ object MlBridge {
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long,
       maxIter: Int = 10): Array[(Long, Seq[Double])] = {
     val data = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // MLlib's own empty-input failure is an opaque executor-side
-    // "Nothing has been added to this summarizer" — refuse clearly instead
-    require(!data.isEmpty,
-      "kmeansCentroids needs a non-empty training set — empty corpus?")
+    // MLlib's own undersized-input failures are opaque executor-side
+    // artifacts ("Nothing has been added to this summarizer" on empty, an
+    // ArrayIndexOutOfBounds in KMeansAggregator when 0 < n < k) — refuse
+    // clearly instead. One count() over the projected vector column.
+    val n = data.count()
+    require(n >= k,
+      s"kmeansCentroids needs at least k=$k training vectors, got $n")
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(data)

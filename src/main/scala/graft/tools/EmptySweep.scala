@@ -45,28 +45,45 @@ object EmptySweep {
   }
 
   def writeEmptyTables(spark: SparkSession, srcDir: String, outDir: String)
-      : Unit =
+      : Unit = writeTables(spark, srcDir, outDir, 0)
+
+  /** Rewrite every table with its first `n` rows (by the first column —
+    * deterministic), or zero rows with the real schema when n = 0. The
+    * session reads with nanosAsLong, so a sampled events table lands with
+    * INT64-nanos `ts` — one of the three physical encodings Tables.events
+    * normalizes, and the tripwires must survive it like any other drift.
+    */
+  def writeTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int): Unit = {
+    // same belt as Tables.events: a legacy INT64-nanos ts column refuses
+    // to load without this (the copy then lands as plain INT64-nanos)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.all.foreach { t =>
-      val schema = spark.read.parquet(s"$srcDir/$t.parquet").schema
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out =
+        if (n <= 0) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+        else src.orderBy(org.apache.spark.sql.functions.col(
+          src.schema.fieldNames.head)).limit(n)
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = if (args.length > 1) args(1) else ""
+    val nRows = if (args.length > 1) args(1).toInt else 0
+    val only = if (args.length > 2) args(2) else ""
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_empty_sf").toString
-    writeEmptyTables(spark, srcDir, outDir)
+    writeTables(spark, srcDir, outDir, nRows)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()
     graft.SparkEntry.queries.toSeq.sortBy(_._1)

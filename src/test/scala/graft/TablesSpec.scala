@@ -123,6 +123,10 @@ class TablesSpec extends SparkSuite {
       EventStream.tripwire("phantom", 5L, Long.MinValue, 0L, None)
     }
     assert(e3.getMessage.contains("phantom"))
+    // 0-of-N is allowed: pushed-down predicates prune whole row groups on
+    // a small file, so a filter matching nothing decodes nothing — the
+    // oracle, not the tripwire, owns the dead-source case (round-12)
+    EventStream.tripwire("pruned_ok", 0L, Long.MinValue, 20L, range)
   }
 
   test("checkpointed restart recovers state and never replays a file") {
