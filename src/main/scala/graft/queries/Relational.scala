@@ -1253,11 +1253,13 @@ object Relational {
         .select(col("source").as("dim_source"))
       val joined = fact.join(dim, col("source") === col("dim_source"))
       val qe = joined.queryExecution
-      qe.toRdd.count()
+      val flowed = qe.toRdd.count()
       val totalParts = docs.select("source").distinct().count()
-      // a zero-partition fact has nothing to dynamically prune: the DPP
-      // assertions are vacuous on an empty corpus, not violated
-      if (totalParts > 0) {
+      // DPP is only assertable when it could have fired AND shrunk
+      // something: with <2 partitions there is nothing to prune away, and
+      // with zero join output the empty dim side collapses the plan
+      // before any pruning expression exists (round-12 degenerate sweeps)
+      if (totalParts > 1 && flowed > 0) {
         val scans = deepCollect(qe.executedPlan) {
           case sc: org.apache.spark.sql.execution.FileSourceScanExec
               if sc.relation.partitionSchema.exists(_.name == "source") => sc

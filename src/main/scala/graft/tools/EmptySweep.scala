@@ -48,10 +48,13 @@ object EmptySweep {
       : Unit = writeTables(spark, srcDir, outDir, 0)
 
   /** Rewrite every table with its first `n` rows (by the first column —
-    * deterministic), or zero rows with the real schema when n = 0. The
-    * session reads with nanosAsLong, so a sampled events table lands with
-    * INT64-nanos `ts` — one of the three physical encodings Tables.events
-    * normalizes, and the tripwires must survive it like any other drift.
+    * deterministic), zero rows with the real schema when n = 0, or — when
+    * n < 0 — the FIRST row replicated |n| times verbatim (duplicate keys,
+    * zero variance, one hot block: the degenerate-distribution shapes).
+    * The session reads with nanosAsLong, so a sampled events table lands
+    * with INT64-nanos `ts` — one of the three physical encodings
+    * Tables.events normalizes, and the tripwires must survive it like any
+    * other drift.
     */
   def writeTables(spark: SparkSession, srcDir: String, outDir: String,
       n: Int): Unit = {
@@ -60,11 +63,15 @@ object EmptySweep {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = org.apache.spark.sql.functions.col(src.schema.fieldNames.head)
       val out =
-        if (n <= 0) spark.createDataFrame(
+        if (n == 0) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
-        else src.orderBy(org.apache.spark.sql.functions.col(
-          src.schema.fieldNames.head)).limit(n)
+        else if (n > 0) src.orderBy(first).limit(n)
+        else { // one row, |n| verbatim copies
+          val one = src.orderBy(first).limit(1)
+          Seq.fill(-n - 1)(one).foldLeft(one)(_ unionAll _)
+        }
       out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
