@@ -49,12 +49,17 @@ object Diversify {
       s"poolCap=$poolCap would cap below k=$k")
     val spark = df.sparkSession
     import spark.implicits._
-    val sv0 = df.select(col(idCol).cast("long").as("_id"),
-      Similarity.scaled(col(vecCol)).as("_s"))
+    // null embeddings can be neither query nor candidate (no similarity
+    // is defined for them) — candidates are filtered here, the query is a
+    // named refusal (round-12 null-payload sweep: both NPE'd on getSeq)
+    val sv0 = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        Similarity.scaled(col(vecCol)).as("_s"))
     val qRows = sv0.where(col("_id") === queryId)
       .select(col("_s")).limit(1).collect()
     require(qRows.nonEmpty,
-      s"mmrTopK: query id $queryId not found in column '$idCol'")
+      s"mmrTopK: query id $queryId not found in column '$idCol' " +
+        "(or its vector is null)")
     val qVec: Seq[Long] = qRows.head.getSeq[Long](0)
     def r6(c: org.apache.spark.sql.Column) =
       graft.functions.Exact.roundPortable(c, 6)

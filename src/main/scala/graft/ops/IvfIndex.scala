@@ -28,7 +28,10 @@ object IvfIndex {
   def pickCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: String): Array[(Long, Seq[Double])] = {
     import graft.functions.Hashing
-    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
+    // null embeddings can't anchor a centroid — skip them (round-12
+    // null-payload sweep: getSeq on a null row NPE'd downstream)
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
         Hashing.hash60(col(idCol).cast("string"), seed).as("_h"))
       .orderBy("_h")
       .limit(k)

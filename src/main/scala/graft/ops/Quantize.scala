@@ -42,7 +42,9 @@ object Quantize {
     */
   def pqSeedCentroids(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): Array[Array[Array[Long]]] = {
-    val rows = df.orderBy(col(idCol)).limit(k)
+    // null embeddings carry nothing to seed with — skip them (round-12
+    // null-payload sweep: getSeq on a null row NPE'd here)
+    val rows = df.where(col(vecCol).isNotNull).orderBy(col(idCol)).limit(k)
       .select(Similarity.scaled(col(vecCol)).as("_s"))
       .collect().map(_.getSeq[Long](0).toArray)
     require(rows.nonEmpty,
@@ -141,7 +143,8 @@ object Quantize {
       k: Int): DataFrame = {
     val m = cents.length
     val sub = cents(0)(0).length
-    val queries = df.filter(queryPred).orderBy(col(idCol))
+    val queries = df.filter(queryPred && col(vecCol).isNotNull)
+      .orderBy(col(idCol))
       .select(col(idCol).cast("long"), Similarity.scaled(col(vecCol)).as("_s"))
       .limit(257).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -194,7 +197,8 @@ object Quantize {
       queryPred: Column, k: Int): DataFrame = {
     val m = pqCents.length
     val sub = pqCents(0)(0).length
-    val queries = df.filter(queryPred).orderBy(col(idCol))
+    val queries = df.filter(queryPred && col(vecCol).isNotNull)
+      .orderBy(col(idCol))
       .select(col(idCol).cast("long"), Similarity.scaled(col(vecCol)).as("_s"))
       .limit(257).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))

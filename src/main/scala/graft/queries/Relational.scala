@@ -1839,8 +1839,11 @@ object Relational {
         approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .localCheckpoint()
     val worstRow = both.select(
-      max(abs(col("approx_users") - col("exact_users"))
-        .cast("double") / col("exact_users").cast("double")).as("e"))
+      // a group whose rows carry only NULL user_ids has exact = 0 and no
+      // error to measure — skip it rather than divide by zero (ANSI)
+      max(when(col("exact_users") > 0,
+        abs(col("approx_users") - col("exact_users"))
+          .cast("double") / col("exact_users").cast("double"))).as("e"))
       .head()
     // null max = zero groups (empty input): no sketch to hold to a budget
     if (!worstRow.isNullAt(0)) {

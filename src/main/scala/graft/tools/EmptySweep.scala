@@ -76,9 +76,30 @@ object EmptySweep {
     }
   }
 
+  /** Rows with identity intact and every OTHER nullable column nulled —
+    * the "payload went missing" shape: null text through tokenizers, null
+    * embedding arrays through the native kernels, null timestamps through
+    * the event-time paths.
+    */
+  def writeNullTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = src.schema.fieldNames.head
+      val nulled = src.orderBy(col(first)).limit(n).select(
+        src.schema.fields.map { f =>
+          if (f.name == first || !f.nullable) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      nulled.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val nRows = if (args.length > 1) args(1).toInt else 0
+    val mode = if (args.length > 1) args(1) else "0"
     val only = if (args.length > 2) args(2) else ""
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
@@ -90,7 +111,8 @@ object EmptySweep {
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_empty_sf").toString
-    writeTables(spark, srcDir, outDir, nRows)
+    if (mode == "nulls") writeNullTables(spark, srcDir, outDir, 3)
+    else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
