@@ -42,4 +42,26 @@ class EmptyInputSpec extends SparkSuite {
     val failures = sweep(3)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("all gates survive null payloads: return or refuse loudly") {
+    // identity intact, every other nullable column NULL — the shape that
+    // found four getSeq NPEs (PQ seeds, PQ/ADC query slices, IVF
+    // centroids, MMR candidates) and q192's ANSI divide-by-zero
+    val out = tmpDir("graft_nulls_spec")
+    EmptySweep.writeNullTables(spark, "/root/testdata/sf0.001", out, 3)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, out).count(); None }
+        catch {
+          case e: Throwable =>
+            EmptySweep.crashIn(e) match {
+              case Some(crash) =>
+                Some(s"$name crashed: ${crash.getClass.getName}: " +
+                  s"${crash.getMessage}")
+              case None => None
+            }
+        } finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
