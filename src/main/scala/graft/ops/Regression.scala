@@ -25,6 +25,11 @@ object Regression {
   /** Per-group (n, slope, intercept, r2), 1e-6-rounded. Groups where x is
     * constant get null slope/intercept/r2; constant y additionally nulls
     * r2 (0/0).
+    *
+    * Domain: |y| < ~3e3 (ys = round(y·1e6) < 3e9) so the per-row ys²
+    * fits a Long — the same bound the DuckDB oracle's BIGINT ys·ys has,
+    * and past it BOTH engines raise (ANSI long overflow) rather than
+    * degrade. Wider y needs a wider per-row promotion on both sides.
     */
   def groupedOls(df: DataFrame, groupCol: String, x: Column, y: Column)
       : DataFrame = {

@@ -55,11 +55,32 @@ class RegressionSpec extends SparkSuite {
     // x = 100000007 over n = 5 rows: n·sxx and sx² both pass 2⁵³, and the
     // DOUBLE cancellation leaves denX = 32.0 (nonzero!) for a group whose
     // x never varies — the old denX != 0.0 gate emitted a garbage slope
-    // here. The DECIMAL zero-test must yield null slope/intercept/r2.
+    // here. The exact min==max zero-test must yield null slope/intercept/r2.
     val x = 100000007L
     val df = (1 to 5).map(i => ("g", x, i.toDouble)).toDF("grp", "x", "y")
     val r = Regression.groupedOls(df, "grp", col("x"), col("y")).head()
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
       s"constant-x group must null out: got $r")
+  }
+
+  test("constant-y null contract survives double cancellation error") {
+    // y-side analogue of the constant-x test, at the TOP of the operator's
+    // documented |ys| < 3e9 domain (per-row ys² must fit a Long on BOTH
+    // engines — DuckDB's BIGINT ys·ys raises past that too): ys = 3e9
+    // constant over 1000 rows puts sy² ≈ 9e24 and n·syy ≈ 9e24 far past
+    // 2⁵³, so the DOUBLE deny cancellation is garbage — the exact
+    // min==max test must still null r2 and keep the slope (x varies).
+    // The round-12 rework swapped the DECIMAL(38,0) product test for
+    // min/max precisely because the product could ALSO overflow (silent
+    // NULL → r2 lost for a varying group) at ≥ 3.3e9 rows/group — a
+    // 100 TB-reachable scale no spec can, so the spec pins the mechanism
+    // at the domain edge instead.
+    val df = spark.range(0, 1000)
+      .selectExpr("'g' AS grp", "id AS x", "3.0e3 AS y")
+    val r = Regression.groupedOls(df, "grp", col("x"), col("y")).head()
+    assert(!r.isNullAt(2) && r.getDouble(2) == 0.0,
+      s"constant-y slope must be exactly 0: got $r")
+    assert(r.getDouble(3) == 3000.0, s"intercept must be the constant: got $r")
+    assert(r.isNullAt(4), s"constant-y r2 must be null: got $r")
   }
 }
