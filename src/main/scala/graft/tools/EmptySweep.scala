@@ -37,12 +37,29 @@ object EmptySweep {
     var cur: Throwable = e
     var depth = 0
     while (cur != null && depth < 20) {
-      if (crashClasses.exists(_.isInstance(cur))) return Some(cur)
+      if (crashClasses.exists(_.isInstance(cur)) && !nanDomainRefusal(cur))
+        return Some(cur)
       cur = cur.getCause
       depth += 1
     }
     None
   }
+
+  /** An ANSI arithmetic error on NON-FINITE input data is the exact
+    * scaled-integer kernels' DOCUMENTED domain contract, not a crash: a
+    * NaN/Infinity reaching `Exact.cents` / `Similarity.scaled` raises
+    * CAST_OVERFLOW loudly — identically to the DuckDB oracle's
+    * CAST(NaN AS BIGINT) — instead of silently nulling rows out of exact
+    * sums. (The reference pipeline quarantines non-finite values in its
+    * validate stage; gates assume validated numeric domains.) Engine-
+    * derived arithmetic errors (a tripwire dividing by its own zero) have
+    * no NaN in the message and still count as crashes — the q192 class.
+    */
+  def nanDomainRefusal(e: Throwable): Boolean =
+    e.isInstanceOf[ArithmeticException] && {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("NaN") || m.contains("Infinity")
+    }
 
   def writeEmptyTables(spark: SparkSession, srcDir: String, outDir: String)
       : Unit = writeTables(spark, srcDir, outDir, 0)
@@ -97,6 +114,35 @@ object EmptySweep {
     }
   }
 
+  /** Rows with every float/double value (including inside arrays)
+    * replaced by NaN — the "upstream numeric bug" shape: NaN scores
+    * through normalizers, NaN embeddings through the scaled-integer
+    * kernels, NaN event values through the cents paths.
+    */
+  def writeNanTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    import org.apache.spark.sql.types._
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = src.schema.fieldNames.head
+      val nan = src.orderBy(col(first)).limit(n).select(
+        src.schema.fields.map { f =>
+          f.dataType match {
+            case DoubleType => lit(Double.NaN).as(f.name)
+            case FloatType => lit(Float.NaN).as(f.name)
+            case ArrayType(DoubleType, _) =>
+              atransform(col(f.name), _ => lit(Double.NaN)).as(f.name)
+            case ArrayType(FloatType, _) =>
+              atransform(col(f.name), _ => lit(Float.NaN)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      nan.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val mode = if (args.length > 1) args(1) else "0"
@@ -112,6 +158,7 @@ object EmptySweep {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_empty_sf").toString
     if (mode == "nulls") writeNullTables(spark, srcDir, outDir, 3)
+    else if (mode == "nan") writeNanTables(spark, srcDir, outDir, 3)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()
