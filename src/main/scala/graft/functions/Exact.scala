@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.LongType
   * Long (exact, associative, commutative — deterministic under ANY shuffle or
   * partial-agg tree), and convert back to double only at the very end with a
   * fixed, deterministic sequence of IEEE ops.
+  *
+  * Domain: FINITE values only. A NaN/Infinity reaching a scale cast raises a
+  * named ANSI CAST_OVERFLOW — identically to DuckDB's CAST(NaN AS BIGINT) —
+  * by design: silently nulling non-finite rows out of an EXACT sum would
+  * corrupt results invisibly. Quarantine non-finite values upstream (the
+  * validate stage owns that), as the reference pipeline does.
   */
 object Exact {
   /** Money column (2 decimals) → exact cents as Long. */

@@ -28,11 +28,16 @@ object RankTest {
   /** One row: (n1, n2, u1_x2, z). `inA` marks sample 1; rows in neither
     * sample must be filtered by the caller (`inA` false ⇒ sample 2).
     *
-    * Degenerate corner, pinned not fixed: when EVERY value is tied (one
-    * distinct value) the tie-corrected variance is 0 and z = 0/0 = NaN —
-    * identically in Spark and DuckDB (both IEEE), so the gate contract
-    * holds; a NaN z is also the statistically honest answer (the test is
-    * undefined without rank variation).
+    * Degenerate corners (round-12, found by a shrunk property case): z is
+    * NULL when the test is undefined — n < 2 (the tie-correction divisor
+    * n(n−1) is 0) or zero tie-corrected variance (every value tied). An
+    * earlier comment claimed "z = 0/0 = NaN identically on both engines",
+    * but Spark 4's ANSI mode raises DIVIDE_BY_ZERO for DOUBLE division
+    * too — the divisions are therefore lazily guarded (`when` branches
+    * evaluate conditionally) and the undefined test reports NULL, the
+    * same currency as the other undefined-statistic contracts (grouped
+    * OLS). The q218 oracle never feeds a degenerate sample; its SQL
+    * carries the matching CASE guard for shape parity anyway.
     */
   def mannWhitney(df: DataFrame, valueCol: Column, inA: Column): DataFrame = {
     val counts = df
@@ -61,11 +66,15 @@ object RankTest {
     val n2 = col("n2").cast("double")
     val n = (col("n1") + col("n2")).cast("double")
     val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1)
-    val variance = n1 * n2 / 12.0 *
-      ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))
+    // n ≤ 1 → divisor 0 → NULL tie correction → NULL variance → NULL z
+    // (when() evaluates branches conditionally, so the division is never
+    // executed on the degenerate row — ANSI would raise, not NaN)
+    val tieCorr = when(n > 1.0, col("ties").cast("double") / (n * (n - 1.0)))
+    val variance = n1 * n2 / 12.0 * ((n + 1.0) - tieCorr)
     sums.select(col("n1"), col("n2"), u1x2.as("u1_x2"),
-      graft.functions.Exact.roundPortable(
-        (u1x2.cast("double") - n1 * n2) / (lit(2.0) * sqrt(variance)), 6)
+      when(variance > 0,
+        graft.functions.Exact.roundPortable(
+          (u1x2.cast("double") - n1 * n2) / (lit(2.0) * sqrt(variance)), 6))
         .as("z"))
   }
 }

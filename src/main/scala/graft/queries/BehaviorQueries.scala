@@ -495,14 +495,20 @@ object BehaviorQueries {
        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
        |    CAST(sum(c1 * (prior * 2 + t + 1)) AS BIGINT) AS r1_x2,
        |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
-       |  FROM r)
+       |  FROM r
+       |), s2 AS (
+       |  SELECT n1, n2, r1_x2,
+       |    CASE WHEN n1 + n2 > 1 THEN
+       |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+       |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+       |       (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+       |    END AS var_u
+       |  FROM s)
        |SELECT n1, n2, CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-       |  ${graft.functions.Exact.roundPortableSql(
+       |  CASE WHEN var_u > 0 THEN ${graft.functions.Exact.roundPortableSql(
             "(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / " +
-            "(2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
-            "((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / " +
-            "(CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))", 6)} AS z
-       |FROM s""".stripMargin) { (s, dir) =>
+            "(2.0 * sqrt(var_u))", 6)} END AS z
+       |FROM s2""".stripMargin) { (s, dir) =>
     graft.ops.RankTest.mannWhitney(
       Tables.events(s, dir)
         .where(col("event_type").isin("click", "view")),

@@ -55,4 +55,22 @@ class CusumRankSpec extends SparkSuite {
     assert(rs.getLong(2) == a.size.toLong * a.size)
     assert(rs.getDouble(3) == 0.0)
   }
+
+  test("mannWhitney: undefined test reports NULL z, never an ANSI raise") {
+    import spark.implicits._
+    // n = 1 (one group empty): the tie-correction divisor n(n-1) is 0 —
+    // the round-12 shrunk property case that raised DIVIDE_BY_ZERO under
+    // ANSI (Spark 4 raises for DOUBLE division too, so the old "0/0 = NaN
+    // identically on both engines" comment was wrong)
+    val one = Seq(("b", 0.0)).toDF("g", "v")
+    val r1 = RankTest.mannWhitney(one, col("v"), col("g") === "a").head()
+    assert(r1.getLong(0) == 0L && r1.getLong(1) == 1L && r1.isNullAt(3),
+      s"n=1 must give NULL z: got $r1")
+    // every value tied: tie-corrected variance is exactly 0 — undefined
+    val tied = (1 to 6).map(i => (if (i % 2 == 0) "a" else "b", 7.0))
+      .toDF("g", "v")
+    val rt = RankTest.mannWhitney(tied, col("v"), col("g") === "a").head()
+    assert(rt.getLong(0) == 3L && rt.getLong(1) == 3L && rt.isNullAt(3),
+      s"all-tied must give NULL z: got $rt")
+  }
 }
