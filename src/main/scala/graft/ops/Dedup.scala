@@ -272,13 +272,19 @@ object Dedup {
 
   /** Blocked edit-distance near-dup: pairs within the same `blockKey` whose
     * Levenshtein distance ≤ `maxDist`. The same equi-join blocking shape as
-    * [[jaccardPairs]] (never all-pairs), with two per-pair cost bounds:
+    * [[jaccardPairs]] (never all-pairs), with three per-pair cost bounds:
     *  - a length prefilter — `|len(a) − len(b)| ≤ maxDist` is a lower bound
     *    on edit distance, and lengths are computed once per ROW;
-    *  - the THRESHOLDED `levenshtein(a, b, k)`: Spark's banded
-    *    implementation does O(len·k) work and bails at k+1, vs O(len²) for
-    *    the unbounded distance — the difference between feasible and not
-    *    when block sizes grow at corpus scale.
+    *  - an EQUALITY fast path: identical texts (the most common near-dup
+    *    at corpus scale) resolve to dist 0 with one O(len) compare —
+    *    measured 22 s/pair WITHOUT it on equal 100k-char strings
+    *    (round-12 hostile-text sweep), because…
+    *  - …Spark's thresholded `levenshtein(a, b, k)` bails at k+1 but its
+    *    work is NOT the banded O(len·k) (measured ~O(len²): 22–61 s on
+    *    100k-char pairs, equal or not). The threshold keeps small-field
+    *    dedup (titles, names, short paragraphs — this operator's domain)
+    *    cheap; LONG-document near-dup belongs to the jaccard/minhash
+    *    family, never per-pair edit distance.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, maxDist: Int): DataFrame = {
@@ -294,7 +300,9 @@ object Dedup {
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b") &&
         abs(col("_la") - col("_lb")) <= maxDist)
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .withColumn("dist",
+        when(col("text_a") === col("text_b"), lit(0))
+          .otherwise(levenshtein(col("text_a"), col("text_b"), maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
