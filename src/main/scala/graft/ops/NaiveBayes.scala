@@ -10,7 +10,8 @@ import graft.functions.Exact
   * fastText-style language-ID / quality filter (the reference pipeline
   * classifies and filters episodes by per-field heuristics; a corpus-scale
   * pipeline trains the filter from labeled data instead:
-  * `/root/reference/src/validate_clean.py:34` is the fixed-rule analogue).
+  * `/root/reference/src/neura_pipeline/validate/validate_one.py:63-147` is
+  * the fixed-rule analogue).
   *
   * Everything is counts + one `ln` quantization at the end, so the model is
   * exactly reproducible on any engine and under any partitioning:

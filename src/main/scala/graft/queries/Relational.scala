@@ -1774,9 +1774,11 @@ object Relational {
     * generations — an old slice without a column and a new slice with it —
     * must read back as ONE table with the union schema, old rows NULL in
     * the added column. The data-lake reality every long-lived pipeline
-    * hits (the reference's episode parquets accrete columns across
-    * recorder versions the same way: /root/reference/src/convert_format.py
-    * writes whatever fields the source has). Per-file footer schemas are
+    * hits (the reference's manifest rows accrete optional fields across
+    * recorder versions the same way: every URI/meta field in
+    * /root/reference/src/neura_pipeline/core/models.py:9-36 is Optional,
+    * filled only when that generation of the recorder produced it).
+    * Per-file footer schemas are
     * reconciled at planning time; the gate aggregates per lang across both
     * generations and counts which rows carried the new column.
     */
