@@ -40,8 +40,10 @@ object MlBridge {
     // MLlib's own undersized-input failures are opaque executor-side
     // artifacts ("Nothing has been added to this summarizer" on empty, an
     // ArrayIndexOutOfBounds in KMeansAggregator when 0 < n < k) — refuse
-    // clearly instead. One count() over the projected vector column.
-    val n = data.count()
+    // clearly instead. BOUNDED probe (round-12 advice): limit(k) reads at
+    // most k rows, so detecting n < k never costs a full pass over a
+    // production-scale training set the way a bare count() did.
+    val n = data.limit(k).count()
     require(n >= k,
       s"kmeansCentroids needs at least k=$k training vectors, got $n")
     val model = new KMeans()

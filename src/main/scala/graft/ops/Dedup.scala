@@ -285,14 +285,36 @@ object Dedup {
     *    dedup (titles, names, short paragraphs — this operator's domain)
     *    cheap; LONG-document near-dup belongs to the jaccard/minhash
     *    family, never per-pair edit distance.
+    *
+    * The domain is SELF-ENFORCING (round-12 verdict: guidance became a
+    * guard): any non-null text longer than `maxTextLen` (default 4096
+    * chars) refuses loudly — during the one distributed pass that already
+    * computes per-row lengths, no extra action — with the jaccard/minhash
+    * routing in the message. Callers who have measured their corpus can
+    * raise the limit explicitly; they cannot eat the 61 s/pair tail by
+    * accident.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      blockKey: Column, maxDist: Int): DataFrame = {
+      blockKey: Column, maxDist: Int, maxTextLen: Int = 4096): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxTextLen > 0, s"maxTextLen must be > 0, got $maxTextLen")
     val prepared = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), col(textCol), blockKey.as("blk"))
       .withColumn("_len", length(col(textCol)))
+      // length guard rides the existing per-row pass: assert_true returns
+      // NULL when the predicate holds (null texts pass — the join's length
+      // prefilter drops them as before) and raises the routing message
+      // otherwise. An unused projected column would be pruned; a filter
+      // predicate is not.
+      .filter(assert_true(col("_len").isNull || col("_len") <= maxTextLen,
+        format_string(
+          "editDistancePairs: text of length %d exceeds maxTextLen=%d — " +
+            "per-pair edit distance is for short fields (Spark's " +
+            "thresholded levenshtein measures ~O(len^2): 22-61 s/pair at " +
+            "100k chars); route long-document near-dup to jaccardPairs/" +
+            "minhashLshPairs, or pass maxTextLen explicitly",
+          col("_len"), lit(maxTextLen))).isNull)
     val a = prepared.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
       col("_len").as("_la"), col("blk"))
     val b = prepared.select(col(idCol).as("id_b"), col(textCol).as("text_b"),

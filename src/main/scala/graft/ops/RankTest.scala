@@ -61,7 +61,15 @@ object RankTest {
       // decimal overflow degrades the sum to NULL → z = NULL, loud not
       // wrong); it only feeds the variance double anyway.
       sum((col("t") * col("t").cast("decimal(19,0)") * col("t") -
-        col("t")).cast("decimal(38,0)")).as("ties"))
+        col("t")).cast("decimal(38,0)")).as("ties"),
+      // EXACT all-tied detector (round-12 advice): this aggregate runs
+      // over the value-DISTINCT table, so "every value tied" is literally
+      // "one row here". The variance>0 guard alone relied on
+      // double(ties)/(n(n−1)) dividing exactly to n+1, which breaks once
+      // t³−t exceeds 2⁵³ (n ≳ 2e5 all tied): rounding leaves a tiny
+      // nonzero variance and a huge finite z instead of the documented
+      // NULL. A row count is exact at any scale.
+      count(lit(1)).as("nvals"))
     val n1 = col("n1").cast("double")
     val n2 = col("n2").cast("double")
     val n = (col("n1") + col("n2")).cast("double")
@@ -72,7 +80,7 @@ object RankTest {
     val tieCorr = when(n > 1.0, col("ties").cast("double") / (n * (n - 1.0)))
     val variance = n1 * n2 / 12.0 * ((n + 1.0) - tieCorr)
     sums.select(col("n1"), col("n2"), u1x2.as("u1_x2"),
-      when(variance > 0,
+      when(col("nvals") > 1 && variance > 0,
         graft.functions.Exact.roundPortable(
           (u1x2.cast("double") - n1 * n2) / (lit(2.0) * sqrt(variance)), 6))
         .as("z"))

@@ -494,10 +494,11 @@ object BehaviorQueries {
        |), s AS (
        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
        |    CAST(sum(c1 * (prior * 2 + t + 1)) AS BIGINT) AS r1_x2,
-       |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+       |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties,
+       |    count(*) AS nvals
        |  FROM r
        |), s2 AS (
-       |  SELECT n1, n2, r1_x2,
+       |  SELECT n1, n2, r1_x2, nvals,
        |    CASE WHEN n1 + n2 > 1 THEN
        |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
        |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
@@ -505,7 +506,7 @@ object BehaviorQueries {
        |    END AS var_u
        |  FROM s)
        |SELECT n1, n2, CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-       |  CASE WHEN var_u > 0 THEN ${graft.functions.Exact.roundPortableSql(
+       |  CASE WHEN nvals > 1 AND var_u > 0 THEN ${graft.functions.Exact.roundPortableSql(
             "(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / " +
             "(2.0 * sqrt(var_u))", 6)} END AS z
        |FROM s2""".stripMargin) { (s, dir) =>

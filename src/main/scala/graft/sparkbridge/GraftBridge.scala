@@ -31,4 +31,12 @@ object GraftBridge {
     */
   def stopStateStore(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+  /** Drain the async listener bus — `listenerBus` is private[spark], so
+    * specs that assert on SQL-execution events (SingleExecutionSpec) reach
+    * it through this bridge to avoid sleep-and-hope polling.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+      timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }

@@ -105,6 +105,31 @@ class CorpusSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 4L)) // mat/rat edit
   }
 
+  test("edit-distance domain guard: over-long text refuses with routing; override admits it") {
+    import spark.implicits._
+    val long = Seq((0L, "x" * 5000), (1L, "x" * 5000)).toDF("doc_id", "text")
+    // default maxTextLen=4096: refuse loudly, message routes to
+    // jaccard/minhash (round-12 verdict: the measured 61 s/pair tail must
+    // be unreachable by accident, not just documented)
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(long, "doc_id", "text", lit(1), maxDist = 2).count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxTextLen") && msg.contains("minhash"), msg)
+    // explicit override: the caller owns the cost, pairs still correct
+    val forced = Dedup.editDistancePairs(long, "doc_id", "text", lit(1),
+      maxDist = 2, maxTextLen = 8192)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(forced === Set((0L, 1L, 0)))
+    // null texts still pass the guard and drop at the length prefilter
+    val withNull = Seq((0L, "abc"), (1L, "abd"), (2L, null))
+      .toDF("doc_id", "text")
+    val p = Dedup.editDistancePairs(withNull, "doc_id", "text", lit(1), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p === Set((0L, 1L, 1)))
+  }
+
   test("drift TVD: identical-source corpus has 0; disjoint vocab source is high") {
     val same = Seq((0L, "a", "x y z"), (1L, "b", "x y z")).toDF("doc_id", "source", "text")
     val tvdSame = Corpus.groupDriftTvd(same, "source", "text")

@@ -73,4 +73,19 @@ class CusumRankSpec extends SparkSuite {
     assert(rt.getLong(0) == 3L && rt.getLong(1) == 3L && rt.isNullAt(3),
       s"all-tied must give NULL z: got $rt")
   }
+
+  test("mannWhitney: all-tied NULL z holds past 2^53 tie-term precision (exact gate)") {
+    // t³−t > 2⁵³ needs t ≳ 2.1e5: at that size double(ties)/(n(n−1))
+    // no longer divides exactly to n+1, so a variance-only guard leaks a
+    // tiny nonzero variance and a huge finite z (round-12 advice). The
+    // gate is now the EXACT condition — one distinct value row — which a
+    // row count detects at any scale.
+    val n = 260000
+    val big = spark.range(n)
+      .select(col("id"), org.apache.spark.sql.functions.lit(42.0).as("v"))
+    val rb = RankTest.mannWhitney(big, col("v"), col("id") % 2 === 0).head()
+    assert(rb.getLong(0) == (n / 2).toLong && rb.getLong(1) == (n / 2).toLong)
+    assert(rb.isNullAt(3),
+      s"all-tied at n=$n must give NULL z (exact one-distinct-value gate), got $rb")
+  }
 }
