@@ -38,9 +38,17 @@ object Exact {
 
   /** Population variance from exact integer (sum, sumsq, n): computed with a
     * fixed IEEE sequence so any engine gets bit-identical doubles.
+    *
+    * n = 0 reports NULL (the undefined-statistic currency — under ANSI a
+    * bare division would raise, round-13 division audit), and the result
+    * is clamped at 0: for a CONSTANT input, sum²/n rounds once sum² passes
+    * 2⁵³ and can land a hair ABOVE sumsq, which would otherwise hand
+    * sqrt a negative and poison downstream exact casts with NaN. The
+    * clamp is the same fixed IEEE op on every engine, so bit-compat holds.
     */
   def varPopFromSums(sum: Column, sumsq: Column, n: Column): Column =
-    (sumsq.cast("double") - sum.cast("double") * sum.cast("double") / n.cast("double")) / n.cast("double")
+    when(n > 0, greatest(lit(0.0),
+      (sumsq.cast("double") - sum.cast("double") * sum.cast("double") / n.cast("double")) / n.cast("double")))
 
   def stddevPopFromSums(sum: Column, sumsq: Column, n: Column): Column =
     sqrt(varPopFromSums(sum, sumsq, n))

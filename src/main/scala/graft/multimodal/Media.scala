@@ -96,9 +96,14 @@ object Media {
   def resizeFeatures(spark: SparkSession, decoded: Dataset[DecodedFrame],
       targetLen: Int): DataFrame = {
     import spark.implicits._
+    require(targetLen > 0, s"targetLen must be > 0, got $targetLen")
     decoded.map { d =>
       val src = d.pixels
       val out = new Array[Float](targetLen)
+      // an empty pixel payload (zero-byte media) has no bins to average:
+      // emit zeros instead of indexing src(-1) (round-13 division audit)
+      if (src.isEmpty) (d.media_id, d.frame_idx, out)
+      else {
       val binW = math.max(1, src.length / targetLen)
       var i = 0
       while (i < targetLen) {
@@ -111,6 +116,7 @@ object Media {
         i += 1
       }
       (d.media_id, d.frame_idx, out)
+      }
     }.toDF("media_id", "frame_idx", "features")
   }
 

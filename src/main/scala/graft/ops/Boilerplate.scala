@@ -24,7 +24,10 @@ object Boilerplate {
   /** (id, seg_idx, seg) — consecutive `width`-token passages per doc.
     * Empty-token docs produce no rows.
     */
-  def segments(docs: DataFrame, idCol: String, tokens: Column, width: Int): DataFrame =
+  def segments(docs: DataFrame, idCol: String, tokens: Column, width: Int): DataFrame = {
+    // width = 0 would reach the ÷width chunk count as an ANSI
+    // divide-by-zero (round-13 division audit): refuse at the API edge
+    require(width > 0, s"segment width must be > 0, got $width")
     docs
       .select(col(idCol), tokens.as("_toks"))
       .filter(size(col("_toks")) > 0)
@@ -35,6 +38,7 @@ object Boilerplate {
       .select(col(idCol), col("seg_idx"),
         array_join(slice(col("_toks"),
           (col("seg_idx") * width + 1).cast("int"), lit(width)), " ").as("seg"))
+  }
 
   /** Cross-corpus exact passage dedup, keep-FIRST occurrence (the
     * RefinedWeb-style exact-substring dedup at passage granularity — the

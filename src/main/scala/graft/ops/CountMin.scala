@@ -22,8 +22,11 @@ import graft.functions.Hashing
 object CountMin {
 
   /** Bucket id of `term` for sketch row `row` under `seed`. */
-  def bucket(term: Column, row: Int, seed: String, width: Int): Column =
+  def bucket(term: Column, row: Int, seed: String, width: Int): Column = {
+    // pmod(·, 0) raises under ANSI (round-13 division audit)
+    require(width > 0, s"sketch width must be > 0, got $width")
     pmod(Hashing.hash60(term, s"$seed:$row"), lit(width.toLong))
+  }
 
   /** Build the sketch: one row per non-empty (row, bucket) cell. Each
     * occurrence explodes into `depth` (row, bucket) pairs with the row id

@@ -150,12 +150,19 @@ object Curation {
     val w = Window.partitionBy()
     per
       .withColumn("_total", sum("toks").over(w))
-      .withColumn("share", col("toks").cast("double") / col("_total"))
+      // a corpus whose every group has 0 tokens has no mixture: NULL
+      // share/weight (the undefined-statistic currency) instead of an
+      // ANSI divide-by-zero raise (round-13 division audit). When ANY
+      // group has tokens, _total > 0 and sum(_wm) ≥ the largest group's
+      // _wm ≥ ⌊√(1/#groups)·10⁶⌉ > 0, so the guarded branches are the
+      // only reachable zero-divisor shapes.
+      .withColumn("share", when(col("_total") > 0,
+        col("toks").cast("double") / col("_total")))
       .withColumn("_wm",
         floor(sqrt(col("share")) * 1000000 + 0.5).cast("long"))
       .withColumn("weight",
-        Exact.roundPortable(
-          col("_wm").cast("double") / sum("_wm").over(w).cast("double"), 6))
+        when(sum("_wm").over(w) > 0, Exact.roundPortable(
+          col("_wm").cast("double") / sum("_wm").over(w).cast("double"), 6)))
       .select(col(groupCol), col("toks"),
         Exact.roundPortable(col("share"), 6).as("share"), col("weight"))
   }
@@ -174,7 +181,11 @@ object Curation {
       tokens: Column, seed: String): DataFrame = {
     val rates = domainMixture(docs.select(col(groupCol), tokens.as("_tk")),
         groupCol, col("_tk"))
-      .withColumn("rate", col("weight") / max("weight").over(Window.partitionBy()))
+      // NULL weights (no-token corpus, see domainMixture) → NULL rate →
+      // the hash filter below keeps nothing: undefined mixture samples
+      // empty rather than raising (round-13 division audit)
+      .withColumn("rate", when(max("weight").over(Window.partitionBy()) > 0,
+        col("weight") / max("weight").over(Window.partitionBy())))
       .select(col(groupCol), col("rate"))
     docs.select(col(idCol), col(groupCol))
       .join(broadcast(rates), groupCol)

@@ -264,7 +264,14 @@ object Dedup {
     Pins.sealOutput(
       a.join(b, Seq("blk"))
         .filter(col("id_a") < col("id_b") && least(col("_na"), col("_nb")) > 0)
-        .withColumn("containment", inter / denom)
+        // when() rather than relying on the filter below the projection:
+        // Catalyst pushes the containment>=threshold predicate through the
+        // Project (alias-substituted) and combines filters, which keeps
+        // the guard only via And's left-to-right short-circuit — the
+        // when() makes the zero-denominator row impossible by construction
+        // instead of by conjunct order (round-13 division audit; same
+        // discipline as jaccardPairs)
+        .withColumn("containment", when(denom > 0, inter / denom).otherwise(lit(0.0)))
         .filter(col("containment") >= threshold)
         .select(col("id_a"), col("id_b"), col("containment")),
       prepared)

@@ -63,12 +63,20 @@ object Diversify {
     val qVec: Seq[Long] = qRows.head.getSeq[Long](0)
     def r6(c: org.apache.spark.sql.Column) =
       graft.functions.Exact.roundPortable(c, 6)
-    // q29's cosine shape: dot / (sqrt(aa) · sqrt(bb)), rounded at 1e-6
+    // q29's cosine shape: dot / (sqrt(aa) · sqrt(bb)), rounded at 1e-6.
+    // Zero vectors are LEGAL (only nulls are filtered): an all-zero query
+    // is decided at plan time, an all-zero candidate by the same when()
+    // guard Similarity.cosine uses — either would otherwise raise ANSI
+    // divide-by-zero inside the norm product (round-13 division audit)
     def cosTo(vec: Seq[Long]): org.apache.spark.sql.Column = {
       val v = typedLit(vec)
-      r6(Similarity.dotScaled(col("_s"), v).cast("double") /
-        (sqrt(Similarity.dotScaled(col("_s"), col("_s")).cast("double")) *
-          math.sqrt(vec.map(x => x.toDouble * x).sum)))
+      val nb = math.sqrt(vec.map(x => x.toDouble * x).sum)
+      if (nb == 0.0) r6(lit(0.0))
+      else {
+        val aa = Similarity.dotScaled(col("_s"), col("_s")).cast("double")
+        r6(when(aa > 0, Similarity.dotScaled(col("_s"), v).cast("double") /
+          (sqrt(aa) * nb)).otherwise(lit(0.0)))
+      }
     }
     val pool0 = sv0.where(col("_id") =!= queryId)
       .withColumn("_sq", cosTo(qVec))

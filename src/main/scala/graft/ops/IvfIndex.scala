@@ -48,7 +48,12 @@ object IvfIndex {
     val dot = graft.functions.Dot.double(v, lit)
     val nv = sqrt(graft.functions.Dot.double(v, v))
     val nc = math.sqrt(c.map(x => x * x).sum)
-    when(nv > 0, dot / (nv * nc)).otherwise(org.apache.spark.sql.functions.lit(0.0))
+    // nc is a driver-side constant: an all-zero centroid (legal when a
+    // zero embedding seeds the codebook) would make nv·nc = 0 INSIDE the
+    // nv>0 branch and raise under ANSI — decide at plan time instead
+    // (round-13 division audit); cosine against a zero vector is 0
+    if (nc == 0.0) org.apache.spark.sql.functions.lit(0.0)
+    else when(nv > 0, dot / (nv * nc)).otherwise(org.apache.spark.sql.functions.lit(0.0))
   }
 
   /** Nearest-centroid id expression against the broadcast centroid list

@@ -289,6 +289,9 @@ object Scoring {
   def dsirSelect(docs: DataFrame, idCol: String, toks: Column,
       targetPred: Column, buckets: Int = 4096, k: Int = 100,
       salt: String = "dsir"): DataFrame = {
+    // buckets = 0 reaches pmod(·, 0) and the +buckets smoothing divisors
+    // (round-13 division audit): refuse at the API edge
+    require(buckets > 0 && k > 0, s"need buckets > 0 and k > 0, got $buckets/$k")
     val pairs = docs
       .select(col(idCol), targetPred.as("_t"),
         explode(graft.functions.TextAnalysis.bigrams(toks)).as("_big"))

@@ -44,9 +44,11 @@ object SlidingAgg {
     */
   def trailing(df: DataFrame, keyCol: String, tsUs: Column, valueCol: Column,
       lookbackUs: Long, sliceUs: Long): DataFrame = {
-    require(sliceUs >= lookbackUs,
-      s"sliceUs ($sliceUs) must be >= lookbackUs ($lookbackUs): a frame " +
-        "may only reach one slice back")
+    // sliceUs = 0 (legal before when lookbackUs = 0) would reach the
+    // DIV/pmod slice routing as a divide-by-zero (round-13 division audit)
+    require(sliceUs > 0 && sliceUs >= lookbackUs,
+      s"sliceUs ($sliceUs) must be > 0 and >= lookbackUs ($lookbackUs): " +
+        "a frame may only reach one slice back")
     val base = df.withColumn("_ts_us", tsUs)
       .withColumn("_slice", expr(s"_ts_us DIV $sliceUs"))
       .withColumn("_v", valueCol)

@@ -69,8 +69,8 @@ object SimilarityQueries {
     "q31_embed_dim_stats",
     s"""SELECT dim, count(*) AS n,
        |  CAST(floor((CAST(sum(sv) AS DOUBLE) / count(*) / CAST(1000000.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS mean,
-       |  CAST(floor((sqrt((CAST(sum(sv * sv) AS DOUBLE)
-       |      - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE) / count(*)) / count(*))
+       |  CAST(floor((sqrt(greatest(0.0, (CAST(sum(sv * sv) AS DOUBLE)
+       |      - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE) / count(*)) / count(*)))
        |    / CAST(1000000.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS std,
        |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v
        |FROM (
@@ -90,10 +90,14 @@ object SimilarityQueries {
         count(lit(1)).as("n"),
         graft.functions.Exact.roundPortable(
           sum("sv").cast("double") / count(lit(1)) / 1000000.0, 6).as("mean"),
-        graft.functions.Exact.roundPortable(sqrt(
+        // greatest(0, ·) on BOTH engines: on a constant dimension sum²
+        // rounds once it passes 2⁵³ and the radicand can land a hair below
+        // zero — sqrt would return NaN and the exact cast would raise on a
+        // legitimate input (round-13 division/sqrt audit)
+        graft.functions.Exact.roundPortable(sqrt(greatest(lit(0.0),
           (sum(col("sv") * col("sv")).cast("double") -
             sum("sv").cast("double") * sum("sv").cast("double") / count(lit(1)))
-            / count(lit(1))) / 1000000.0, 6).as("std"),
+            / count(lit(1)))) / 1000000.0, 6).as("std"),
         min("v").cast("double").as("min_v"),
         max("v").cast("double").as("max_v"))
       .orderBy("dim")

@@ -148,8 +148,8 @@ object EmptySweep {
     * marks, RTL runs, a NUL byte, zero-width joiners, a 100k-char repeat —
     * aimed at the tokenizers, shingles, normalizers and hash kernels.
     */
-  def writeUnicodeTables(spark: SparkSession, srcDir: String, outDir: String)
-      : Unit = {
+  def writeUnicodeTables(spark: SparkSession, srcDir: String, outDir: String,
+      longRepeat: Int = 8000): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, lit, pmod, element_at, array}
     import org.apache.spark.sql.types._
@@ -157,7 +157,8 @@ object EmptySweep {
       "😀🤖 café café 👨‍👩‍👧",
       "السلام عليكم שלום",
       "a\u0000b​‌‍c ́̂̃",
-      ("lorem ipsum " * 8000).trim, // ~100k chars, NBSP separators
+      ("lorem ipsum " * longRepeat).trim, // tool default ~100k chars, NBSP separators;
+      // specs pass a short repeat (stays inside editDistancePairs maxTextLen)
       "�￾\t\r\n  mixed\tws")
     graft.Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")

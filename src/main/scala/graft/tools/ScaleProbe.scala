@@ -18,6 +18,37 @@ object ScaleProbe {
     * fast but structurally unable to produce percentiles, so it stays
     * benchmark-only unless the sketches are dropped.
     */
+  /** editDistancePairs at its INTENDED domain (titles/names/short
+    * paragraphs — Dedup.scala scaladoc; round-12 verdict #6): pairs/s at
+    * 100× the q67 gate's block size so the operator's real-world cost has
+    * a recorded number like every other family. Deterministic synthetic
+    * titles ~20–30 chars with enough length variance that the |len|
+    * prefilter passes most candidates into the banded DP.
+    */
+  private def shortFieldEditProbe(spark: SparkSession,
+      t: String => (=> Any) => Any): Unit =
+    t("editDistancePairs SHORT-FIELD domain: 200k titles, 2000 blocks x 100") {
+      val words = typedLit(Seq("alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+        "mike", "november", "oscar", "papa", "quebec", "romeo"))
+      val titles = spark.range(200000L).select(
+        col("id").as("doc_id"),
+        concat(
+          element_at(words, (pmod(xxhash64(col("id"), lit(1)), lit(18L)) + 1).cast("int")),
+          lit(" "),
+          element_at(words, (pmod(xxhash64(col("id"), lit(2)), lit(18L)) + 1).cast("int")),
+          lit(" unit "), (col("id") % 97L).cast("string"),
+          lit(" rev "), (col("id") % 7L).cast("string")).as("text"),
+        pmod(col("id"), lit(2000L)).as("blk"))
+      val t0 = System.nanoTime()
+      val candPairs = 2000L * (100L * 99L / 2L) // block fan-out before prefilters
+      val n = Dedup.editDistancePairs(titles, "doc_id", "text", col("blk"),
+        maxDist = 8).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe]   surviving pairs: $n of ~$candPairs candidates, " +
+        f"$sec%.2f s = ${candPairs / sec}%.0f candidate pairs/s")
+    }
+
   private def vecStatsProbes(spark: SparkSession,
       t: String => (=> Any) => Any): Unit = {
     import spark.implicits._
@@ -294,6 +325,9 @@ object ScaleProbe {
     if (args.contains("vecstats")) {
       vecStatsProbes(spark, t); spark.stop(); return
     }
+    if (args.contains("editshort")) {
+      shortFieldEditProbe(spark, t); spark.stop(); return
+    }
     if (!behaviorOnly && !r9Only) {
     val toks = docs.withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
     t("jaccardPairs 50k docs (blocked)") {
@@ -402,6 +436,7 @@ object ScaleProbe {
         substring(col("text"), 1, 40), maxDist = 16).count()
       println(s"[probe]   pairs: $n")
     }
+    shortFieldEditProbe(spark, t)
     t("repetition signals (modeCount fold) over 50k docs") {
       val n = docs.select(TextAnalysis.modeCount(
         TextAnalysis.tokens(col("text"))).as("m")).agg(max("m")).head().getLong(0)

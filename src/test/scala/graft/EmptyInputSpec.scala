@@ -64,4 +64,61 @@ class EmptyInputSpec extends SparkSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // ---- round-13: the NaN and hostile-unicode sweep contracts, pinned ----
+  // (previously these lived only in tool-run sweep results and would not
+  // have survived a refactor — round-12 verdict #5)
+
+  private def sweepDir(write: String => Unit, prefix: String): Seq[(String, Option[Throwable], Option[Throwable])] = {
+    val out = tmpDir(prefix)
+    write(out)
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = try { fn(spark, out).count(); (None, None) }
+      catch { case e: Throwable => (EmptySweep.crashIn(e), Some(e)) }
+      finally graft.ops.Pins.releaseAll(spark)
+      (name, r._1, r._2)
+    }
+  }
+
+  test("all gates survive NaN-everywhere inputs; exact kernels refuse with the NAMED cast error") {
+    val results = sweepDir(
+      EmptySweep.writeNanTables(spark, "/root/testdata/sf0.001", _, 3),
+      "graft_nan_spec")
+    val crashes = results.collect { case (n, Some(c), _) =>
+      s"$n crashed: ${c.getClass.getName}: ${c.getMessage}" }
+    assert(crashes.isEmpty, crashes.mkString("\n"))
+    // the engine-parity contract: NaN reaching an exact scaled-int kernel
+    // RAISES the named domain error (identical to the oracle's CAST(NaN
+    // AS BIGINT)) — it must never NULL-absorb into a silently-wrong sum.
+    // q31's embedding kernel is the canonical site.
+    val q31 = results.find(_._1 == "q31_embed_dim_stats").get
+    assert(q31._3.isDefined, "q31 on NaN embeddings must refuse, not return")
+    val chain = Iterator.iterate(q31._3.get)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    assert(chain.exists(t => EmptySweep.nanDomainRefusal(t)),
+      s"q31's refusal must be the named NaN cast error, got: " +
+        chain.map(t => t.getClass.getName + ": " + t.getMessage).mkString(" | "))
+  }
+
+  test("all gates survive hostile unicode (astral/combining/RTL/NUL/ZWJ); text gates flow") {
+    // short repeat keeps texts inside editDistancePairs' maxTextLen
+    // domain; the 100k-char shape stays tool-only (suite time + the
+    // length guard's refusal is its own spec'd contract in CorpusSpec)
+    val results = sweepDir(
+      EmptySweep.writeUnicodeTables(spark, "/root/testdata/sf0.001", _,
+        longRepeat = 40),
+      "graft_unicode_spec")
+    val crashes = results.collect { case (n, Some(c), _) =>
+      s"$n crashed: ${c.getClass.getName}: ${c.getMessage}" }
+    assert(crashes.isEmpty, crashes.mkString("\n"))
+    // the text-analysis surface must PROCESS hostile text, not refuse it:
+    // census, language-id, quality, fingerprint, and the tokenizing dedup
+    val mustFlow = Seq("q20_text_stats", "q21_token_classes", "q22_lang_id",
+      "q23_quality_score", "q24_doc_fingerprint", "q25_exact_dedup")
+    val present = results.filter(r => mustFlow.exists(r._1.startsWith))
+    assert(present.nonEmpty, s"none of $mustFlow found in the gate board")
+    val refused = present.collect { case (n, _, Some(e)) =>
+      s"$n refused on hostile text: ${e.getMessage}" }
+    assert(refused.isEmpty, refused.mkString("\n"))
+  }
 }
