@@ -78,7 +78,12 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
-      .withColumn("_tok1", element_at(TextAnalysis.tokens(col("text")), 1))
+      // size guard: a token-less doc (punctuation-only text) has [] and
+      // element_at([], 1) raises under ANSI (round-13 array-index audit).
+      // NULL _tok1 is harmless either way: such docs carry _toks=[] and
+      // containmentPairs' least(_na,_nb)>0 filter drops their pairs.
+      .withColumn("_tok1", when(size(TextAnalysis.tokens(col("text"))) >= 1,
+        element_at(TextAnalysis.tokens(col("text")), 1)))
     Dedup.containmentPairs(docs, "doc_id", "_toks",
         concat_ws("|", col("lang"), col("_tok1")), 0.9)
       .withColumn("containment", graft.functions.Exact.roundPortable(col("containment"), 6))

@@ -66,7 +66,11 @@ object Stats {
         .otherwise(when(raw.try_cast("double").isNotNull, array(raw.try_cast("double"))))
     }
     val countScalar = get_json_object(block, "$.count").try_cast("double")
-    val countList = element_at(from_json(get_json_object(block, "$.count"), ArrayType(DoubleType)), 1)
+    // size guard: "count": [] is malformed but a TOLERANT reader (S8)
+    // reports NULL and falls through the coalesce — element_at([], 1)
+    // raises under ANSI (round-13 array-index audit)
+    val countArr = from_json(get_json_object(block, "$.count"), ArrayType(DoubleType))
+    val countList = when(size(countArr) >= 1, element_at(countArr, 1))
     val count = coalesce(countScalar, countList,
       get_json_object(block, "$.frame_count").try_cast("double"),
       get_json_object(block, "$.frames").try_cast("double"),

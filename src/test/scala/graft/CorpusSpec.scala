@@ -105,6 +105,23 @@ class CorpusSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 4L)) // mat/rat edit
   }
 
+  test("containment block key tolerates token-less docs (no ANSI array-index raise)") {
+    import spark.implicits._
+    // round-13 array-index audit: the q75 shape — first-token block key
+    // over a corpus containing a punctuation-only doc (tokens = []) must
+    // compute, with the token-less doc contributing no pairs
+    val data = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "?!... --- ..."))
+      .toDF("doc_id", "text")
+      .withColumn("_toks", array_distinct(TextAnalysis.tokens(col("text"))))
+      .withColumn("_tok1", when(size(TextAnalysis.tokens(col("text"))) >= 1,
+        element_at(TextAnalysis.tokens(col("text")), 1)))
+    val pairs = Dedup.containmentPairs(data, "doc_id", "_toks",
+        concat_ws("|", lit("en"), col("_tok1")), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("edit-distance domain guard: over-long text refuses with routing; override admits it") {
     import spark.implicits._
     val long = Seq((0L, "x" * 5000), (1L, "x" * 5000)).toDF("doc_id", "text")

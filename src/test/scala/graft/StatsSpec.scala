@@ -82,6 +82,20 @@ class StatsSpec extends SparkSuite {
     assert(gs.features(Schemas.ObsStateStorage).count === 15)
   }
 
+  test("""malformed "count": [] is skipped, not an ANSI array-index raise""") {
+    // round-13 array-index audit: element_at([], 1) raises under ANSI —
+    // the tolerant reader (S8) must treat an empty count list as missing
+    val root = tmpDir("stats_empty_count")
+    Files.createDirectories(Paths.get(root))
+    val good = statsJsonl(Map(0L -> cleanFrames(0, 10))).trim
+    val emptyCount = """{"episode_index": 1, "stats": {"action": {"count": [], "mean": [1], "std": [1], "min": [1], "max": [1]}}}"""
+    Files.write(Paths.get(s"$root/stats.jsonl"),
+      (good + "\n" + emptyCount + "\n").getBytes)
+    val gs = Stats.reduceFromJsonl(spark, s"$root/stats.jsonl", features)
+    assert(gs.episodesUsed === 1)
+    assert(gs.features("action").count === 10)
+  }
+
   test("scalar stats coerce to 1-dim vectors") {
     val root = tmpDir("stats_scalar")
     Files.createDirectories(Paths.get(root))
