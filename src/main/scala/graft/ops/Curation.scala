@@ -436,14 +436,24 @@ object Curation {
     * explode. Output keeps every input column plus `copy` (1-based).
     */
   def epochUpsample(docs: DataFrame, idCol: String, epochs: Column,
-      seed: String): DataFrame = {
+      seed: String, maxCopies: Long = 10000L): DataFrame = {
+    require(maxCopies > 0, s"maxCopies must be > 0, got $maxCopies")
     val frac = epochs - floor(epochs)
     val nc = floor(epochs).cast("long") +
       when(Hashing.hashUnit(col(idCol).cast("string"), seed) < frac, 1L)
         .otherwise(0L)
     docs.withColumn("_nc", nc)
       .filter(col("_nc") > 0)
-      .withColumn("copy", explode(sequence(lit(1L), col("_nc"))))
+      // amplification cap (round-13, the RangeJoin pattern): a corrupt
+      // epochs value (1e9 from a bad join) silently explodes one row into
+      // a cluster-killer; real mixtures use single-digit epochs
+      .withColumn("copy", explode(when(col("_nc") <= maxCopies,
+        sequence(lit(1L), col("_nc")))
+        .otherwise(raise_error(format_string(
+          "graft.Curation.epochUpsample: row requests %s copies " +
+            s"(cap $maxCopies) — a corrupt epochs value would explode " +
+            "the corpus; fix upstream or raise maxCopies",
+          col("_nc"))))))
       .drop("_nc")
   }
 

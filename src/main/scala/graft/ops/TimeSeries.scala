@@ -24,15 +24,29 @@ object TimeSeries {
     * `filled_<valueCol>` = the running last non-null hourly aggregate.
     */
   def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
-      valueAgg: Column, valueName: String): DataFrame = {
+      valueAgg: Column, valueName: String,
+      maxSpanHours: Long = 200000L): DataFrame = {
+    require(maxSpanHours > 0, s"maxSpanHours must be > 0, got $maxSpanHours")
     val hourly = df
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"), valueAgg.as("_v"))
+    // amplification cap (round-13, the RangeJoin pattern): ONE corrupt
+    // timestamp (epoch-0, year-9999) silently densifies its key's spine
+    // by the whole span — at corpus scale that's an OOM, not a raise.
+    // 200k hours ≈ 23 years covers any real monitoring window; a wider
+    // spine is a data bug, refused loudly with the knob in the message.
+    val span = (unix_timestamp(col("hi")) - unix_timestamp(col("lo"))) / 3600L
     val spine = hourly
       .groupBy(col(keyCol))
       .agg(min("hour").as("lo"), max("hour").as("hi"))
       .select(col(keyCol),
-        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        explode(when(span <= maxSpanHours,
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .otherwise(raise_error(format_string(
+            "graft.TimeSeries.gapFillHourly: key spans %s hours " +
+              s"(cap $maxSpanHours) — a corrupt timestamp would densify " +
+              "the spine into OOM; fix the data or raise maxSpanHours",
+            span))))
           .as("hour"))
     val w = Window.partitionBy(keyCol).orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

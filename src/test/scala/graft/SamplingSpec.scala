@@ -119,6 +119,23 @@ class SamplingSpec extends SparkSuite {
     assert(fracHits > 25 && fracHits < 75)
   }
 
+  test("epochUpsample amplification cap: a corrupt epochs value refuses loudly") {
+    // round-13 RangeJoin-pattern cap: epochs=1e9 from a bad upstream join
+    // would silently explode one row into a cluster-killer
+    val docs = Seq((1L, 2.0), (2L, 1.0e9)).toDF("id", "epochs")
+    val e = intercept[Exception] {
+      graft.ops.Curation.epochUpsample(docs, "id", col("epochs"), "s1").count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxCopies"), msg)
+    // override admits large fan-out when the caller owns it
+    val n = graft.ops.Curation.epochUpsample(
+      Seq((1L, 20000.0)).toDF("id", "epochs"), "id", col("epochs"), "s1",
+      maxCopies = 50000L).count()
+    assert(n >= 20000L && n <= 20001L)
+  }
+
   test("epochShuffle is a permutation matching the sequential hash order, stable under repartition") {
     val ids = (1L to 500L).toDF("id")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -40,4 +40,21 @@ class TimeSeriesSpec extends SparkSuite {
     // y's value never leaks into x's fill
     assert(got.where(col("k") === "x" && col("filled_v") === 9L).count() === 0)
   }
+
+  test("amplification cap: a corrupt epoch-0 timestamp refuses loudly instead of densifying") {
+    // round-13 RangeJoin-pattern cap: one 1970 row against 2024 data
+    // would otherwise explode the key's spine by ~470k hourly rows
+    val events = Seq(
+      ("a", java.sql.Timestamp.valueOf("1970-01-01 00:00:00"), 1L),
+      ("a", ts(1, 0), 2L)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeries.gapFillHourly(events, "k", "t", sum("v"), "v").count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxSpanHours"), msg)
+    // override admits the wide span
+    assert(TimeSeries.gapFillHourly(events, "k", "t", sum("v"), "v",
+      maxSpanHours = 600000L).count() > 400000L)
+  }
 }
