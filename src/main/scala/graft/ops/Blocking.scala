@@ -42,7 +42,17 @@ object Blocking {
     val sameB = a.join(b, col("_bktb") === col("_bkt"))
     val nextB = a.join(b, col("_bktb") === col("_bkt") + 1)
     val cand = sameB.unionByName(nextB)
-      .where(col("_rb") > col("_ra") && col("_rb") - col("_ra") < w)
+      // id_a =!= id_b is jaccardPairs' pairing discipline applied to the
+      // RANK-paired shape, and it is load-bearing under key corruption
+      // (round-13 constant-at-scale sweep): duplicate ids sort ADJACENT
+      // under the (key, id) rank tiebreak, so their rank-pairs are
+      // id-equal — without this predicate each such pair re-joins the
+      // payload table |dup|× per side and the narrow-candidates join
+      // amplifies quadratically (300 copies of one id = 2.7e9 jaccard
+      // evaluations). With it, self-id pairs die row-locally and partial
+      // duplication degrades linearly in per-id multiplicity.
+      .where(col("_rb") > col("_ra") && col("_rb") - col("_ra") < w &&
+        col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
     Pins.sealOutput(
       cand

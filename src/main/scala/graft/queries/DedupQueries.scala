@@ -642,6 +642,7 @@ object DedupQueries {
          |), cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
          |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < $w
+         |    AND a.doc_id <> b.doc_id
          |)
          |SELECT id_a, id_b,
          |  CAST(floor(jac * 1000000 + 0.5) AS BIGINT) AS jac_e6

@@ -78,4 +78,22 @@ class SkylineBlockingSpec extends SparkSuite {
     val expected = (0 until n).map(i => math.min(w - 1, n - 1 - i)).sum
     assert(got === expected.toLong)
   }
+
+  test("sortedNeighborhood under duplicate ids: self-id pairs dropped, no quadratic re-join") {
+    // round-13 constant-at-scale sweep find: duplicate ids (re-ingested
+    // shard corruption) sort adjacent under the (key, id) rank tiebreak,
+    // and their id-equal rank-pairs used to amplify the payload re-join
+    // |dup|² per pair (300 copies of one id = 2.7e9 jaccard evals). The
+    // id_a =!= id_b predicate kills them row-locally.
+    val dup = (1 to 200).map(_ => (7L, "same words here")) :+
+      ((8L, "same words here"))
+    val toks = filter(split(col("text"), " "), x => length(x) > 0)
+    val out = Blocking.sortedNeighborhood(dup.toDF("doc_id", "text"),
+      "doc_id", lit("k"), toks, w = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no (7,7) self pairs; the genuine (7,8) neighbor pair survives
+    // (multiplied by id-7's window multiplicity, linear not quadratic)
+    assert(out.forall { case (a, b) => a != b }, out.take(5).toSeq)
+    assert(out.contains((7L, 8L)) || out.contains((8L, 7L)))
+  }
 }
