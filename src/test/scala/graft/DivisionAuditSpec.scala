@@ -30,6 +30,22 @@ class DivisionAuditSpec extends SparkSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("exact-sum headroom: BIGINT sum overflow raises loudly under ANSI (never wraps)") {
+    // the 100 TB question for the exact-cents discipline: ~1e12 rows of
+    // ~1e7-cent values approach 2⁶³. The contract is LOUD-NOT-WRONG —
+    // ANSI sum raises ARITHMETIC_OVERFLOW instead of wrapping — and the
+    // remedy at the gate that needs it is per-row DECIMAL promotion (the
+    // q218 tie-term pattern). Pin the raise so a conf drift that silently
+    // re-enables wrapping fails here.
+    val e = intercept[Exception] {
+      spark.range(3).select(lit(Long.MaxValue / 2).as("x"))
+        .agg(sum("x")).head()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.toLowerCase.contains("overflow"), msg)
+  }
+
   test("domainMixture: zero-token corpus reports NULL mixture, not a raise") {
     val docs = Seq(("a", 0L), ("b", 0L)).toDF("src", "tk")
     val m = Curation.domainMixture(docs, "src", col("tk")).collect()
