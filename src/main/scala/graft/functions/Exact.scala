@@ -45,10 +45,20 @@ object Exact {
     * 2⁵³ and can land a hair ABOVE sumsq, which would otherwise hand
     * sqrt a negative and poison downstream exact casts with NaN. The
     * clamp is the same fixed IEEE op on every engine, so bit-compat holds.
+    *
+    * A NULL radicand (NULL sum/sumsq with n > 0 — e.g. an all-NULL value
+    * column counted via count(*), or overflow-degraded sums on a non-ANSI
+    * engine) stays NULL (round-14 advice): greatest() skips NULLs, so
+    * without the isNotNull gate the clamp would silently read 0.0 where
+    * the statistic is undefined. NULL is the undefined-statistic currency.
+    * The radicand is evaluated only inside the n > 0 branch, so the ANSI
+    * division never sees n = 0.
     */
-  def varPopFromSums(sum: Column, sumsq: Column, n: Column): Column =
-    when(n > 0, greatest(lit(0.0),
-      (sumsq.cast("double") - sum.cast("double") * sum.cast("double") / n.cast("double")) / n.cast("double")))
+  def varPopFromSums(sum: Column, sumsq: Column, n: Column): Column = {
+    val radicand =
+      (sumsq.cast("double") - sum.cast("double") * sum.cast("double") / n.cast("double")) / n.cast("double")
+    when(n > 0, when(radicand.isNotNull, greatest(lit(0.0), radicand)))
+  }
 
   def stddevPopFromSums(sum: Column, sumsq: Column, n: Column): Column =
     sqrt(varPopFromSums(sum, sumsq, n))

@@ -36,6 +36,28 @@ object Blocking {
         keyed.select(col(idCol), col("_key")), Seq("_key", idCol), "rank")
       .withColumn("_bkt", floor((col("rank") - 1) / w).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Surface what the id_a =!= id_b guard below silently costs (round-14
+    // advice, the EventStream skipped-check visibility discipline): the
+    // guard kills the |dup|² re-join under duplicate ids, but it also
+    // drops candidate pairs between GENUINELY DISTINCT records that share
+    // a corrupted id — a recall loss that is otherwise invisible. One
+    // aggregation over the persisted (id) projection (which the candidate
+    // joins are about to scan anyway, so this doubles as a cache warm)
+    // names the regime on stderr when it is in play.
+    locally {
+      val dup = keyed.groupBy(col(idCol)).agg(count(lit(1)).as("_m"))
+        .where(col("_m") > 1L)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("ids"),
+          coalesce(sum(col("_m") - 1L), lit(0L)).as("extra"))
+        .head()
+      if (dup.getLong(0) > 0L) System.err.println(
+        s"[graft.Blocking] sortedNeighborhood: ${dup.getLong(0)} ids " +
+          s"appear more than once (${dup.getLong(1)} extra rows); " +
+          "id-equal rank pairs among them are dropped by construction, so " +
+          "candidate recall between distinct records sharing a duplicated " +
+          "id is not probed — dedupe or re-key the input if those ids are " +
+          "corrupt rather than true duplicates")
+    }
     val a = rk.select(col(idCol).as("id_a"), col("rank").as("_ra"), col("_bkt"))
     val b = rk.select(col(idCol).as("id_b"), col("rank").as("_rb"),
       col("_bkt").as("_bktb"))

@@ -35,12 +35,18 @@ object TimeSeries {
     // by the whole span — at corpus scale that's an OOM, not a raise.
     // 200k hours ≈ 23 years covers any real monitoring window; a wider
     // spine is a data bug, refused loudly with the knob in the message.
+    // NULL span passes THROUGH, not into the raise (round-14 advice): a key
+    // whose timestamps are all NULL has lo=hi=NULL, so span is NULL and
+    // when(NULL <= cap) is not-true — without the isNull arm such keys
+    // would crash with a misleading "spans null hours" message. With it,
+    // sequence(NULL, NULL) is NULL and explode drops the key, preserving
+    // the pre-cap behavior (no spine rows for an unobservable key).
     val span = (unix_timestamp(col("hi")) - unix_timestamp(col("lo"))) / 3600L
     val spine = hourly
       .groupBy(col(keyCol))
       .agg(min("hour").as("lo"), max("hour").as("hi"))
       .select(col(keyCol),
-        explode(when(span <= maxSpanHours,
+        explode(when(col("lo").isNull || span <= maxSpanHours,
           sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
           .otherwise(raise_error(format_string(
             "graft.TimeSeries.gapFillHourly: key spans %s hours " +

@@ -114,6 +114,15 @@ object CorpusQueries {
 
   /** Blocked Levenshtein near-dup: 40-char-prefix blocks, distance ≤ 16,
     * thresholded banded levenshtein on the Spark side.
+    *
+    * Domain contract (round-14 advice): the DuckDB oracle has no length
+    * cap, while the Spark side refuses texts > maxTextLen — an asymmetry
+    * on long-but-valid input. The gate pins maxTextLen EXPLICITLY (so a
+    * future default change cannot silently narrow this gate's domain) and
+    * the testdata bound is measured, not assumed: documents.text is
+    * ≤ 577 chars at every shipped SF (sf0.001/0.01/0.1 — max 558/553/577),
+    * a 7× margin under the guard, so both engines compute the same
+    * function over the gate's whole domain.
     */
   val q67EditDistance: Q = Q(
     "q67_edit_distance",
@@ -123,7 +132,7 @@ object CorpusQueries {
       |WHERE levenshtein(a.text, b.text) <= 16
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     Dedup.editDistancePairs(Tables.documentsSpread(s, dir), "doc_id", "text",
-        substring(col("text"), 1, 40), maxDist = 16)
+        substring(col("text"), 1, 40), maxDist = 16, maxTextLen = 4096)
       .orderBy("id_a", "id_b")
   }
 

@@ -98,6 +98,25 @@ class DivisionAuditSpec extends SparkSuite {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), rows(1).toString)
   }
 
+  test("varPopFromSums: NULL radicand with n>0 stays NULL, never clamps to 0.0") {
+    // round-14 advice: greatest() SKIPS NULLs, so an unguarded clamp
+    // turned a NULL sum/sumsq with n>0 (all-NULL value column counted via
+    // count(*); overflow-degraded sums on a non-ANSI engine) into a
+    // silent variance of 0. NULL is the undefined-statistic currency.
+    val f = graft.functions.Exact
+    val df = Seq[(Option[Long], Option[Long], Long)](
+      (None, Some(9L), 3L),      // NULL sum
+      (Some(9L), None, 3L),      // NULL sumsq
+      (Some(6L), Some(14L), 3L)  // healthy: var = 14/3 - 4 = 2/3
+    ).toDF("s", "sq", "n")
+    val rows = df.select(
+      f.varPopFromSums(col("s"), col("sq"), col("n")).as("va"),
+      f.stddevPopFromSums(col("s"), col("sq"), col("n")).as("sd")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), rows(0).toString)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), rows(1).toString)
+    assert(math.abs(rows(2).getDouble(0) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("embed-dim std radicand clamp: constant dimension at 2^53-breaking scale gives std 0.0") {
     // the q31 shape, distilled: a constant scaled-int column over enough
     // rows that (sum sv)² rounds — unclamped sqrt gives NaN and the exact

@@ -88,12 +88,22 @@ class SkylineBlockingSpec extends SparkSuite {
     val dup = (1 to 200).map(_ => (7L, "same words here")) :+
       ((8L, "same words here"))
     val toks = filter(split(col("text"), " "), x => length(x) > 0)
-    val out = Blocking.sortedNeighborhood(dup.toDF("doc_id", "text"),
-      "doc_id", lit("k"), toks, w = 4, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // round-14 advice: the guard's recall cost (pairs between DISTINCT
+    // records sharing a corrupted id are dropped) must be VISIBLE — pin
+    // the one-line stderr note that names the duplicate-id regime
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    val out =
+      try Blocking.sortedNeighborhood(dup.toDF("doc_id", "text"),
+        "doc_id", lit("k"), toks, w = 4, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally System.setErr(realErr)
     // no (7,7) self pairs; the genuine (7,8) neighbor pair survives
     // (multiplied by id-7's window multiplicity, linear not quadratic)
     assert(out.forall { case (a, b) => a != b }, out.take(5).toSeq)
     assert(out.contains((7L, 8L)) || out.contains((8L, 7L)))
+    val err = new String(errBuf.toByteArray, "UTF-8")
+    assert(err.contains("1 ids appear more than once (199 extra rows)"), err)
   }
 }

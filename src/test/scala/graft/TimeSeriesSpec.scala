@@ -57,4 +57,19 @@ class TimeSeriesSpec extends SparkSuite {
     assert(TimeSeries.gapFillHourly(events, "k", "t", sum("v"), "v",
       maxSpanHours = 600000L).count() > 400000L)
   }
+
+  test("all-NULL-timestamp key passes through the span cap, not into the raise") {
+    // round-14 advice: lo=hi=NULL makes span NULL, and when(NULL <= cap)
+    // is not-true — without the isNull arm the key crashed with a
+    // misleading "spans null hours" raise. Contract: such a key produces
+    // NO spine rows (sequence(NULL,NULL) is NULL, explode drops it),
+    // exactly the pre-cap behavior; healthy keys are unaffected.
+    val events = Seq(
+      ("dead", null.asInstanceOf[Timestamp], 1L),
+      ("dead", null.asInstanceOf[Timestamp], 2L),
+      ("live", ts(3, 0), 5L)).toDF("k", "t", "v")
+    val got = TimeSeries.gapFillHourly(events, "k", "t", sum("v"), "v")
+    assert(got.where(col("k") === "dead").count() === 0L)
+    assert(got.where(col("k") === "live").count() === 1L)
+  }
 }
