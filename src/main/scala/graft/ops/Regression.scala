@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Grouped simple OLS (y on x) from exact integer sufficient statistics.
   *
-  * The five sums (n, Σx, Σx², Σy, Σxy) are computed on integer-scaled
-  * values — x as Long, y as round(y·1e6) Long, Σy² per-row Long cast to
-  * DECIMAL(38,0) before summing (the one sum that can pass 2⁶³) — so the
+  * The six sums (n, Σx, Σx², Σy, Σxy, Σy²) are computed on integer-scaled
+  * values — x as Long, y as round(y·1e6) Long, every per-row term cast to
+  * DECIMAL(38,0) before summing (round-14 micros-headroom audit: Σ(x·ys)
+  * passed 2⁶³ at ~7e8 rows/group on the q213 domain; DECIMAL sums match
+  * DuckDB's BIGINT→HUGEINT exactness) — so the
   * aggregation is EXACT and order-independent: no FP tree-sum
   * nondeterminism, which is what makes the closed-form solution
   * replayable bit-for-bit on another engine. Only the final closed form
@@ -38,12 +40,18 @@ object Regression {
         round(y * 1000000).cast("long").as("_ys"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
-        sum(col("_x")).as("sx"),
-        sum(col("_x") * col("_x")).as("sxx"),
-        sum(col("_ys")).as("sy"),
-        sum(col("_x") * col("_ys")).as("sxy"),
-        // per-row ys² fits a Long (|ys| < 3e9 here → < 9.2e18); the SUM
-        // does not — promote before aggregating
+        // EVERY sum promotes per row to DECIMAL(38,0) (round-14
+        // micros-headroom audit): per-row terms stay Long — so the
+        // per-row overflow contract is symmetric with DuckDB's BIGINT
+        // products (both raise) — but the SUMS are exact to 1e38, like
+        // DuckDB's BIGINT→HUGEINT sum. Before this, Σ(x·ys) raised at
+        // ~7e8 rows/group for the q213 domain (x ≤ 23, value ≤ 561 →
+        // x·ys ≤ 1.3e10) while the oracle kept computing; the others had
+        // 1.6e10–1.7e16-row headroom but cost the same to close.
+        sum(col("_x").cast("decimal(38,0)")).as("sx"),
+        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("_ys").cast("decimal(38,0)")).as("sy"),
+        sum((col("_x") * col("_ys")).cast("decimal(38,0)")).as("sxy"),
         sum((col("_ys") * col("_ys")).cast("decimal(38,0)")).as("syy"),
         // min/max back the constant-x/constant-y tests below: exact at
         // any scale, unlike a decimal n·s − s² product that can overflow

@@ -93,9 +93,15 @@ object SimilarityQueries {
         // greatest(0, ·) on BOTH engines: on a constant dimension sum²
         // rounds once it passes 2⁵³ and the radicand can land a hair below
         // zero — sqrt would return NaN and the exact cast would raise on a
-        // legitimate input (round-13 division/sqrt audit)
+        // legitimate input (round-13 division/sqrt audit).
+        // Per-row sv² ≤ 1e12 fits a Long, but the per-dim SUM overflows
+        // 2⁶³ at ~9.2e6 rows/dim for |x|≈1 embeddings — trivially reached
+        // at corpus scale — so promote per row, the q218/groupedOls
+        // discipline (round-14 micros-headroom audit). DuckDB's SUM
+        // already promotes BIGINT→HUGEINT; both sides cast the exact sum
+        // to DOUBLE, so the gate hash is unchanged.
         graft.functions.Exact.roundPortable(sqrt(greatest(lit(0.0),
-          (sum(col("sv") * col("sv")).cast("double") -
+          (sum((col("sv") * col("sv")).cast("decimal(38,0)")).cast("double") -
             sum("sv").cast("double") * sum("sv").cast("double") / count(lit(1)))
             / count(lit(1)))) / 1000000.0, 6).as("std"),
         min("v").cast("double").as("min_v"),
