@@ -31,16 +31,39 @@ object Cooccur {
     * faster than the self-join at sf0.1, EdgeBuildProbe). For UNBOUNDED k
     * use [[itemPairs]]'s cap contract instead — this helper is for edge
     * lists where every pair is wanted.
+    *
+    * The bounded-k assumption is SELF-ENFORCING (round-14 explode audit,
+    * the editDistancePairs/gapFillHourly refuse-loudly pattern): the
+    * per-key pair array is built by `flatten(transform(...))`, which
+    * materializes all k(k−1)/2 structs in ONE row buffer before the
+    * explode — a single corrupted hot key with k = 10⁶ items is a
+    * multi-TB row, an executor OOM, not a slow query. Keys past
+    * `maxItemsPerKey` (default 2048 ≈ 2M pairs ≈ 32 MB per row buffer)
+    * refuse loudly with the [[itemPairs]] routing in the message; callers
+    * who have measured their key bound can raise it explicitly.
     */
-  def coedges(df: DataFrame, keyCol: String, itemCol: String): DataFrame =
+  def coedges(df: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int = 2048): DataFrame = {
+    require(maxItemsPerKey > 1, s"maxItemsPerKey must be > 1, got $maxItemsPerKey")
     df.select(col(keyCol).as("_k"), col(itemCol).as("_p"))
       .groupBy("_k").agg(sort_array(collect_set(col("_p"))).as("_ps"))
+      // the guard rides the grouped pass (a filter predicate survives
+      // pruning; assert_true is NULL when the bound holds)
+      .filter(assert_true(size(col("_ps")) <= maxItemsPerKey,
+        format_string(
+          "coedges: key %s has %d distinct items (cap " +
+            s"$maxItemsPerKey) — the grouped pair build materializes " +
+            "k(k-1)/2 structs per row and a hot key would OOM the " +
+            "executor; use itemPairs(maxItemsPerUser) for unbounded-k " +
+            "data, or pass maxItemsPerKey explicitly",
+          col("_k").cast("string"), size(col("_ps")))).isNull)
       .select(explode(expr(
         "flatten(transform(_ps, (x, i) -> " +
           "transform(slice(_ps, i + 2, size(_ps)), " +
           "y -> struct(x AS src, y AS dst))))")).as("_e"))
       .select(col("_e.src"), col("_e.dst"))
       .distinct()
+  }
 
   def itemPairs(df: DataFrame, userCol: String, itemCol: String,
       maxItemsPerUser: Int): DataFrame = {

@@ -52,4 +52,23 @@ class CooccurSkewSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("coedges refuses loudly on a hot key past maxItemsPerKey; override admits") {
+    // round-14 explode audit: the grouped pair build materializes
+    // k(k-1)/2 structs in ONE row buffer, so an unbounded hot key is an
+    // executor OOM, not a slow query — the bounded-k assumption is now a
+    // guard (the editDistancePairs pattern), with the itemPairs routing
+    // in the message.
+    val hot = (1 to 50).map(i => ("k1", i.toLong)) :+ (("k2", 1L))
+    val df = hot.toDF("key", "item")
+    val e = intercept[Exception] {
+      Cooccur.coedges(df, "key", "item", maxItemsPerKey = 20).count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxItemsPerKey") && msg.contains("itemPairs"), msg)
+    // wide-enough cap computes all C(50,2) + 0 pairs
+    assert(Cooccur.coedges(df, "key", "item", maxItemsPerKey = 64)
+      .count() === 50L * 49 / 2)
+  }
 }
