@@ -21,6 +21,7 @@ object Profile {
         val t0 = System.nanoTime()
         val c = fn(spark, sfDir).count()
         println(f"seq $n: ${(System.nanoTime() - t0) / 1e9}%.3f s, $c rows")
+        graft.ops.Pins.releaseAll(spark) // bench-faithful inter-gate hygiene
       }
     } else {
       val fn = graft.SparkEntry.queries(name)
@@ -30,6 +31,10 @@ object Profile {
         val t0 = System.nanoTime()
         val n2 = fn(spark, sfDir).count()
         println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n2 rows")
+        // without this, later runs time GC pressure from pinned
+        // localCheckpoint blocks, not the gate (the bench loop releases
+        // after every gate for the same reason)
+        graft.ops.Pins.releaseAll(spark)
       }
     }
     spark.stop()

@@ -119,4 +119,27 @@ class CitationLintSpec extends AnyFunSuite {
     assert(problems.isEmpty,
       s"\n${problems.size} unresolved reference citation(s):\n  " + problems.mkString("\n  "))
   }
+
+  test("source tree is text to git: no raw NUL/control bytes in any .scala file") {
+    // Round-12/13 lesson (tools/EmptySweep.scala history): ONE raw NUL in a
+    // hostile-text literal made git classify the blob binary — no diffs,
+    // no blame, no text review for the file defining the sweep contracts
+    // (its round-13 diff shipped as `Bin 10129 -> 10256 bytes`). The raw
+    // byte was replaced with a u-escape in r13 (spelled out, not pasted:
+    // scalac expands unicode escapes even inside comments); this lint keeps
+    // the class closed for every source file. git's binary heuristic is a
+    // NUL in the first 8000 bytes, but ANY raw control byte (outside
+    // \t \n \r) in source is an escape that should have been written out.
+    val bad = walk(sourceRoot).filter(_.getName.endsWith(".scala")).flatMap { f =>
+      val bytes = Files.readAllBytes(f.toPath)
+      val ctrl = bytes.zipWithIndex.collect {
+        case (b, i) if b >= 0 && b < 32 && b != 9 && b != 10 && b != 13 => (b, i)
+      }
+      if (ctrl.isEmpty) None
+      else Some(s"${f.getPath}: ${ctrl.length} raw control byte(s), first " +
+        s"0x${"%02x".format(ctrl.head._1)} at offset ${ctrl.head._2}")
+    }
+    assert(bad.isEmpty, s"\nraw control bytes (write them as \\uXXXX escapes):\n  " +
+      bad.mkString("\n  "))
+  }
 }

@@ -100,6 +100,47 @@ class EmptyInputSpec extends SparkSuite {
         chain.map(t => t.getClass.getName + ": " + t.getMessage).mkString(" | "))
   }
 
+  test("constant-at-scale x300 refusal ledger: each named precondition still fires") {
+    // round-13 verdict #4 (pinned r14): the x300 sweep's 7 loud refusals
+    // lived only in tool output — a refactor that turned one into a
+    // silent wrong answer would have passed the suite. This pins the
+    // LEDGER (gate -> named error fragment) on the same table shape the
+    // tool uses (first row of each sf0.001 table replicated 300x:
+    // duplicate ids + 2^53-breaking constant sums), but runs ONLY the
+    // seven refusing gates — the full 218-gate sweep stays tool-only
+    // (~150 s at local[32]; see PLANS.md round 13/14).
+    val out = tmpDir("graft_dup300_spec")
+    EmptySweep.writeTables(spark, "/root/testdata/sf0.001", out, -300)
+    val ledger = Seq(
+      "q124_pq_adc" -> "query slice must be 1..256",
+      "q131_partition_prune" -> "partition pruning ineffective",
+      "q144_skew_split" -> "skew-marked SortMergeJoin",
+      "q209_ivf_adc" -> "query slice must be 1..256",
+      "q212_vocab_growth" -> "UNIQUE doc ids",
+      "q221_personalized_pagerank" -> "non-empty seed set",
+      "q223_mmr_diverse" -> "exceeds the 0 candidate")
+    val problems = ledger.flatMap { case (gate, fragment) =>
+      try {
+        SparkEntry.queries(gate)(spark, out).count()
+        // returning is the exact failure mode this pins: the
+        // precondition stopped firing and the gate computes on corrupt
+        // input it used to refuse
+        Some(s"$gate now RETURNS on the x300 shape (silent-wrong risk)")
+      } catch {
+        case e: Throwable =>
+          val chain = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .flatMap(t => Option(t.getMessage)).mkString(" | ")
+          if (EmptySweep.crashIn(e).isDefined)
+            Some(s"$gate CRASHED instead of refusing: $chain")
+          else if (!chain.contains(fragment))
+            Some(s"$gate refused with the WRONG message (want '$fragment'): $chain")
+          else None
+      } finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("all gates survive hostile unicode (astral/combining/RTL/NUL/ZWJ); text gates flow") {
     // short repeat keeps texts inside editDistancePairs' maxTextLen
     // domain; the 100k-char shape stays tool-only (suite time + the
