@@ -34,13 +34,25 @@ object EmptySweep {
     classOf[UnsupportedOperationException])
 
   def crashIn(e: Throwable): Option[Throwable] = {
-    var cur: Throwable = e
-    var depth = 0
-    while (cur != null && depth < 20) {
-      if (crashClasses.exists(_.isInstance(cur)) && !nanDomainRefusal(cur))
-        return Some(cur)
-      cur = cur.getCause
-      depth += 1
+    // BFS over cause AND suppressed chains: AQE's STAGE_MATERIALIZATION_
+    // MULTIPLE_FAILURES (and streaming teardown) attach concurrent stage
+    // failures as suppressed exceptions, not causes — a crash hidden
+    // there must not be misread as a loud refusal (round-14 extreme-value
+    // sweep triage). Visited-set + cap bound the walk on cyclic chains.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    val queue = scala.collection.mutable.Queue[Throwable](e)
+    var visited = 0
+    while (queue.nonEmpty && visited < 64) {
+      val cur = queue.dequeue()
+      if (cur != null && seen.add(cur)) {
+        visited += 1
+        if (crashClasses.exists(_.isInstance(cur)) && !nanDomainRefusal(cur)
+            && !overflowDomainRefusal(cur))
+          return Some(cur)
+        Option(cur.getCause).foreach(queue.enqueue(_))
+        cur.getSuppressed.foreach(queue.enqueue(_))
+      }
     }
     None
   }
@@ -59,6 +71,23 @@ object EmptySweep {
     e.isInstanceOf[ArithmeticException] && {
       val m = Option(e.getMessage).getOrElse("")
       m.contains("NaN") || m.contains("Infinity")
+    }
+
+  /** The FINITE sibling of [[nanDomainRefusal]] (round-14 extreme-value
+    * sweep): a value whose 1e6/1e2 scaling passes 2⁶³ — or whose exact
+    * integer product does — raises ANSI CAST_OVERFLOW / ARITHMETIC_
+    * OVERFLOW. That is the round-13 headroom contract ("loud, not
+    * wrapped"): the exact kernels' documented domain is |x| ≲ 9.2e12 at
+    * micros scale, and input past it must refuse NAMED rather than
+    * degrade. DIVIDE_BY_ZERO is deliberately NOT matched — an engine
+    * dividing by its own derived zero is the q192 bug class and still
+    * counts as a crash.
+    */
+  def overflowDomainRefusal(e: Throwable): Boolean =
+    e.isInstanceOf[ArithmeticException] && {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("CAST_OVERFLOW") || m.contains("ARITHMETIC_OVERFLOW") ||
+        m.contains("long overflow")
     }
 
   def writeEmptyTables(spark: SparkSession, srcDir: String, outDir: String)
@@ -143,6 +172,46 @@ object EmptySweep {
     }
   }
 
+  /** Extreme-magnitude numerics: every float/double value (including
+    * inside arrays) replaced by a per-row rotation of IEEE edge shapes —
+    * ±MaxValue (any sum → ±Inf; any 1e6 scale-then-cast → the named
+    * CAST overflow), the smallest denormal (rounds to 0 through every
+    * scale), −0.0 (bit-distinct, SQL-equal — groupBy/join key
+    * normalization), and 1e15 (finite but past 2⁵³: double arithmetic
+    * silently loses integer exactness). The round-14 micros-headroom
+    * audit's predictions, probed empirically: exact kernels must refuse
+    * LOUDLY (the NaN sweep's contract), nothing may crash, and no gate
+    * may return a silently-wrong finite result built from an Inf.
+    */
+  def writeExtremeTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int = 20): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, lit, element_at, array, pmod,
+      xxhash64, transform => atransform}
+    import org.apache.spark.sql.types._
+    val shapes: Seq[Double] = Seq(
+      Double.MaxValue, -Double.MaxValue, java.lang.Double.MIN_VALUE, -0.0, 1e15)
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = src.schema.fieldNames.head
+      val rot = pmod(xxhash64(col(first)), lit(shapes.size)).cast("int") + 1
+      val pick = element_at(array(shapes.map(lit): _*), rot)
+      val out = src.orderBy(col(first)).limit(n).select(
+        src.schema.fields.map { f =>
+          f.dataType match {
+            case DoubleType => pick.as(f.name)
+            case FloatType => pick.cast(FloatType).as(f.name)
+            case ArrayType(DoubleType, _) =>
+              atransform(col(f.name), _ => pick).as(f.name)
+            case ArrayType(FloatType, _) =>
+              atransform(col(f.name), _ => pick.cast(FloatType)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   /** Hostile text: every string column replaced by a rotation of
     * adversarial shapes — astral-plane emoji (surrogate pairs), combining
     * marks, RTL runs, a NUL byte, zero-width joiners, a 100k-char repeat —
@@ -192,6 +261,7 @@ object EmptySweep {
     if (mode == "nulls") writeNullTables(spark, srcDir, outDir, 3)
     else if (mode == "nan") writeNanTables(spark, srcDir, outDir, 3)
     else if (mode == "unicode") writeUnicodeTables(spark, srcDir, outDir)
+    else if (mode == "extreme") writeExtremeTables(spark, srcDir, outDir)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()

@@ -141,6 +141,69 @@ class EmptyInputSpec extends SparkSuite {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("extreme-magnitude numerics: exact kernels refuse with NAMED overflow, text/count gates flow") {
+    // round-14 ninth shape: ±MaxValue (sums → ±Inf), the smallest
+    // denormal, −0.0, and 1e15 (finite, but 1e6-scaled it passes 2⁶³) in
+    // every float/double column. Empirically validates the
+    // micros-headroom audit: the scaled-integer kernels' documented
+    // domain is |x| ≲ 9.2e12 at micros scale, and input past it raises
+    // the named overflow (the r13 "loud, not wrapped" contract — the
+    // finite sibling of the NaN sweep's CAST error), never a silent
+    // finite result built from an Inf. Full board: 183 pass / 35 loud /
+    // 0 crash (tool, ~150 s); this pins a representative ledger subset.
+    val out = tmpDir("graft_extreme_spec")
+    EmptySweep.writeExtremeTables(spark, "/root/testdata/sf0.001", out)
+    val mustRefuse = Seq(
+      "q31_embed_dim_stats",   // scaled-kernel CAST_OVERFLOW on finite 1e21
+      "q29_cosine_topk",       // dot-product overflow (Inf or 1e21)
+      "q175_interval_merge",   // exact long-multiply ARITHMETIC_OVERFLOW
+      "q70_mllib_ivf")         // its own named finite-vector require
+    val problems = mustRefuse.flatMap { gate =>
+      try {
+        SparkEntry.queries(gate)(spark, out).count()
+        Some(s"$gate RETURNED on extreme input (silent-wrong risk)")
+      } catch {
+        case e: Throwable if EmptySweep.crashIn(e).isDefined =>
+          Some(s"$gate crashed: ${EmptySweep.crashIn(e).get}")
+        case _: Throwable => None // loud named refusal — the contract
+      } finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+    // gates not touching doubles must FLOW through the shape
+    val mustFlow = Seq("q20_text_stats", "q25_exact_dedup")
+    val broken = mustFlow.flatMap { gate =>
+      try { SparkEntry.queries(gate)(spark, out).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$gate failed on extreme numerics it never reads: $e") }
+      finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+
+  test("sweep crash classifier: overflow raises are domain refusals; suppressed crashes are not") {
+    // overflowDomainRefusal: the finite-overflow contract classes pass...
+    val cast = new ArithmeticException(
+      "[CAST_OVERFLOW] The value 9.9E20D of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
+    val mul = new ArithmeticException("[ARITHMETIC_OVERFLOW] long overflow.")
+    assert(EmptySweep.overflowDomainRefusal(cast))
+    assert(EmptySweep.overflowDomainRefusal(mul))
+    // ...but an engine dividing by its own derived zero stays a crash
+    // (the q192 class)
+    val div = new ArithmeticException("[DIVIDE_BY_ZERO] Division by zero.")
+    assert(!EmptySweep.overflowDomainRefusal(div) &&
+      !EmptySweep.nanDomainRefusal(div))
+    assert(EmptySweep.crashIn(div).isDefined)
+    // crashIn walks SUPPRESSED chains (AQE multi-failure wrappers attach
+    // concurrent stage failures as suppressed, not causes): an NPE hidden
+    // there is a crash, a suppressed overflow is not
+    val wrapNpe = new RuntimeException("stage materialization failures")
+    wrapNpe.addSuppressed(new NullPointerException("hidden"))
+    assert(EmptySweep.crashIn(wrapNpe).isDefined)
+    val wrapOvf = new RuntimeException("stage materialization failures")
+    wrapOvf.addSuppressed(cast)
+    assert(EmptySweep.crashIn(wrapOvf).isEmpty)
+  }
+
   test("all gates survive hostile unicode (astral/combining/RTL/NUL/ZWJ); text gates flow") {
     // short repeat keeps texts inside editDistancePairs' maxTextLen
     // domain; the 100k-char shape stays tool-only (suite time + the
