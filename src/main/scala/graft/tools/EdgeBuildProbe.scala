@@ -15,6 +15,29 @@ object EdgeBuildProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("cap")) {
+      // Near-cap probe for the round-14 coedges guard: 8 hot keys at
+      // k items each — k(k−1)/2 structs materialize in ONE row buffer
+      // per key before the explode, so this measures the worst buffer
+      // the default cap admits (k=2048 ≈ 2.1M structs ≈ 32 MB/row) and
+      // confirms the raise just past it.
+      import spark.implicits._
+      def hot(k: Int) = spark.range(8L * k).select(
+        (col("id") % 8).cast("string").as("k"), (col("id") / 8).as("p"))
+      for (k <- Seq(512, 1024, 2048)) {
+        for (i <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val n = graft.ops.Cooccur.coedges(hot(k), "k", "p").count()
+          println(f"[cap] k=$k run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n edges)")
+        }
+      }
+      val raised = try { graft.ops.Cooccur.coedges(hot(2049), "k", "p").count(); false }
+        catch { case e: Throwable =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .take(10).exists(t => Option(t.getMessage).exists(_.contains("maxItemsPerKey"))) }
+      println(s"[cap] k=2049 raises with named knob: $raised")
+      spark.stop(); return
+    }
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
     def t(name: String)(f: => Long): Unit = {
