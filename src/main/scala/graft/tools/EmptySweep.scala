@@ -287,7 +287,16 @@ object EmptySweep {
                 loud += 1
                 val m = Option(e.getMessage).getOrElse("").linesIterator
                   .take(1).mkString
-                println(s"LOUD  $name (${sec}s): ${e.getClass.getSimpleName}: $m")
+                // wrapper exceptions (AQE multi-failure, streaming
+                // teardown) put the refusal one level down — surface the
+                // first wrapped message so triage never needs a re-run
+                val inner =
+                  (Option(e.getCause) ++ e.getSuppressed.headOption)
+                    .flatMap(t => Option(t.getMessage)).headOption
+                    .map(_.linesIterator.take(1).mkString)
+                    .filter(im => im.nonEmpty && !m.contains(im))
+                    .map(im => s" <- $im").getOrElse("")
+                println(s"LOUD  $name (${sec}s): ${e.getClass.getSimpleName}: $m$inner")
             }
         }
         graft.ops.Pins.releaseAll(spark)
