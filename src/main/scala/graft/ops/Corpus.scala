@@ -29,16 +29,30 @@ object Corpus {
     * limits — production would shard postings per (term, doc_id range);
     * `maxPostings` caps the materialized list here (df stays exact) so no
     * row is unbounded.
+    *
+    * The cap is applied BEFORE collection, not by slicing afterwards
+    * (round-14 collect-then-slice audit): `slice(collect_list(...))`
+    * still materialized the FULL posting list in the aggregation buffer
+    * — and agg buffers, unlike window operators, cannot spill, so one
+    * stopword term at corpus scale was an executor OOM with a capped
+    * OUTPUT. The rank window shuffles on the same key as the groupBy
+    * (one exchange, rows spill-sorted), and the NULL-skipping
+    * collect_list(when(rk ≤ cap)) bounds the buffer at `maxPostings`
+    * while count(*) keeps df exact over all rows.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, maxPostings: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
     docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .withColumn("_rk", row_number().over(w))
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings).as("postings"))
+        sort_array(collect_list(
+          when(col("_rk") <= maxPostings, col("doc_id")))).as("postings"))
       .where(col("df") >= minDf)
   }
 

@@ -733,8 +733,17 @@ object Relational {
     * pipeline feeds to sequence models. `collect_list` alone is
     * partition-order-nondeterministic, so the events are collected as
     * (ts, id, type) structs and sorted IN the array (sort_array on the
-    * struct = lexicographic on the total-order key), then projected and
-    * sliced — deterministic under any shuffle topology.
+    * struct = lexicographic on the total-order key), then projected —
+    * deterministic under any shuffle topology.
+    *
+    * The first-20 cut happens BEFORE collection (round-14
+    * collect-then-slice audit): slicing after collect_list still
+    * materialized every event of a hot user in one non-spillable agg
+    * buffer — a bot account with 10⁸ events is a multi-GB buffer for a
+    * 20-element output. The rank window shares the groupBy's exchange
+    * (same key) and spills; (ts_us, event_id) is the oracle's exact
+    * ORDER BY, a total order (event_id unique), so the kept 20 are
+    * identical.
     *
     * Gate boundary: the journey ARRAY is comma-joined to one string per
     * user — the driver's pandas hasher cannot sort array cells (round-5
@@ -752,14 +761,17 @@ object Relational {
       |)
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, dir)
-      .select(col("user_id"),
-        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
-          col("event_type")).as("_e"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("_rk", row_number().over(w))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        array_join(slice(transform(sort_array(collect_list(col("_e"))),
-          e => e.getField("event_type")), 1, 20), ",").as("journey"))
+        array_join(transform(sort_array(collect_list(when(col("_rk") <= 20,
+            struct(col("ts_us"), col("event_id"), col("event_type"))))),
+          e => e.getField("event_type")), ",").as("journey"))
       .orderBy("user_id")
   }
 
