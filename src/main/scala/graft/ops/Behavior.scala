@@ -47,18 +47,27 @@ object Behavior {
     * re-shuffle). Emits one row per DISTINCT user in `events` (funnel
     * non-starters included with zeroed times): (user, t0_us..tk_us epoch
     * micros — 0 where the step was never reached — and steps_completed).
+    *
+    * The per-user collected list is a non-spillable aggregation buffer, so
+    * users past `maxEventsPerKey` STEP-TYPED events refuse loudly before
+    * the buffer builds ([[graft.ops.Signal]]'s guard — rides the same
+    * user exchange; the fold needs every step event, so the guard refuses
+    * rather than truncates).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+      typeCol: String, steps: Seq[String], windowUs: Long,
+      maxEventsPerKey: Int = Signal.DefaultMaxEventsPerKey): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel steps must be non-empty and distinct: $steps")
     val nullT = lit(null).cast("bigint")
     val init = struct(steps.indices.map(i => nullT.as(s"t$i")): _*)
-    val folded = events
+    val stepEvents = events
       .where(col(typeCol).isin(steps: _*))
       .select(col(userCol),
         struct(unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("et"))
           .as("_e"))
+    val folded = Signal.guardEventsPerKey(stepEvents, Seq(userCol),
+        maxEventsPerKey, "Behavior.funnel")
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(col("_e"))).as("evs"))
       .withColumn("_f", aggregate(col("evs"), init, (acc, ev) => {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential per-key signal conditioning — the two telemetry-cleaning
@@ -16,23 +17,63 @@ import org.apache.spark.sql.functions._
   * Both run as ONE groupBy(key) shuffle followed by a per-key sorted fold
   * (higher-order aggregate) — per-key state lives in one task, exactly
   * like the reference's per-episode loops, but keyed and distributed.
-  * Per-key memory is the collected event list (same bound the corpus
-  * already accepts for journeys/funnel); keys are user-sized, not
-  * corpus-sized. The fold order is pinned by (ts, id), so an oracle can
-  * replay it with an ORDER BY-ed list_reduce.
+  * The fold order is pinned by (ts, id), so an oracle can replay it with
+  * an ORDER BY-ed list_reduce.
+  *
+  * Per-key memory is the collected event list, and unlike window
+  * operators an AGGREGATION buffer cannot spill — so the per-key bound is
+  * a guard, not a scaladoc note (round-15; the coedges/invertedIndex
+  * discipline): a pre-aggregation `count(*) OVER (PARTITION BY key)`
+  * rides the SAME exchange the groupBy needs anyway (the window operator
+  * spill-sorts, so the check itself is safe on the hot key), and any key
+  * past `maxEventsPerKey` refuses loudly BEFORE the buffer builds. These
+  * folds genuinely need every event — truncation would silently change
+  * the answer — so the guard refuses rather than caps; callers who have
+  * measured their key bound raise the knob explicitly. The default
+  * (200k events ≈ 10–15 MB of struct buffer per key) is bot/crawler
+  * territory for user-keyed telemetry, far past organic per-user volume.
   */
 object Signal {
 
+  private[ops] val DefaultMaxEventsPerKey = 200000
+
+  /** The refuse-loudly pre-aggregation guard shared by the per-key
+    * full-history folds ([[debounce]], [[ewma]],
+    * [[Behavior.funnel]]): count rows per key on the grouped exchange and
+    * raise a NAMED error on any key past the cap. `what` names the
+    * operator in the message.
+    */
+  private[ops] def guardEventsPerKey(df: DataFrame, keyCols: Seq[String],
+      maxEventsPerKey: Int, what: String): DataFrame = {
+    require(maxEventsPerKey > 0,
+      s"maxEventsPerKey must be > 0, got $maxEventsPerKey")
+    val n = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    df.withColumn("_n_key", n)
+      .filter(assert_true(col("_n_key") <= maxEventsPerKey,
+        format_string(
+          s"$what: key %s has %d events (cap $maxEventsPerKey) — the " +
+            "per-key fold materializes the full event history in ONE " +
+            "non-spillable aggregation buffer, so a hot key (bot/crawler " +
+            "account) is an executor OOM, not a slow query; filter or " +
+            "pre-aggregate the key upstream, or pass maxEventsPerKey " +
+            "explicitly if the per-key bound is measured",
+          concat_ws("/", keyCols.map(c => col(c).cast("string")): _*),
+          col("_n_key"))).isNull)
+      .drop("_n_key")
+  }
+
   /** → (key cols…, n_events, n_kept, first_kept, last_kept). */
   def debounce(df: DataFrame, keyCols: Seq[String], tsUs: Column,
-      idCol: Column, tolUs: Long): DataFrame = {
+      idCol: Column, tolUs: Long,
+      maxEventsPerKey: Int = DefaultMaxEventsPerKey): DataFrame = {
     val sorted = sort_array(collect_list(struct(tsUs.as("ts"), idCol.as("id"))))
     val kept = aggregate(col("_evs"),
       array().cast("array<bigint>"),
       (acc, e) => when(size(acc) === 0 ||
           e.getField("ts") - element_at(acc, -1) > lit(tolUs),
         concat(acc, array(e.getField("ts")))).otherwise(acc))
-    df.groupBy(keyCols.map(col): _*)
+    guardEventsPerKey(df, keyCols, maxEventsPerKey, "Signal.debounce")
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"), sorted.as("_evs"))
       .withColumn("_kept", kept)
       .select(keyCols.map(col) ++ Seq(col("n_events"),
@@ -47,14 +88,16 @@ object Signal {
     * acc + (α/1000)·(x − acc).
     */
   def ewma(df: DataFrame, keyCols: Seq[String], tsUs: Column, idCol: Column,
-      valueCol: Column, alphaPermille: Int): DataFrame = {
+      valueCol: Column, alphaPermille: Int,
+      maxEventsPerKey: Int = DefaultMaxEventsPerKey): DataFrame = {
     val alpha = lit(alphaPermille / 1000.0)
     val sorted = sort_array(collect_list(
       struct(tsUs.as("ts"), idCol.as("id"), valueCol.cast("double").as("v"))))
     val folded = aggregate(col("_evs"), lit(null).cast("double"),
       (acc, e) => when(acc.isNull, e.getField("v"))
         .otherwise(acc + alpha * (e.getField("v") - acc)))
-    df.groupBy(keyCols.map(col): _*)
+    guardEventsPerKey(df, keyCols, maxEventsPerKey, "Signal.ewma")
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sorted.as("_evs"))
       .select(keyCols.map(col) ++ Seq(col("n"),
         folded.as("ewma")): _*)

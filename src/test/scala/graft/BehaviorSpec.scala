@@ -71,6 +71,37 @@ class BehaviorSpec extends SparkSuite {
     for ((u, ts) <- want) assert(got(u) === ts, s"user $u")
   }
 
+  test("funnel refuses loudly on a hot user past maxEventsPerKey; only step-typed events count") {
+    // round-15 per-key fold guard (the Signal.debounce discipline): the
+    // per-user collected list is a non-spillable agg buffer; the cap
+    // counts what actually enters it — events OUTSIDE the funnel's step
+    // types never reach the buffer and must not trip the guard.
+    val h = 3600000000L
+    val hot = (0 until 30).map(i =>
+      (1L, i.toLong, i * h, Seq("view", "click")(i % 2))) ++
+      (100 until 140).map(i => (1L, i.toLong, i * h, "error")) :+
+      ((2L, 999L, 0L, "view"))
+    val steps = Seq("view", "click", "purchase")
+    // collect(), not count(): the funnel's left join carries a
+    // distinct-keyed right side, so count() lets Catalyst ELIMINATE the
+    // join — the fold (and its guard) never runs, which is laziness
+    // working as intended; the guard fires when the buffer would build
+    val e = intercept[Exception] {
+      Behavior.funnel(evDf(hot), "user_id", "ts", "event_type", steps, h,
+        maxEventsPerKey = 20).collect()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxEventsPerKey") && msg.contains("Behavior.funnel"),
+      msg)
+    // cap 30 admits: u1 has exactly 30 STEP-typed events (40 error rows
+    // don't count against the buffer the guard protects)
+    val ok = Behavior.funnel(evDf(hot), "user_id", "ts", "event_type",
+        steps, h, maxEventsPerKey = 30)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(ok.length === 2)
+  }
+
   test("retention: per-user week offsets from the user's own first day") {
     val day = 86400000000L
     val rows = Seq[(Long, Long, Long, String)](

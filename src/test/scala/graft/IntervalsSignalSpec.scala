@@ -87,4 +87,50 @@ class IntervalsSignalSpec extends SparkSuite {
       assert(gotE(u) === want, s"user $u") // bit-exact, same IEEE sequence
     }
   }
+
+  test("debounce/ewma refuse loudly on a hot key past maxEventsPerKey; override admits") {
+    // round-15: the per-key full-history fold's collected list is a
+    // NON-SPILLABLE aggregation buffer (the invertedIndex/q60 hazard class
+    // closed in r14), so a bot account with 10^8 events must refuse with a
+    // NAMED error before the buffer builds — a scaladoc contract alone is
+    // an executor OOM at corpus scale. The guard rides the same exchange
+    // (window count on the groupBy key).
+    val rows = (0 until 50).map(i => (1L, i.toLong * 10, i.toLong, 1.0)) :+
+      ((2L, 0L, 99L, 1.0))
+    val df = rows.toDF("u", "ts_us", "id", "v")
+    val eD = intercept[Exception] {
+      Signal.debounce(df, Seq("u"), col("ts_us"), col("id"), 5L,
+        maxEventsPerKey = 20).count()
+    }
+    val msgD = Iterator.iterate[Throwable](eD)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgD.contains("maxEventsPerKey") && msgD.contains("Signal.debounce")
+      && msgD.contains("upstream"), msgD)
+    val eE = intercept[Exception] {
+      Signal.ewma(df, Seq("u"), col("ts_us"), col("id"), col("v"), 200,
+        maxEventsPerKey = 20).count()
+    }
+    val msgE = Iterator.iterate[Throwable](eE)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgE.contains("maxEventsPerKey") && msgE.contains("Signal.ewma"),
+      msgE)
+    // a wide-enough cap admits and the fold result is unchanged
+    val ok = Signal.debounce(df, Seq("u"), col("ts_us"), col("id"), 5L,
+        maxEventsPerKey = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (u, a, b, c, d) => u -> ((a, b, c, d)) }.toMap
+    assert(ok(1L)._1 === 50L && ok(2L)._1 === 1L)
+  }
+
+  test("the per-key guard shares the groupBy exchange: exactly one shuffle") {
+    // the guard must not add a second shuffle of the event table — the
+    // window's partitionBy matches the groupBy key, so ONE hash exchange
+    // feeds window → filter → aggregate
+    val df = (0 until 100).map(i => ((i % 5).toLong, i.toLong, i.toLong))
+      .toDF("u", "ts_us", "id")
+    val plan = Signal.debounce(df, Seq("u"), col("ts_us"), col("id"), 5L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
 }
