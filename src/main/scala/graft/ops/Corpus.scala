@@ -42,8 +42,13 @@ object Corpus {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, maxPostings: Int = 10000): DataFrame = {
+    // NULLS LAST (round-14 advice): ascending NULLS FIRST would hand NULL
+    // doc_ids the first rank slots, and collect_list then SKIPS them — a
+    // term at the cap would silently lose up to #null real postings vs
+    // the pre-r14 slice(sort_array(...)) output. Ranking nulls last keeps
+    // the capped prefix all-real while `df` still counts every row.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("term").orderBy("doc_id")
+      .partitionBy("term").orderBy(col("doc_id").asc_nulls_last)
     docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))

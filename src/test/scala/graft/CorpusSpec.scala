@@ -58,6 +58,20 @@ class CorpusSpec extends SparkSuite {
     assert(idx.getSeq[Long](2) === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("inverted index: NULL doc_ids never consume cap slots (nulls rank last)") {
+    // round-14 advice: ascending NULLS FIRST would hand null ids the first
+    // rank slots and collect_list then drops them — a capped term silently
+    // lost up to #null REAL postings under the null sweep shape
+    val many = ((0L until 20L).map(i => (Some(i), "common")) ++
+      (0 until 10).map(_ => (None: Option[Long], "common")))
+      .toDF("doc_id", "text")
+    val idx = Corpus.invertedIndex(many, "doc_id", "text", minDf = 1L,
+        maxPostings = 5)
+      .where(col("term") === "common").head()
+    assert(idx.getLong(1) === 30L) // df still counts every row
+    assert(idx.getSeq[Long](2) === Seq(0L, 1L, 2L, 3L, 4L)) // all-real prefix
+  }
+
   test("PMI collocations rank the always-adjacent pair highest") {
     val c = Corpus.pmiCollocations(docs, "text", minCount = 2L, topK = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
