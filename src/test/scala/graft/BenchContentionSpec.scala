@@ -5,19 +5,27 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench contention classifier (round-13 verdict #1) on the THREE
+/** Pins the bench contention classifier (round-13 verdict #1) on the FOUR
   * recorded driver boards whose diagnosis previously required hand
   * forensics:
   *
   *  - r11: 294.5 s — the IO/memory-bandwidth contention class (top gates
   *    inflated ~uniformly while most trailing calibs stayed flat; one
-  *    probe spiked). Judged contended after a 30-gate ratio study.
+  *    probe spiked to 6.4× floor). Judged contended after a 30-gate
+  *    ratio study.
   *  - r12: 267.7 s — steady (within the 255–280 s band, calib max 2.7×
   *    floor, 31 retimes < cap, flat ratios vs the idle closing board).
   *  - r13: 309.2 s — contended (calib spike 0.190 = 7× floor, retime cap
   *    hit at 40, median 1.14–1.21× uniform inflation on code-unchanged
   *    gates; the builder's idle closing bench two commits earlier was
   *    263.2 s).
+  *  - r14: 255.4 s — contended calib (4.6×) with median 0.945: the gates
+  *    ran FASTER than the reference, so the estimate must stay raw.
+  *
+  * Round-15 (advice): a tripped median with CLEAN host signals is the
+  * distinct "median-only" verdict — indistinguishable from a genuine
+  * board-wide code regression, so it is never deflated and never becomes
+  * the steady baseline.
   *
   * The reference board is the committed bench_steady.json (the 263.2 s
   * idle closing board of round 13). These are REAL artifacts, read from
@@ -86,6 +94,45 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(steadyEst > 240 && steadyEst < 275, s"steadyEst=$steadyEst")
   }
 
+  test("r14 driver board (255.4 s): contended calib, gates FASTER than reference — estimate stays raw") {
+    // the branch r11/r12/r13 never exercised (round-14 verdict #4): calib
+    // trips contended (4.6x) while median_ratio < 1 — only the calibration
+    // probes were disturbed and the gates ran slightly faster than the
+    // steady reference, so steady_estimate_sec must equal the RAW total
+    // rather than deflate
+    val json = read("BENCH_r14.json")
+    assert(num(json, "calib_max_sec") / num(json, "calib_min_sec") > 3.0)
+    val (verdict, median, steadyEst, overlap) = classify("BENCH_r14.json")
+    assert(verdict == "contended", s"median=$median")
+    assert(overlap > 30, s"overlap=$overlap")
+    assert(median.exists(m => m > 0.85 && m < 1.0), s"median=$median")
+    assert(math.abs(steadyEst - num(json, "value")) < 0.01,
+      s"estimate must be the raw total, got $steadyEst")
+  }
+
+  test("median-only inflation with clean host signals is NOT deflated (possible code regression)") {
+    // round-14 advice (medium): a genuine board-wide >=10% regression (a
+    // shared helper or Spark-conf change slowing every gate uniformly)
+    // produces the same flat median signature as invisible IO contention.
+    // Without a corroborating host signal the verdict must be the distinct
+    // "median-only" and the estimate must stay RAW — deflating would hide
+    // the regression, and the steady baseline must not update either.
+    val ref = Some((100.0, Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0,
+      "d" -> 2.0, "e" -> 2.0)))
+    val (v, m, est, _) = Bench.contentionVerdict(12.5,
+      Map("a" -> 2.5, "b" -> 2.5, "c" -> 2.5, "d" -> 2.5, "e" -> 2.5),
+      0.03, 0.035, 10, ref) // calib 1.17x, retimes under cap: host is clean
+    assert(v == "median-only", s"verdict=$v")
+    assert(m.contains(1.25), s"median=$m")
+    assert(est == 12.5, s"estimate must stay raw, got $est")
+    // the SAME median with a corroborating calib spike deflates as before
+    val (v2, _, est2, _) = Bench.contentionVerdict(12.5,
+      Map("a" -> 2.5, "b" -> 2.5, "c" -> 2.5, "d" -> 2.5, "e" -> 2.5),
+      0.03, 0.2, 10, ref)
+    assert(v2 == "contended" && math.abs(est2 - 10.0) < 1e-9,
+      s"$v2 / $est2")
+  }
+
   test("no reference: classification degrades to calib+cap, never crashes") {
     // clean calibs, no cap: steady
     val (v1, m1, e1, n1) = Bench.contentionVerdict(100.0,
@@ -109,13 +156,15 @@ class BenchContentionSpec extends AnyFunSuite {
       Map("a" -> 5.0, "b" -> 5.0, "c" -> 5.0, "d" -> 5.0, "tiny" -> 5.0),
       0.03, 0.03, 0, ref)
     assert(m.isEmpty && n == 4 && v == "steady")
-    // a 5th usable overlap enables the median signal -> 5x inflation trips
+    // a 5th usable overlap enables the median signal -> 5x inflation now
+    // REGISTERS, but with clean host signals it is the ambiguous
+    // median-only verdict and the estimate stays raw (round-14 advice)
     val ref5 = Some((10.0, Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0,
       "d" -> 1.0, "e" -> 1.0)))
     val (v5, m5, e5, _) = Bench.contentionVerdict(25.0,
       Map("a" -> 5.0, "b" -> 5.0, "c" -> 5.0, "d" -> 5.0, "e" -> 5.0),
       0.03, 0.03, 0, ref5)
-    assert(v5 == "contended" && m5.contains(5.0) && math.abs(e5 - 5.0) < 1e-9)
+    assert(v5 == "median-only" && m5.contains(5.0) && e5 == 25.0)
   }
 
   test("metric line with the contention block still respects the stdout byte budget") {
