@@ -88,4 +88,58 @@ class CusumRankSpec extends SparkSuite {
     assert(rb.isNullAt(3),
       s"all-tied at n=$n must give NULL z (exact one-distinct-value gate), got $rb")
   }
+
+  test("mannWhitneyZ agrees with the exact form's z on the gate domain; degenerates stay NULL") {
+    // round-15 (the q218 waiver's documented remedy): same IEEE z over the
+    // same exact integers — DECIMAL(38,0) vs Long only changes headroom,
+    // so on any in-wall input the two z values are bit-equal
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i =>
+      (if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(25).toDouble)) // heavy ties
+    val df = rows.toDF("g", "v")
+    val exact = RankTest.mannWhitney(df, col("v"), col("g") === "a").head()
+    val zOnly = RankTest.mannWhitneyZ(df, col("v"), col("g") === "a").head()
+    assert(zOnly.getLong(0) == exact.getLong(0) &&
+      zOnly.getLong(1) == exact.getLong(1))
+    assert(zOnly.getDouble(2) == exact.getDouble(3), s"$zOnly vs $exact")
+    // degenerate contracts carry over: all-tied → NULL z
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(RankTest.mannWhitneyZ(tied, col("v"), col("g") === "a")
+      .head().isNullAt(2))
+  }
+
+  test("mannWhitneyZ lifts the exact form's Long wall: billion-count ranks stay finite") {
+    // probe the documented ~2–3e9-event wall WITHOUT 2e9 rows: feed the
+    // shared value-distinct seam (rankedCounts' schema) synthetic counts
+    // whose exact-Long term c1·(2·prior+t+1) overflows 2⁶³ — the exact
+    // form raises the NAMED ANSI overflow (loud, the r13 contract), the
+    // decimal form returns the finite, well-scaled z
+    import spark.implicits._
+    val c = 2000000000L // 2e9 per value → prior up to 1.2e10
+    // _prior is the PLAIN exclusive count of earlier rows (doubling
+    // happens inside the term): 0, t, 2t
+    val ranked = Seq(
+      (1.0, c, c, 2 * c, 0L),
+      (2.0, c, c, 2 * c, 2 * c),
+      (3.0, c, c, 2 * c, 4 * c))
+      .toDF("v", "c1", "c2", "t", "_prior")
+    val loud = intercept[Exception] {
+      RankTest.zFromRanked(ranked,
+        col("c1") * (col("_prior") * 2 + col("t") + 1),
+        keepExactU = true).head()
+    }
+    val chain = Iterator.iterate[Throwable](loud)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("OVERFLOW") || chain.contains("overflow"), chain)
+    val z = RankTest.zFromRanked(ranked,
+      col("c1").cast("decimal(38,0)") *
+        (col("_prior").cast("decimal(38,0)") * 2 + col("t") + 1),
+      keepExactU = false).head()
+    assert(z.getLong(0) == 3 * c && z.getLong(1) == 3 * c)
+    // symmetric samples at every value → U₁ = n₁n₂/2 exactly → z = 0
+    assert(z.getDouble(2) == 0.0, z.toString)
+  }
 }
