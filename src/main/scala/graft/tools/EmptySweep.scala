@@ -212,6 +212,61 @@ object EmptySweep {
     }
   }
 
+  /** Hot-key shape (round-15, the tenth degenerate shape): concentrate
+    * ~all rows of each keyed table onto ONE key — DISTINCT payloads
+    * (unlike the ×300 constant shape), one grouping-key value. This is
+    * the empirical probe for the per-key full-history fold guards
+    * (Signal.debounce/ewma, Behavior.funnel — non-spillable aggregation
+    * buffers) and for every other per-key buffer/window in the tree: the
+    * guarded folds must refuse loudly past `maxEventsPerKey`; everything
+    * window/streaming-based must FLOW (window operators spill-sort).
+    *
+    * Per table the stamped columns are the GROUPING keys, not identities
+    * (doc_id/event_id stay unique — id duplication is the ×300 shape's
+    * job). `events` additionally replicates `eventsRepl`× with re-uniqued
+    * event_ids so the hot key exceeds the folds' 200k default cap;
+    * `event_type` is stamped too (maximal concentration — and the first
+    * sf0.001 event's type is a non-funnel type, which keeps the
+    * stream-stream click×view join from going quadratic on 250k rows of
+    * one user, probing "flows" rather than "hangs").
+    */
+  def writeHotKeyTables(spark: SparkSession, srcDir: String, outDir: String,
+      eventsRepl: Int = 250): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    val keyCols: Map[String, Seq[String]] = Map(
+      "events" -> Seq("user_id", "event_type"),
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_custkey"),
+      "customer" -> Seq("c_nationkey"),
+      "supplier" -> Seq("s_nationkey"),
+      "part" -> Seq("p_brand"),
+      "nation" -> Seq("n_regionkey"),
+      "documents" -> Seq("lang", "source"),
+      "embeddings" -> Seq("label"))
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = col(src.schema.fieldNames.head)
+      val keys = keyCols.getOrElse(t, Nil).filter(src.columns.contains)
+      var out = src
+      if (keys.nonEmpty) {
+        val firstRow = src.orderBy(first).limit(1)
+          .select(keys.map(col): _*).head()
+        keys.zipWithIndex.foreach { case (k, i) =>
+          out = out.withColumn(k,
+            lit(firstRow.get(i)).cast(src.schema(k).dataType))
+        }
+      }
+      if (t == "events" && eventsRepl > 1)
+        out = out
+          .withColumn("_i", explode(sequence(lit(0), lit(eventsRepl - 1))))
+          .withColumn("event_id",
+            col("event_id") * eventsRepl + col("_i"))
+          .drop("_i")
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   /** Hostile text: every string column replaced by a rotation of
     * adversarial shapes — astral-plane emoji (surrogate pairs), combining
     * marks, RTL runs, a NUL byte, zero-width joiners, a 100k-char repeat —
@@ -262,6 +317,7 @@ object EmptySweep {
     else if (mode == "nan") writeNanTables(spark, srcDir, outDir, 3)
     else if (mode == "unicode") writeUnicodeTables(spark, srcDir, outDir)
     else if (mode == "extreme") writeExtremeTables(spark, srcDir, outDir)
+    else if (mode == "hotkey") writeHotKeyTables(spark, srcDir, outDir)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()
