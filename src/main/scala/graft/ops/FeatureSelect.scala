@@ -55,8 +55,16 @@ object FeatureSelect {
       .crossJoin(broadcast(total))
       // a corpus-universal term has an all-zero "no term" row (c+d = 0 ⇒
       // χ² divides by zero, and engines disagree on double/0) and carries
-      // no class signal — drop it before scoring
-      .where(col("_t_total") < col("_n"))
+      // no class signal — drop it before scoring. Symmetrically (round-15
+      // hot-key sweep find) a corpus-universal CLASS — every doc one
+      // label, i.e. a single-class corpus — has an all-zero "not in
+      // class" column (b+d = 0) and the same zero denominator: no term
+      // can discriminate the only class, so those rows drop too and a
+      // single-class corpus yields the EMPTY top-k rather than an engine
+      // DIVIDE_BY_ZERO. After both guards every denominator factor is
+      // strictly positive: a+b = _t_total ≥ 1, a+c = _n_class ≥ 1,
+      // c+d = _n − _t_total ≥ 1, b+d = _n − _n_class ≥ 1.
+      .where(col("_t_total") < col("_n") && col("_n_class") < col("_n"))
       .withColumn("b", col("_t_total") - col("a"))
       .withColumn("c", col("_n_class") - col("a"))
       .withColumn("dd", col("_n") - col("_n_class") - col("b"))

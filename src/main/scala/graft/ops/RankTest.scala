@@ -54,8 +54,8 @@ object RankTest {
 
   /** The shared tail: tie term, all-tied detector, and the z formula over
     * whatever exact representation `r1x2Term` produced (Long for the gate
-    * form, DECIMAL(38,0) for the scale form). `u1x2Out` optionally emits
-    * the exact-U column.
+    * form, DECIMAL(38,0) for the scale form); `keepExactU` additionally
+    * emits the exact-U column (gate form only).
     */
   private[graft] def zFromRanked(ranked: DataFrame, r1x2Term: Column,
       keepExactU: Boolean): DataFrame = {

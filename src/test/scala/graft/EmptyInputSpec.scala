@@ -180,6 +180,54 @@ class EmptyInputSpec extends SparkSuite {
     assert(broken.isEmpty, broken.mkString("\n"))
   }
 
+  test("hot-key shape: per-key fold guards refuse with the NAMED cap; keyed window/funnel gates flow") {
+    // round-15 tenth shape: ~all rows of each keyed table on ONE key with
+    // DISTINCT payloads (the ×300 shape's complement), events replicated
+    // 250× → 250k rows on one (user, type). Empirically probes the
+    // Signal/Behavior full-history fold guards the same way the extreme
+    // shape probed the micros-headroom predictions. Full board (tool run,
+    // PLANS.md round 15): 215 pass / 3 loud / 0 crash — the sweep also
+    // FOUND q171's single-class DIVIDE_BY_ZERO (fixed, pinned in
+    // FeatureSelectSpec).
+    val out = tmpDir("graft_hotkey_spec")
+    EmptySweep.writeHotKeyTables(spark, "/root/testdata/sf0.001", out)
+    val ledger = Seq(
+      "q177_debounce" -> "maxEventsPerKey",
+      "q178_ewma" -> "maxEventsPerKey")
+    val problems = ledger.flatMap { case (gate, fragment) =>
+      try {
+        SparkEntry.queries(gate)(spark, out).count()
+        Some(s"$gate now RETURNS on the hot-key shape (a 250k-event key " +
+          "would build the non-spillable buffer unguarded)")
+      } catch {
+        case e: Throwable =>
+          val chain = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .flatMap(t => Option(t.getMessage)).mkString(" | ")
+          if (EmptySweep.crashIn(e).isDefined)
+            Some(s"$gate CRASHED instead of refusing: $chain")
+          else if (!chain.contains(fragment))
+            Some(s"$gate refused with the WRONG message (want '$fragment'): $chain")
+          else None
+      } finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+    // window-based per-key gates FLOW on the same hot key (window
+    // operators spill-sort — the contrast that justifies the guards), and
+    // the funnel flows because the stamped type is a non-step type (zero
+    // events enter its buffer); chi2 returns its empty top-k on the
+    // single-class corpus instead of DIVIDE_BY_ZERO
+    val mustFlow = Seq("q168_funnel", "q181_activity_streak",
+      "q170_transitions", "q171_chi2_terms")
+    val broken = mustFlow.flatMap { gate =>
+      try { SparkEntry.queries(gate)(spark, out).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$gate failed on the hot-key shape: $e") }
+      finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+
   test("sweep crash classifier: overflow raises are domain refusals; suppressed crashes are not") {
     // overflowDomainRefusal: the finite-overflow contract classes pass...
     val cast = new ArithmeticException(

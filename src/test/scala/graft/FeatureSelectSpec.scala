@@ -70,4 +70,16 @@ class FeatureSelectSpec extends SparkSuite {
       .collect().toSet
     assert(got === refChi2(docs, 5))
   }
+
+  test("single-class corpus yields the empty top-k, never DIVIDE_BY_ZERO") {
+    // round-15 hot-key sweep find: with every doc carrying ONE label the
+    // "not in class" column is all-zero (b+d = 0) and χ²'s denominator
+    // hit an engine DIVIDE_BY_ZERO. No term can discriminate the only
+    // class, so the contract is the empty result — the symmetric twin of
+    // the corpus-universal-term exclusion.
+    val docs = (0 until 20).map(i => (i.toLong, "only", s"w$i common"))
+    val got = FeatureSelect.chiSquaredTopK(docs.toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", split(col("text"), "\\s+"), k = 5)
+    assert(got.count() === 0L)
+  }
 }
