@@ -57,6 +57,31 @@ object EmptySweep {
     None
   }
 
+  /** Every message reachable from `e` — same BFS as [[crashIn]] over
+    * cause AND suppressed chains, concatenated with " | ". The spec
+    * refusal ledgers pin named fragments against this: AQE's
+    * STAGE_MATERIALIZATION_MULTIPLE_FAILURES and streaming teardown
+    * wrappers put the actual refusal one level down, sometimes only in
+    * `suppressed`, so a cause-only walk would miss it.
+    */
+  def messageChain(e: Throwable): String = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    val queue = scala.collection.mutable.Queue[Throwable](e)
+    val msgs = scala.collection.mutable.ListBuffer[String]()
+    var visited = 0
+    while (queue.nonEmpty && visited < 64) {
+      val cur = queue.dequeue()
+      if (cur != null && seen.add(cur)) {
+        visited += 1
+        Option(cur.getMessage).filter(_.nonEmpty).foreach(msgs += _)
+        Option(cur.getCause).foreach(queue.enqueue(_))
+        cur.getSuppressed.foreach(queue.enqueue(_))
+      }
+    }
+    msgs.mkString(" | ")
+  }
+
   /** An ANSI arithmetic error on NON-FINITE input data is the exact
     * scaled-integer kernels' DOCUMENTED domain contract, not a crash: a
     * NaN/Infinity reaching `Exact.cents` / `Similarity.scaled` raises
@@ -267,6 +292,48 @@ object EmptySweep {
     }
   }
 
+  /** Time-extreme shape (round-15, the ELEVENTH degenerate shape): every
+    * timestamp value replaced by a per-row rotation of temporal edges —
+    * year 0001 (far past, pre-Gregorian-cutover territory), epoch zero,
+    * a duplicate-microsecond anchor (twice in the rotation, so ~40% of
+    * rows share ONE exact microsecond: Δt = 0 through every rate/EWMA/
+    * debounce/session-gap division), and year 9999 (far future; its
+    * micros value ≈ 2.5e17, so any nanos conversion or micros product
+    * overflows 2⁶³ loudly). Because the rotation is per ROW, a single
+    * key's history mixes year 0001 with year 9999 — a ~8.8e7-hour span
+    * that must trip gapFillHourly's maxSpanHours cap NAMED rather than
+    * densify (the corrupt-timestamp scenario that cap documents), and a
+    * ~10¹⁷-microsecond watermark range through every event-time path.
+    */
+  def writeTimewarpTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int = 20): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, lit, element_at, array, pmod,
+      xxhash64, to_timestamp}
+    import org.apache.spark.sql.types._
+    val shapes = Seq(
+      "0001-01-03 00:00:00",
+      "1970-01-01 00:00:00",
+      "2024-06-01 12:00:00.000001", // duplicate-microsecond anchor ×2
+      "2024-06-01 12:00:00.000001",
+      "9999-12-28 00:00:00")
+    val picks = array(shapes.map(s => to_timestamp(lit(s))): _*)
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = src.schema.fieldNames.head
+      val rot = pmod(xxhash64(col(first)), lit(shapes.size)).cast("int") + 1
+      val out = src.orderBy(col(first)).limit(n).select(
+        src.schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType | TimestampNTZType =>
+              element_at(picks, rot).cast(f.dataType).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   /** Hostile text: every string column replaced by a rotation of
     * adversarial shapes — astral-plane emoji (surrogate pairs), combining
     * marks, RTL runs, a NUL byte, zero-width joiners, a 100k-char repeat —
@@ -318,6 +385,7 @@ object EmptySweep {
     else if (mode == "unicode") writeUnicodeTables(spark, srcDir, outDir)
     else if (mode == "extreme") writeExtremeTables(spark, srcDir, outDir)
     else if (mode == "hotkey") writeHotKeyTables(spark, srcDir, outDir)
+    else if (mode == "timewarp") writeTimewarpTables(spark, srcDir, outDir)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()

@@ -150,22 +150,54 @@ class EmptyInputSpec extends SparkSuite {
     // the named overflow (the r13 "loud, not wrapped" contract — the
     // finite sibling of the NaN sweep's CAST error), never a silent
     // finite result built from an Inf. Full board: 183 pass / 35 loud /
-    // 0 crash (tool, ~150 s); this pins a representative ledger subset.
+    // 0 crash (tool, ~150–220 s at local[32], re-confirmed round 15).
+    //
+    // Round-15 (r14 verdict #5): the FULL 35-gate refusal ledger is
+    // pinned with named fragments — previously only 4 gates were
+    // pinned with a catch-all, so a refactor that turned any of the
+    // other 31 refusals into a silent NULL-absorbing answer (try_cast,
+    // a dropped require) would have passed the suite. Fragments are
+    // matched against the whole cause+suppressed message walk
+    // (EmptySweep.messageChain) because AQE multi-failure and streaming
+    // STREAM_FAILED wrappers bury the actual overflow one level down.
+    // Each refusal is fast (0.1–2.6 s in the sweep log — the raise
+    // fires before any real work), so the ledger stays inside the suite
+    // budget; the 183 flowing gates stay tool-only.
     val out = tmpDir("graft_extreme_spec")
     EmptySweep.writeExtremeTables(spark, "/root/testdata/sf0.001", out)
-    val mustRefuse = Seq(
-      "q31_embed_dim_stats",   // scaled-kernel CAST_OVERFLOW on finite 1e21
-      "q29_cosine_topk",       // dot-product overflow (Inf or 1e21)
-      "q175_interval_merge",   // exact long-multiply ARITHMETIC_OVERFLOW
-      "q70_mllib_ivf")         // its own named finite-vector require
-    val problems = mustRefuse.flatMap { gate =>
+    val overflowGates = Seq(
+      // scaled-integer kernels: CAST_OVERFLOW on Inf or on the finite
+      // 1e21 (= 1e15 micros-scaled), surfacing directly, through AQE
+      // STAGE_MATERIALIZATION_MULTIPLE_FAILURES, or streaming
+      // STREAM_FAILED
+      "q107_semantic_dedup", "q110_signlsh_recall", "q111_multiprobe_recall",
+      "q119_pq_codes", "q124_pq_adc", "q132_bucketed_join",
+      "q133_centroid_sim", "q137_stream_restart", "q142_dbscan",
+      "q145_aqe_coalesce", "q146_window_topk", "q172_sliding_window",
+      "q182_extension_fusion", "q205_append_windows", "q206_append_sessions",
+      "q209_ivf_adc", "q211_kmeans_lloyd", "q219_dynamic_session_gap",
+      "q220_cluster_balanced_split", "q223_mmr_diverse", "q29_cosine_topk",
+      "q30_embed_neardup", "q31_embed_dim_stats", "q33_streaming_hourly",
+      "q34_streaming_sessions", "q36_signlsh_topk", "q37_ivf_topk",
+      "q59_sliding_windows", "q73_stream_static_join", "q77_fmgws_sessions",
+      "q98_hard_negatives")
+    val ledger = overflowGates.map(_ -> "CAST_OVERFLOW") ++ Seq(
+      "q175_interval_merge" -> "ARITHMETIC_OVERFLOW", // exact long multiply
+      "q144_skew_split" -> "no skew-marked SortMergeJoin", // vacuous-plan tripwire
+      "q221_personalized_pagerank" -> "non-empty seed set", // extremes empty the seed predicate
+      "q70_mllib_ivf" -> "MUST NOT be NaN or Infinity") // its own finite-vector require
+    val problems = ledger.flatMap { case (gate, fragment) =>
       try {
         SparkEntry.queries(gate)(spark, out).count()
         Some(s"$gate RETURNED on extreme input (silent-wrong risk)")
       } catch {
-        case e: Throwable if EmptySweep.crashIn(e).isDefined =>
-          Some(s"$gate crashed: ${EmptySweep.crashIn(e).get}")
-        case _: Throwable => None // loud named refusal — the contract
+        case e: Throwable =>
+          val chain = EmptySweep.messageChain(e)
+          if (EmptySweep.crashIn(e).isDefined)
+            Some(s"$gate CRASHED instead of refusing: $chain")
+          else if (!chain.contains(fragment))
+            Some(s"$gate refused with the WRONG message (want '$fragment'): $chain")
+          else None
       } finally graft.ops.Pins.releaseAll(spark)
     }
     assert(problems.isEmpty, problems.mkString("\n"))
@@ -223,6 +255,54 @@ class EmptyInputSpec extends SparkSuite {
       try { SparkEntry.queries(gate)(spark, out).count(); None }
       catch { case e: Throwable =>
         Some(s"$gate failed on the hot-key shape: $e") }
+      finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+
+  test("timewarp shape: gap-fill span cap refuses NAMED; dup-microsecond and far-range time paths flow") {
+    // round-15 eleventh shape: every timestamp rotated over year 0001 /
+    // epoch 0 / a duplicate-microsecond anchor (×2 in the rotation, so
+    // ~40% of rows share ONE microsecond: Δt = 0 through every gap/rate/
+    // fold path) / year 9999 (micros ≈ 2.5e17 — any nanos conversion or
+    // micros product overflows 2⁶³ loudly). A single key's history mixes
+    // year 0001 with year 9999 — the corrupt-timestamp scenario
+    // gapFillHourly's maxSpanHours cap documents. Full board (tool run,
+    // PLANS.md round 15): 215 pass / 3 loud / 0 crash — the louds are
+    // q160 (the cap, the probe target), q144 (vacuous-plan tripwire),
+    // q221 (extreme dates empty its seed predicate).
+    val out = tmpDir("graft_timewarp_spec")
+    EmptySweep.writeTimewarpTables(spark, "/root/testdata/sf0.001", out)
+    val ledger = Seq(
+      "q160_gap_fill" -> "gapFillHourly: key spans")
+    val problems = ledger.flatMap { case (gate, fragment) =>
+      try {
+        SparkEntry.queries(gate)(spark, out).count()
+        Some(s"$gate now RETURNS on the timewarp shape (a 7e7-hour span " +
+          "would densify the hourly spine into OOM undetected)")
+      } catch {
+        case e: Throwable =>
+          val chain = EmptySweep.messageChain(e)
+          if (EmptySweep.crashIn(e).isDefined)
+            Some(s"$gate CRASHED instead of refusing: $chain")
+          else if (!chain.contains(fragment))
+            Some(s"$gate refused with the WRONG message (want '$fragment'): $chain")
+          else None
+      } finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+    // event-time paths must FLOW through Δt = 0 (no divide-by-zero on a
+    // zero gap/duration) and ±10¹⁷-microsecond ranges: debounce/EWMA
+    // fold a zero inter-event gap, as-of joins match on the shared
+    // microsecond, streaks/SCD2/transitions span year 0001 → 9999,
+    // interval merge's exact multiply stays inside 2⁶³ on real micros
+    val mustFlow = Seq("q177_debounce", "q178_ewma", "q44_asof_clicks",
+      "q136_asof_forward", "q181_activity_streak", "q188_scd2_runs",
+      "q170_transitions", "q175_interval_merge")
+    val broken = mustFlow.flatMap { gate =>
+      try { SparkEntry.queries(gate)(spark, out).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$gate failed on the timewarp shape: $e") }
       finally graft.ops.Pins.releaseAll(spark)
     }
     assert(broken.isEmpty, broken.mkString("\n"))
