@@ -119,7 +119,8 @@ object IvfIndex {
     */
   def searchTopKWith(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, cents: Array[(Long, Seq[Double])],
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      maxQueryRows: Int = Similarity.DefaultMaxQueryRows): DataFrame = {
     val assigned = assignWith(df, vecCol, cents)
     // no persist: the corpus feeds exactly one join, so a materialization
     // barrier would only add a pass (nearestCentroid evaluates each
@@ -128,7 +129,10 @@ object IvfIndex {
     val corpus = assigned.select(col("_centroid"),
       col(idCol).as("neighbor_id"), Similarity.scaled(col(vecCol)).as("_sn"))
       .withColumn("_nn", Similarity.normScaled(col("_sn")))
-    val queries = assigned.filter(queryPred)
+    // pre-explode cap: the broadcast build is at most nProbe× this
+    // (nProbe is a caller literal, not data-driven)
+    val queries = Similarity.guardQueryRows(assigned.filter(queryPred),
+        maxQueryRows, "IvfIndex.searchTopK")
       .select(col(idCol).as("query_id"), Similarity.scaled(col(vecCol)).as("_sq"),
         explode(probeList(col(vecCol).cast("array<double>"), cents, nProbe))
           .as("_centroid"))

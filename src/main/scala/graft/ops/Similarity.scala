@@ -22,6 +22,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Default cap on BROADCAST QUERY SIDES ([[bruteForceTopK]],
+    * [[hardNegatives]], [[signLshTopK]], IvfIndex/Quantize probes). The
+    * query set ships to every executor and — for the brute-force forms —
+    * multiplies a full corpus scan per row, so "queryPred matched more
+    * than I thought" is a driver/broadcast OOM wearing a top-k contract
+    * (the round-15 broadcast audit; the Signal.guardEventsPerKey
+    * discipline applied to broadcast builds). 100k rows ≈ 100–800 MB of
+    * scaled vectors at 64–768 dims — past it, refuse loudly and point at
+    * the scale path.
+    */
+  private[ops] val DefaultMaxQueryRows = 100000
+
+  /** Refuse-loudly cap riding the query-side plan: a global count window
+    * (one partition of the QUERY side only — spills, never OOMs) raises a
+    * NAMED error before the broadcast build. Lazy — no job at call time.
+    */
+  private[ops] def guardQueryRows(queries: DataFrame, maxQueryRows: Int,
+      what: String): DataFrame = {
+    require(maxQueryRows > 0, s"maxQueryRows must be > 0, got $maxQueryRows")
+    val n = count(lit(1)).over(Window.partitionBy())
+    queries.withColumn("_qn", n)
+      .filter(assert_true(col("_qn") <= maxQueryRows,
+        format_string(
+          s"$what: query set has %d rows (cap $maxQueryRows) — the query " +
+            "side is broadcast to every executor (8 GB hard wall, driver " +
+            "heap first), so an unbounded queryPred is an OOM, not a slow " +
+            "query; narrow queryPred, raise maxQueryRows if the bound is " +
+            "measured, or use the LSH/IVF scale path for corpus-sized " +
+            "query sets",
+          col("_qn"))).isNull)
+      .drop("_qn")
+  }
+
   /** Scaled-integer vector: round(x * 1e6) per element, as array<long>. */
   def scaled(v: Column): Column =
     transform(v.cast("array<double>"), x => round(x * 1000000).cast("long"))
@@ -59,11 +92,13 @@ object Similarity {
     * order is total and engine-independent.
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int,
+      maxQueryRows: Int = DefaultMaxQueryRows): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val corpus = spread.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
       .withColumn("_nn", normScaled(col("_sn")))
-    val queries = spread.filter(queryPred)
+    val queries = guardQueryRows(spread.filter(queryPred),
+        maxQueryRows, "Similarity.bruteForceTopK")
       .select(col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
       .withColumn("_nq", normScaled(col("_sq")))
     val sims = corpus.crossJoin(broadcast(queries))
@@ -84,12 +119,14 @@ object Similarity {
     * sets).
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+      labelCol: String, queryPred: Column, k: Int,
+      maxQueryRows: Int = DefaultMaxQueryRows): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val corpus = spread.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("_ln"), scaled(col(vecCol)).as("_sn"))
       .withColumn("_nn", normScaled(col("_sn")))
-    val queries = spread.filter(queryPred)
+    val queries = guardQueryRows(spread.filter(queryPred),
+        maxQueryRows, "Similarity.hardNegatives")
       .select(col(idCol).as("query_id"), col(labelCol).as("_lq"),
         scaled(col(vecCol)).as("_sq"))
       .withColumn("_nq", normScaled(col("_sq")))
@@ -207,7 +244,8 @@ object Similarity {
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, planes: Int, seed: String,
-      probes: Int = 0): DataFrame = {
+      probes: Int = 0,
+      maxQueryRows: Int = DefaultMaxQueryRows): DataFrame = {
     // max-width probe for the corpus dimensionality (bounds the plane
     // literals): max — not an arbitrary first row — so ragged corpora still
     // get full-length plane vectors (a too-short literal would null-pad the
@@ -236,8 +274,11 @@ object Similarity {
       col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("_sn"))
       .withColumn("_nn", normScaled(col("_sn")))
     // query side explodes over the (distinct) probe buckets — a corpus
-    // vector reaches a query through at most one of them, no dedup needed
-    val queries = dotted.filter(queryPred)
+    // vector reaches a query through at most one of them, no dedup needed.
+    // The row cap guards the PRE-explode count; the broadcast build is at
+    // most (probes+1)× that (probes is a caller literal, not data-driven)
+    val queries = guardQueryRows(dotted.filter(queryPred),
+        maxQueryRows, "Similarity.signLshTopK")
       .select(explode(probeBuckets(col("_dots"), planes, probes)).as("_bucket"),
         col(idCol).as("query_id"), scaled(col(vecCol)).as("_sq"))
       .withColumn("_nq", normScaled(col("_sq")))

@@ -73,8 +73,12 @@ object Relational {
     val c  = Tables.customer(s, dir)
     val n  = Tables.nation(s, dir)
     val r  = Tables.region(s, dir)
+    // customer GROWS with SF (150k·SF rows) — no broadcast hint: a hint is
+    // honored unconditionally (8 GB hard wall at production scale), while
+    // file-size stats + AQE pick broadcast at any SF where it actually
+    // fits. nation/region are FIXED-cardinality dims (25/5 rows) — hinted.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(n("n_name").as("nation"))
@@ -105,7 +109,8 @@ object Relational {
       |ORDER BY p_brand, rk""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val p  = Tables.part(s, dir)
-    val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part grows with SF (200k·SF rows) — stats/AQE decide, no hard hint
+    val rev = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
     val w = Window.partitionBy("p_brand").orderBy(col("rev_cents").desc, col("l_partkey"))
@@ -872,8 +877,10 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val cents = sum(graft.functions.Exact.cents(
       col("l_extendedprice") * (lit(1) - col("l_discount")))).as("cents")
+    // supplier grows with SF (10k·SF rows) — stats/AQE decide; nation is a
+    // fixed 25-row dim, hinted
     val rev = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
       .groupBy("n_name").agg(cents)
     rev.select(col("n_name"), col("cents"),

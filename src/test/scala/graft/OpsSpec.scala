@@ -137,6 +137,32 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(top(2)._2) < 1e-5)
   }
 
+  test("broadcast query-side cap: refuse past maxQueryRows, override flows") {
+    // round-15 broadcast audit: the query set of the brute-force/LSH/IVF
+    // search forms is BROADCAST — "queryPred matched more than I thought"
+    // is a driver/broadcast OOM, so the cap refuses loudly BEFORE the
+    // broadcast build (the Signal.guardEventsPerKey discipline). The
+    // guard is lazy (no job at call time) and rides the query side only.
+    val vecs = spark.range(0, 50).selectExpr("id AS vec_id",
+      "array(cast(id as float), 1.0f, 0.0f) AS embedding")
+    val wide = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vec_id") >= 0, 3, maxQueryRows = 10) // all 50 rows match
+    val e = intercept[Exception](wide.collect())
+    val chain = graft.tools.EmptySweep.messageChain(e)
+    assert(chain.contains("maxQueryRows") && chain.contains("broadcast"),
+      s"want the named query-cap refusal, got: $chain")
+    // explicit override on a measured bound flows
+    val ok = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vec_id") >= 0, 3, maxQueryRows = 64)
+    assert(ok.count() === 50L * 3)
+    // the LSH and IVF probe forms share the guard
+    val lsh = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+      col("vec_id") >= 0, 3, planes = 4, seed = "s", probes = 0,
+      maxQueryRows = 10)
+    val e2 = intercept[Exception](lsh.collect())
+    assert(graft.tools.EmptySweep.messageChain(e2).contains("maxQueryRows"))
+  }
+
   test("semanticDedup keeps the max-norm member per cosine cluster") {
     // two near-parallel vectors (cos ≈ 1) + one orthogonal, same block
     val vecs = Seq(
