@@ -196,6 +196,8 @@ object Behavior {
       .select(col(userCol), day.as("_day"))
       .groupBy(col(userCol)).agg(min("_day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n_new"))
+    // partition-less window over the DAY GRID (one row per distinct day —
+    // bounded by the calendar, not the event log), never the raw events
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     activeDays.join(newPerDay, Seq("day"), "left")
