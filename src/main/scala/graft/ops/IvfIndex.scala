@@ -110,9 +110,11 @@ object IvfIndex {
   /** ANN search: probe `nProbe` inverted lists, exact re-rank, top-k. */
   def searchTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCentroids: Int, nProbe: Int,
-      seed: String): DataFrame =
+      seed: String,
+      maxQueryRows: Int = Similarity.DefaultMaxQueryRows): DataFrame =
     searchTopKWith(df, idCol, vecCol, queryPred, k,
-      pickCentroids(df, idCol, vecCol, nCentroids, seed), nProbe)
+      pickCentroids(df, idCol, vecCol, nCentroids, seed), nProbe,
+      maxQueryRows)
 
   /** ANN search against caller-supplied centroids (e.g. MLlib KMeans —
     * see graft.ml.MlBridge): probe, exact re-rank, top-k.

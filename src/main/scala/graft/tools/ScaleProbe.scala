@@ -189,6 +189,41 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // round-15 broadcast query-side cap: measure (a) the guard window's
+    // overhead on a legitimate query set, (b) time-to-refuse on a
+    // corpus-sized queryPred — the claim under test is "O(q) with spill,
+    // then a named raise, never an OOM or a silent broadcast build".
+    //   tools/run_verify.sh graft.tools.ScaleProbe queryguard
+    if (args.contains("queryguard")) {
+      val n = 500000L
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array((0 until 16).map(d =>
+          (pmod(xxhash64(col("id"), lit(d)), lit(1000L)).cast("float")
+            / 1000f)): _*).as("embedding"))
+        .repartition(64).cache()
+      println(s"[probe] vectors: ${vecs.count()} x 16 dims")
+      t("signLshTopK 2k queries / 500k corpus, guard ACTIVE (default cap)") {
+        val r = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+          col("vec_id") < 2000, 5, planes = 12, seed = "qg")
+        println(s"[probe]   rows: ${r.count()}")
+      }
+      t("same query warm (JIT'd; guard window still in the plan)") {
+        val q = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+          col("vec_id") < 2000, 5, planes = 12, seed = "qg")
+        println(s"[probe]   rows: ${q.count()}")
+      }
+      t("time-to-REFUSE: 500k queries vs 100k default cap (brute force)") {
+        val bad = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+          lit(true), 5)
+        val msg = try { bad.count(); "RETURNED (guard did not fire!)" }
+        catch { case e: Throwable =>
+          val m = EmptySweep.messageChain(e)
+          if (m.contains("maxQueryRows")) "named refusal (maxQueryRows)"
+          else s"WRONG error: ${m.take(200)}" }
+        println(s"[probe]   $msg")
+      }
+      spark.stop(); return
+    }
     // round-10 ops at 10–100×:
     //   tools/run_verify.sh graft.tools.ScaleProbe r10
     if (args.contains("r10")) {

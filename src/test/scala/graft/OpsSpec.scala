@@ -161,6 +161,11 @@ class OpsSpec extends SparkSuite {
       maxQueryRows = 10)
     val e2 = intercept[Exception](lsh.collect())
     assert(graft.tools.EmptySweep.messageChain(e2).contains("maxQueryRows"))
+    val ivf = graft.ops.IvfIndex.searchTopK(vecs, "vec_id", "embedding",
+      col("vec_id") >= 0, 3, nCentroids = 2, nProbe = 1, seed = "s",
+      maxQueryRows = 10)
+    val e3 = intercept[Exception](ivf.collect())
+    assert(graft.tools.EmptySweep.messageChain(e3).contains("maxQueryRows"))
   }
 
   test("semanticDedup keeps the max-norm member per cosine cluster") {
