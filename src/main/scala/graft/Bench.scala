@@ -84,6 +84,42 @@ object Bench {
     if (v < 0) "-1"
     else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Host telemetry snapshot: (cumulative CPU jiffies total, steal
+    * jiffies, 1-min loadavg) from /proc/stat + /proc/loadavg. The
+    * round-15 lesson behind it: the single-thread calib probe provably
+    * misses MULTI-CORE co-tenancy — hypervisor steal slows a 32-thread
+    * stage ~uniformly while the one calib core stays warm, which is
+    * exactly the ambiguous `median-only` signature (observed live:
+    * median 1.22 with calib 1.76 while /proc showed steal + loadavg 7
+    * and zero local tasks). Steal accumulated over the RUN WINDOW is
+    * the corroborating signal calib cannot be; it ships in the artifact
+    * so a median-only verdict self-resolves from the JSON instead of
+    * needing a shell on the host. Linux-only; None elsewhere (fields
+    * emit null, never fail the bench).
+    */
+  def hostStat(): Option[(Long, Long, Double)] = try {
+    val stat = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    val load = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+")(0).toDouble
+    Some((stat.sum, if (stat.length > 7) stat(7) else 0L, load))
+  } catch { case _: Throwable => None }
+
+  /** The `"host":{...}` JSON fragment: steal % of all CPU time over the
+    * run window + loadavg at both ends.
+    */
+  def hostJson(start: Option[(Long, Long, Double)],
+      end: Option[(Long, Long, Double)]): String = {
+    val stealPct = for {
+      (ts, ss, _) <- start; (te, se, _) <- end; if te > ts
+    } yield 100.0 * (se - ss) / (te - ts)
+    s""""host":{"steal_pct":${stealPct.map(ms).getOrElse("null")},""" +
+      s""""load1_start":${start.map(s => cs(s._3)).getOrElse("null")},""" +
+      s""""load1_end":${end.map(s => cs(s._3)).getOrElse("null")}}"""
+  }
+
   /** Machine-readable contention classification (round-13 verdict #1).
     *
     * Three rounds' driver artifacts needed hand forensics to tell "the
@@ -326,6 +362,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val hostStart = hostStat()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -458,18 +495,22 @@ object Bench {
     val calibAll = (calibStart +: merged.map(_._3)) :+ calibEnd
     val (contVerdict, contMedian, steadyEst, _) = contentionVerdict(
       total, gateSecs, calibAll.min, calibAll.max, retimed.size, steadyRef)
+    val hostEnd = hostStat()
     val contJson = contentionJson(total, gateSecs, calibAll.min,
-      calibAll.max, retimed.size, steadyRef)
+      calibAll.max, retimed.size, steadyRef) + "," +
+      hostJson(hostStart, hostEnd)
     if (contVerdict == "contended") System.err.println(
       f"[bench] CONTENDED window: raw total $total%.1f s, steady estimate " +
         f"$steadyEst%.1f s (median ratio ${contMedian.getOrElse(Double.NaN)}%.3f " +
         f"vs ${steadyRef.map(_._1).getOrElse(Double.NaN)}%.1f s reference)")
     else if (contVerdict == "median-only") System.err.println(
       f"[bench] MEDIAN-ONLY inflation ${contMedian.getOrElse(Double.NaN)}%.3f " +
-        f"with clean host signals: raw total $total%.1f s kept as the " +
+        f"with clean CALIB signals: raw total $total%.1f s kept as the " +
         "estimate — possible board-wide CODE regression, not provable " +
         "contention; re-run idle and diff per-gate vs " +
-        f"${steadyRef.map(_._1).getOrElse(Double.NaN)}%.1f s reference")
+        f"${steadyRef.map(_._1).getOrElse(Double.NaN)}%.1f s reference; " +
+        "check the artifact's host.steal_pct first (multi-core co-tenancy " +
+        "is invisible to the single-thread calib)")
     // The driver keeps only the LAST 2000 BYTES of stdout (round-5 lost
     // the whole artifact; round-8's grown 176-gate map clipped its head
     // and parsed null). Defense in depth:

@@ -133,6 +133,28 @@ class BenchContentionSpec extends AnyFunSuite {
       s"$v2 / $est2")
   }
 
+  test("host telemetry: steal % over the window; absent /proc degrades to null") {
+    // round-15: the first REAL median-only board (308.4 s, median 1.223,
+    // calib 1.76) was resolved by host telemetry — /proc showed hypervisor
+    // STEAL with zero local load, the multi-core co-tenancy class the
+    // single-thread calib provably cannot see — plus an A/B (the unchanged
+    // r14 tree benched SLOWER in the same window). The artifact now
+    // carries host.steal_pct so that resolution needs no shell.
+    val s = Bench.hostStat()
+    assert(s.isDefined, "/proc should be readable on the test host")
+    val (total, steal, load) = s.get
+    assert(total > 0 && steal >= 0 && steal <= total && load >= 0,
+      s"implausible host stat: $s")
+    // steal accrues over a window: two snapshots → a percentage in [0,100]
+    val json = Bench.hostJson(Some((1000L, 10L, 1.5)), Some((2000L, 30L, 2.0)))
+    assert(json.contains(""""steal_pct":2""") &&
+      json.contains(""""load1_start":1.5""") &&
+      json.contains(""""load1_end":2"""), json)
+    // no /proc (non-Linux) → nulls, never a crash
+    val none = Bench.hostJson(None, None)
+    assert(none.contains(""""steal_pct":null"""), none)
+  }
+
   test("no reference: classification degrades to calib+cap, never crashes") {
     // clean calibs, no cap: steady
     val (v1, m1, e1, n1) = Bench.contentionVerdict(100.0,
