@@ -224,6 +224,44 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // round-15 wide-dims probe: the committed testdata embeds at 64 dims,
+    // but production embedding models emit 1536–4096 — and three kernel
+    // families carry DIMS-proportional plan constants (sign-LSH plane
+    // literals planes×dims, IVF centroid typedLits k×dims, PQ codebooks)
+    // whose cost class (plan build, codegen, broadcast of the literal)
+    // no existing probe measures. Claim under test: the exact scaled-int
+    // kernels and the literal-carrying plans HOLD at 24× the gate dims —
+    // degrade linearly, no codegen cliff, no plan-size failure.
+    //   tools/run_verify.sh graft.tools.ScaleProbe widedims
+    if (args.contains("widedims")) {
+      for (dims <- Seq(256, 1536)) {
+        val n = 100000L
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(dims - 1)),
+            d => (pmod(xxhash64(col("id"), d), lit(1000L)).cast("float")
+              / 1000f)).as("embedding"))
+          .repartition(64).cache()
+        println(s"[probe] vectors: ${vecs.count()} x $dims dims")
+        t(s"bruteForceTopK 100 queries / 100k corpus @ $dims dims (exact scaled-int)") {
+          val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+            col("vec_id") < 100, 5)
+          println(s"[probe]   rows: ${r.count()}")
+        }
+        t(s"signLshTopK 1k queries @ $dims dims (16x$dims plane literal in-plan)") {
+          val r = Similarity.signLshTopK(vecs, "vec_id", "embedding",
+            col("vec_id") < 1000, 5, planes = 16, seed = "wd")
+          println(s"[probe]   rows: ${r.count()}")
+        }
+        t(s"IVF searchTopK 1k queries @ $dims dims (16x$dims centroid literals)") {
+          val r = graft.ops.IvfIndex.searchTopK(vecs, "vec_id", "embedding",
+            col("vec_id") < 1000, 5, nCentroids = 16, nProbe = 2, seed = "wd")
+          println(s"[probe]   rows: ${r.count()}")
+        }
+        vecs.unpersist()
+      }
+      spark.stop(); return
+    }
     // round-10 ops at 10–100×:
     //   tools/run_verify.sh graft.tools.ScaleProbe r10
     if (args.contains("r10")) {
