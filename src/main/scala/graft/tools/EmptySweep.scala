@@ -334,6 +334,48 @@ object EmptySweep {
     }
   }
 
+  /** Wide-dims shape (round-15, the TWELFTH degenerate shape): every
+    * embedding column stretched to `wideDims` (default 1536 — the width
+    * production text-embedding models actually emit, 24× the committed
+    * testdata's 64) by tiling the row's real values with a per-copy
+    * perturbation (keeps magnitudes in-domain — width is the ONLY
+    * variable). Complements the targeted `ScaleProbe widedims` kernel
+    * probe: the SHAPE runs every embeddings consumer on the board —
+    * quantizers (PQ sub-vector split at 1536/m), IVF/LSH literal builds
+    * (planes×1536, k×1536 typedLits), dim-stats, projections — where a
+    * dims-driven assumption (codegen size, sub-block arithmetic, a
+    * hardcoded 64) would crash rather than refuse.
+    */
+  def writeWideTables(spark: SparkSession, srcDir: String, outDir: String,
+      n: Int = 20, wideDims: Int = 1536): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, lit, element_at, flatten,
+      transform => atransform, sequence, size => asize, pmod}
+    import org.apache.spark.sql.types._
+    graft.Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val first = src.schema.fieldNames.head
+      val out = src.orderBy(col(first)).limit(n).select(
+        src.schema.fields.map { f =>
+          f.dataType match {
+            case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+              // tile ceil(wide/|v|) perturbed copies, cut to wideDims
+              org.apache.spark.sql.functions.slice(
+                flatten(atransform(
+                  sequence(lit(0), (lit(wideDims) /
+                    org.apache.spark.sql.functions.greatest(
+                      lit(1), asize(col(f.name)))).cast("int")),
+                  rep => atransform(col(f.name),
+                    x => x + (pmod(rep.cast("long"), lit(7L)).cast("float")
+                      / 100f)))),
+                1, wideDims).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   /** Hostile text: every string column replaced by a rotation of
     * adversarial shapes — astral-plane emoji (surrogate pairs), combining
     * marks, RTL runs, a NUL byte, zero-width joiners, a 100k-char repeat —
@@ -386,6 +428,7 @@ object EmptySweep {
     else if (mode == "extreme") writeExtremeTables(spark, srcDir, outDir)
     else if (mode == "hotkey") writeHotKeyTables(spark, srcDir, outDir)
     else if (mode == "timewarp") writeTimewarpTables(spark, srcDir, outDir)
+    else if (mode == "wide") writeWideTables(spark, srcDir, outDir)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()

@@ -308,6 +308,35 @@ class EmptyInputSpec extends SparkSuite {
     assert(broken.isEmpty, broken.mkString("\n"))
   }
 
+  test("wide-dims shape: every embedding consumer flows at 1536 dims") {
+    // round-15 twelfth shape: embeddings tiled to 1536 dims (the width
+    // production text-embedding models emit, 24× the committed 64) with
+    // magnitudes kept in-domain — width is the ONLY variable. Full board
+    // (tool run, PLANS.md round 15): 216 pass / 2 loud / 0 crash; the
+    // louds are the q144/q221 shape-tripwires every degenerate shape
+    // trips. This pins the embedding-consumer flow subset: a
+    // dims-driven assumption (a hardcoded 64, PQ sub-vector arithmetic,
+    // a codegen/plan-size cliff in the planes×dims or k×dims literal
+    // builds) must not appear as dims grow.
+    val out = tmpDir("graft_wide_spec")
+    EmptySweep.writeWideTables(spark, "/root/testdata/sf0.001", out)
+    val mustFlow = Seq("q29_cosine_topk", "q31_embed_dim_stats",
+      "q57_embed_quantize", "q99_random_projection", "q119_pq_codes")
+    val broken = mustFlow.flatMap { gate =>
+      try { SparkEntry.queries(gate)(spark, out).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$gate failed at 1536 dims: $e") }
+      finally graft.ops.Pins.releaseAll(spark)
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+    // the dims actually took effect: q31 emits one row per dimension
+    val dimRows = SparkEntry.queries("q31_embed_dim_stats")(spark, out).count()
+    graft.ops.Pins.releaseAll(spark)
+    assert(dimRows == 1536L,
+      s"expected 1536 per-dim rows, got $dimRows — the shape writer " +
+        "stopped widening and this test is vacuous")
+  }
+
   test("sweep crash classifier: overflow raises are domain refusals; suppressed crashes are not") {
     // overflowDomainRefusal: the finite-overflow contract classes pass...
     val cast = new ArithmeticException(
