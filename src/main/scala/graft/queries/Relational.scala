@@ -1265,7 +1265,19 @@ object Relational {
       |WHERE dim.grp = 1
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin) { (s, dir) =>
-    graft.io.TempDirs.withTempDir("q143") { tmpDir =>
+    // The tripwire certifies the DPP RULE, and the rule (with the default
+    // dynamicPartitionPruning.reuseBroadcastOnly=true) only fires when the
+    // dim side is broadcast-able — so the gate pins the confs its verdict
+    // depends on, the q144 discipline: an ambient session that disables
+    // broadcast joins (the invariance sweep's `nobroadcast` mode, or a
+    // cluster default) must not flip a certification gate into a refusal.
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try graft.io.TempDirs.withTempDir("q143") { tmpDir =>
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").partitionBy("source")
         .parquet(s"$tmpDir/fact")
@@ -1315,6 +1327,9 @@ object Relational {
         }
       }
       out
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
