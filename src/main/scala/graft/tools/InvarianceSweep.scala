@@ -129,14 +129,45 @@ object InvarianceSweep {
       else if (modeArg == "none") Seq.empty
       else { require(modeConfs.contains(modeArg), s"unknown mode $modeArg")
         Seq(modeArg) }
-    val spark = SparkSession.builder()
+    // GRAFT_SPECULATION=1: launch speculative duplicates of nearly every
+    // task (quantile 0.05, multiplier 1.0, 10 ms checks) — the local
+    // analog of straggler re-execution on a real cluster. Core confs, so
+    // they must be set at context construction (not per-session); the
+    // cross-JVM BASE-line diff against a normal run then verifies that
+    // duplicate tasks never change a result or double-commit a write.
+    val speculate = sys.env.get("GRAFT_SPECULATION").contains("1")
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    if (speculate) {
+      // every gate-sized task is eligible: no min-runtime floor, clone at
+      // 1.0x the median, and the 3.4+ "efficiency" heuristic (which
+      // suppresses clones of tasks processing at near-median rate — i.e.
+      // all of them on an idle host) off. Verified live: INFO logs show
+      // "Marking task N ... as speculatable" across the board.
+      builder.config("spark.speculation", "true")
+        .config("spark.speculation.interval", "10ms")
+        .config("spark.speculation.multiplier", "1.0")
+        .config("spark.speculation.quantile", "0.05")
+        .config("spark.speculation.minTaskRuntime", "0ms")
+        .config("spark.speculation.efficiency.enabled", "false")
+    }
+    // GRAFT_JARS: ship the packaged graft jar to executors — required for
+    // PROFILE_MASTER=local-cluster[n,cores,memMB], the only local master
+    // with REAL executor JVMs (separate heaps, serialized closures and
+    // broadcasts, remote shuffle fetches) and the only one whose scheduler
+    // runs the speculation thread at all (TaskSchedulerImpl guards it with
+    // !isLocal, so GRAFT_SPECULATION under plain local[n] is vacuous).
+    sys.env.get("GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
+    // INFO shows "Marking task N ... as speculatable" lines — the proof
+    // the GRAFT_SPECULATION probe actually launched clones, not a vacuous
+    // pass (grep the run log for 'speculat')
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_LOGLEVEL", "ERROR"))
 
     val gates = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(only))
