@@ -231,6 +231,18 @@ object Bench {
     }.toMap)
   }
 
+  /** The board's recorded thread count. Legacy boards (no "cpus" field)
+    * were all 32-thread harness runs, so absence parses as "32": a steady
+    * reference is only comparable to a run with the SAME local[n] — an
+    * 8-cpu local iteration is uniformly slower per gate, and comparing
+    * across thread counts would misread that as contention (or worse,
+    * an 8-cpu board becoming the reference would make every 32-cpu run
+    * look impossibly fast).
+    */
+  def parseCpus(json: String): String =
+    """"cpus":\s*"([^"]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("32")
+
   /** Parse the TRUNCATED stdout-line form's queries map (short keys). */
   def parseTruncatedQueries(json: String): Map[String, Double] = {
     val obj = """"queries":\s*\{([^}]*)\}""".r
@@ -346,12 +358,13 @@ object Bench {
   def fullJson(merged: Seq[(String, Double, Double)], sfDir: String,
       wallSec: Double, calibStart: Double, calibEnd: Double,
       retimeDetail: Seq[(String, Double, Double, Double, String)],
-      contention: String = ""): String = {
+      contention: String = "", cpus: String = "32"): String = {
     val total = merged.map(_._2).filter(_ >= 0).sum
     val qs = merged.map { case (n, s, c) =>
       s"""{"name":"$n","sec":${ms(s)},"calib_sec":${ms(c)}}"""
     }.mkString("[", ",", "]")
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":"$cpus",""" +
       s""""wall_sec":${ms(wallSec)},"calib_start_sec":${ms(calibStart)},""" +
       s""""calib_end_sec":${ms(calibEnd)},""" +
       (if (contention.isEmpty) "" else contention + ",") +
@@ -475,14 +488,27 @@ object Bench {
     // driver reference); the un-suffixed bench_steady.json is read as a
     // legacy fallback (still sf-checked) but never written again. A
     // missing/mismatched reference degrades to calib+cap-only.
+    // Non-default thread counts get their OWN baseline file: an 8-cpu
+    // local iteration must neither clobber nor compare against the
+    // committed 32-cpu reference at the same sf (per-gate times scale
+    // with local[n], so cross-cpus ratios are meaningless).
     val steadyPath = java.nio.file.Paths.get(
-      s"bench_steady.${new java.io.File(sfDir).getName}.json")
+      s"bench_steady.${new java.io.File(sfDir).getName}" +
+        (if (cpus == "32") "" else s".c$cpus") + ".json")
     def readBoard(p: java.nio.file.Path)
         : Option[(Double, String, Map[String, Double])] =
       try {
-        if (java.nio.file.Files.exists(p))
-          parseFullBoard(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        else None
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // belt-and-braces vs hand-copied files: the per-cpus filename
+          // already separates contexts, but a board recording a different
+          // thread count must never become this run's reference
+          if (parseCpus(txt) != cpus) {
+            System.err.println(s"[bench] $p records cpus=${parseCpus(txt)}" +
+              s", this run is cpus=$cpus — not comparable, ignoring")
+            None
+          } else parseFullBoard(txt)
+        } else None
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $p unreadable: $e"); None
       }
@@ -526,7 +552,7 @@ object Bench {
     System.err.println("[bench] calib timeline: " +
       merged.map { case (k, _, c) => shortKey(k) + ":" + ms(c) }.mkString(" "))
     val fullArtifact = fullJson(merged, sfDir, wallSec, calibStart, calibEnd,
-      retimeDetail, contJson)
+      retimeDetail, contJson, cpus)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       fullArtifact.getBytes("UTF-8"))
     catch { case e: Throwable =>

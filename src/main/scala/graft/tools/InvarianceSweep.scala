@@ -46,9 +46,21 @@ import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64, struct,
   * hash expression rejects. A DIFF is a finding; a gate that REFUSES must
   * refuse identically (same exception class) under every strategy.
   *
-  * Usage: InvarianceSweep <sfDir> <mode|all> [gateSubstring]
+  * Usage: InvarianceSweep <sfDir> <mode|all|none> [gateSubstring]
   * Prints one MATCH/DIFF/ERR line per (mode, gate) and a summary; exits
-  * nonzero on any DIFF.
+  * nonzero on any DIFF. `none` runs baseline only, printing one BASE
+  * fingerprint line per gate — the cross-JVM form: diff the BASE lines
+  * of two processes. Env knobs for the cross-JVM probes (all recorded in
+  * PLANS.md "Scale-fidelity probes"):
+  *   SPARK_DRIVER_MEM=800m      starved-heap memory-pressure run
+  *   PROFILE_MASTER=local-cluster[2,8,2048]  real executor JVMs
+  *   GRAFT_JARS=<packaged jar>  ship classes to local-cluster executors
+  *   GRAFT_SPECULATION=1        aggressive speculative task clones
+  *                              (needs local-cluster: local[n] never
+  *                              starts the speculation thread)
+  *   GRAFT_LOGLEVEL=INFO        see the "as speculatable" evidence
+  *   (local-cluster also needs SPARK_HOME and SPARK_SCALA_VERSION=2.13
+  *   exported so ExecutorRunner can build the executor command)
   */
 object InvarianceSweep {
 

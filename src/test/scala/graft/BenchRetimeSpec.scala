@@ -124,6 +124,22 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(node.get("queries").get(0).get("calib_sec").asDouble === 0.03)
   }
 
+  test("the artifact records its thread count; legacy boards parse as 32") {
+    // round-15: steady baselines are only comparable at the SAME local[n]
+    // — an 8-cpu board must never become a 32-cpu run's reference (every
+    // gate reads uniformly slower and the median ratio lies). fullJson
+    // stamps cpus; parseCpus reads it back, defaulting legacy (pre-field)
+    // boards to the harness's 32.
+    val stamped = Bench.fullJson(run, "/sf", 100.0, 0.03, 0.03, Nil,
+      cpus = "8")
+    assert(jackson.readTree(stamped).get("cpus").asText === "8")
+    assert(Bench.parseCpus(stamped) === "8")
+    val default = Bench.fullJson(run, "/sf", 100.0, 0.03, 0.03, Nil)
+    assert(Bench.parseCpus(default) === "32")
+    val legacy = """{"metric":"total","value":9.0,"unit":"sec","sf":"/sf"}"""
+    assert(Bench.parseCpus(legacy) === "32")
+  }
+
   // ---- retime audit trail (round-10 verdict #7: retimed_n with no
   // which/why forced the driver to guess) ----
 
