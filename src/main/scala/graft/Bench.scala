@@ -107,14 +107,18 @@ object Bench {
     Some((stat.sum, if (stat.length > 7) stat(7) else 0L, load))
   } catch { case _: Throwable => None }
 
+  /** Steal % of all CPU time between two [[hostStat]] snapshots. */
+  def stealPctOf(start: Option[(Long, Long, Double)],
+      end: Option[(Long, Long, Double)]): Option[Double] = for {
+    (ts, ss, _) <- start; (te, se, _) <- end; if te > ts
+  } yield 100.0 * (se - ss) / (te - ts)
+
   /** The `"host":{...}` JSON fragment: steal % of all CPU time over the
     * run window + loadavg at both ends.
     */
   def hostJson(start: Option[(Long, Long, Double)],
       end: Option[(Long, Long, Double)]): String = {
-    val stealPct = for {
-      (ts, ss, _) <- start; (te, se, _) <- end; if te > ts
-    } yield 100.0 * (se - ss) / (te - ts)
+    val stealPct = stealPctOf(start, end)
     s""""host":{"steal_pct":${stealPct.map(ms).getOrElse("null")},""" +
       s""""load1_start":${start.map(s => cs(s._3)).getOrElse("null")},""" +
       s""""load1_end":${end.map(s => cs(s._3)).getOrElse("null")}}"""
@@ -156,21 +160,33 @@ object Bench {
     *    median — the number to compare across rounds. Every recorded
     *    contended board (r11 6.4×, r13 7.0×, r14 4.6×) had the calib
     *    spike, so corroboration is the historical norm, not a new bar.
-    *  - "median-only": median tripped with CLEAN host signals. The
-    *    estimate stays the RAW total and round calls must treat the run
-    *    as a possible code regression (re-run idle / diff the per-gate
-    *    board), never subtract it away.
+    *  - "contended-host" (round-15 verdict #2): median tripped with
+    *    clean CALIB signals but `stealPct` ≥ `stealTrip` — hypervisor
+    *    steal over the run window is the multi-core co-tenancy signal
+    *    the single-thread calib provably cannot see (round-15's real
+    *    board: median 1.223, calib 1.76×, /proc steal with zero local
+    *    load; hand-resolved then via an A/B, now encoded). Deflates
+    *    like "contended" and never becomes the steady reference.
+    *  - "median-only": median tripped with CLEAN host signals INCLUDING
+    *    clean (or unavailable) steal. The estimate stays the RAW total
+    *    and round calls must treat the run as a possible code
+    *    regression (re-run idle / diff the per-gate board), never
+    *    subtract it away — this is the genuine code-regression
+    *    signature.
     *  - "steady": all signals quiet; the run may become the next
     *    reference.
     * Thresholds are pinned by BenchContentionSpec against the recorded
-    * r11–r14 driver boards (294/267/309/255 → contended/steady/
-    * contended/contended).
+    * r11–r15 driver boards (294/267/309/255/743 → contended/steady/
+    * contended/contended/contended) plus the round-15 builder board
+    * (308.4 s, median 1.223 + steal ⇒ contended-host).
     */
   def contentionVerdict(total: Double, gates: Map[String, Double],
       calibFloor: Double, calibMax: Double, retimedN: Int,
       ref: Option[(Double, Map[String, Double])],
+      stealPct: Option[Double] = None,
       retimeCapN: Int = 40, calibTrip: Double = 3.0,
-      medianTrip: Double = 1.1, minRefSec: Double = 0.5)
+      medianTrip: Double = 1.1, minRefSec: Double = 0.5,
+      stealTrip: Double = 1.0)
       : (String, Option[Double], Double, Int) = {
     val ratios = ref.toSeq.flatMap { case (_, refGates) =>
       gates.toSeq.collect { case (k, v)
@@ -182,13 +198,16 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
     val calibRatio = if (calibFloor > 0) calibMax / calibFloor else 1.0
     val hostSignal = calibRatio > calibTrip || retimedN >= retimeCapN
+    val stealSignal = stealPct.exists(_ >= stealTrip)
     val medianHigh = medianRatio.exists(_ >= medianTrip)
     val verdict =
       if (hostSignal) "contended"
+      else if (medianHigh && stealSignal) "contended-host"
       else if (medianHigh) "median-only"
       else "steady"
     val steadyEstimate = medianRatio match {
-      case Some(m) if verdict == "contended" && m > 1.0 => total / m
+      case Some(m) if m > 1.0 &&
+        (verdict == "contended" || verdict == "contended-host") => total / m
       case _ => total
     }
     (verdict, medianRatio, steadyEstimate, ratios.size)
@@ -198,10 +217,11 @@ object Bench {
   def contentionJson(total: Double, gates: Map[String, Double],
       calibFloor: Double, calibMax: Double, retimedN: Int,
       ref: Option[(Double, Map[String, Double])],
+      stealPct: Option[Double] = None,
       retimeCapN: Int = 40): String = {
     val (verdict, medianRatio, steadyEst, overlapN) =
       contentionVerdict(total, gates, calibFloor, calibMax, retimedN, ref,
-        retimeCapN)
+        stealPct, retimeCapN)
     val calibRatio = if (calibFloor > 0) calibMax / calibFloor else 1.0
     s""""contention":{"calib_ratio":${cs(calibRatio)},""" +
       s""""retime_cap_hit":${retimedN >= retimeCapN},""" +
@@ -240,7 +260,11 @@ object Bench {
     * look impossibly fast).
     */
   def parseCpus(json: String): String =
-    """"cpus":\s*"([^"]+)"""".r.findFirstMatchIn(json)
+    // anchored to the "sf" field that fullJson emits immediately before it
+    // (tolerating python-style ": " separators): an unanchored "cpus" match
+    // could be shadowed by a literal "cpus":"…" inside free text earlier in
+    // a hand-edited file (round-15 advice)
+    """"sf":\s*"[^"]*",\s*"cpus":\s*"([^"]+)"""".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("32")
 
   /** Parse the TRUNCATED stdout-line form's queries map (short keys). */
@@ -519,16 +543,26 @@ object Bench {
     val gateSecs = merged.map { case (n, s, _) => shortKey(n) -> s }.toMap
     val total = merged.map(_._2).filter(_ >= 0).sum
     val calibAll = (calibStart +: merged.map(_._3)) :+ calibEnd
-    val (contVerdict, contMedian, steadyEst, _) = contentionVerdict(
-      total, gateSecs, calibAll.min, calibAll.max, retimed.size, steadyRef)
+    // host snapshot BEFORE classification: the steal % over the run window
+    // is now a classifier input (round-15 verdict #2), not just a reading
     val hostEnd = hostStat()
+    val steal = stealPctOf(hostStart, hostEnd)
+    val (contVerdict, contMedian, steadyEst, _) = contentionVerdict(
+      total, gateSecs, calibAll.min, calibAll.max, retimed.size, steadyRef,
+      steal)
     val contJson = contentionJson(total, gateSecs, calibAll.min,
-      calibAll.max, retimed.size, steadyRef) + "," +
+      calibAll.max, retimed.size, steadyRef, steal) + "," +
       hostJson(hostStart, hostEnd)
     if (contVerdict == "contended") System.err.println(
       f"[bench] CONTENDED window: raw total $total%.1f s, steady estimate " +
         f"$steadyEst%.1f s (median ratio ${contMedian.getOrElse(Double.NaN)}%.3f " +
         f"vs ${steadyRef.map(_._1).getOrElse(Double.NaN)}%.1f s reference)")
+    else if (contVerdict == "contended-host") System.err.println(
+      f"[bench] CONTENDED-HOST window: median inflation " +
+        f"${contMedian.getOrElse(Double.NaN)}%.3f with clean calib but " +
+        f"host steal ${steal.getOrElse(Double.NaN)}%.2f%% over the run " +
+        f"window (multi-core co-tenancy, invisible to the single-thread " +
+        f"calib): raw total $total%.1f s, steady estimate $steadyEst%.1f s")
     else if (contVerdict == "median-only") System.err.println(
       f"[bench] MEDIAN-ONLY inflation ${contMedian.getOrElse(Double.NaN)}%.3f " +
         f"with clean CALIB signals: raw total $total%.1f s kept as the " +

@@ -1157,6 +1157,21 @@ object Relational {
     * whose actual plan lives in `plan`, not `children` — a plain collect on
     * an executed adaptive plan misses everything below the first exchange.
     */
+  /** Snapshot the EXPLICITLY-SET values of session confs before a gate
+    * pins them (restored in the gate's `finally`). `conf.getOption` is
+    * the wrong read here: it resolves registered entries' defaults AND
+    * fallback keys (`spark.sql.adaptive.autoBroadcastJoinThreshold`
+    * falls back to `spark.sql.autoBroadcastJoinThreshold`), so restoring
+    * what it returns SETS a previously-unset key to a snapshot of its
+    * fallback — permanently decoupling the adaptive threshold from the
+    * base conf for the rest of the session. `conf.get(key, null)` reads
+    * only the explicit settings map (a null default skips entry
+    * resolution), so truly-unset keys restore to unset.
+    */
+  private def savedConfs(s: SparkSession, confs: Seq[(String, String)])
+      : Seq[(String, Option[String])] =
+    confs.map { case (k, _) => k -> Option(s.conf.get(k, null)) }
+
   private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
       pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
@@ -1201,7 +1216,7 @@ object Relational {
       // scale — the rule, not the thresholds, is what the gate certifies
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val saved = savedConfs(s, confs)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val urgent = Tables.orders(s, dir)
@@ -1275,7 +1290,7 @@ object Relational {
       "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val saved = savedConfs(s, confs)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try graft.io.TempDirs.withTempDir("q143") { tmpDir =>
       val docs = Tables.documents(s, dir)
@@ -1377,7 +1392,7 @@ object Relational {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val saved = savedConfs(s, confs)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val fact = Tables.lineitem(s, dir).select(
@@ -1449,7 +1464,7 @@ object Relational {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val saved = savedConfs(s, confs)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val agg = Tables.orders(s, dir)
@@ -1551,7 +1566,7 @@ object Relational {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val saved = savedConfs(s, confs)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val dim = Tables.orders(s, dir)

@@ -408,6 +408,112 @@ object EmptySweep {
     }
   }
 
+  /** Writer for each tool-runnable shape, keyed by its mode string — the
+    * full degenerate battery in one place (the `battery` mode runs them
+    * all and writes the machine-readable ledger).
+    */
+  val shapeWriters: Seq[(String, (SparkSession, String, String) => Unit)] = Seq(
+    "empty" -> ((s, src, out) => writeTables(s, src, out, 0)),
+    "3row" -> ((s, src, out) => writeTables(s, src, out, 3)),
+    "dup100" -> ((s, src, out) => writeTables(s, src, out, -100)),
+    "dup300" -> ((s, src, out) => writeTables(s, src, out, -300)),
+    "nulls" -> ((s, src, out) => writeNullTables(s, src, out, 3)),
+    "nan" -> ((s, src, out) => writeNanTables(s, src, out, 3)),
+    "unicode" -> ((s, src, out) => writeUnicodeTables(s, src, out)),
+    "extreme" -> ((s, src, out) => writeExtremeTables(s, src, out)),
+    "hotkey" -> ((s, src, out) => writeHotKeyTables(s, src, out)),
+    "timewarp" -> ((s, src, out) => writeTimewarpTables(s, src, out)),
+    "wide" -> ((s, src, out) => writeWideTables(s, src, out)))
+
+  /** Classify one gate run on `dir`: ("PASS", rows) / ("LOUD", class +
+    * first message line) / ("FAIL", crash class + message). The single-
+    * shape CLI and the battery ledger share this so their verdicts can
+    * never drift apart.
+    */
+  def gateOutcome(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (String, String) =
+    try {
+      val n = fn(spark, dir).count()
+      ("PASS", s"$n rows")
+    } catch {
+      case e: Throwable =>
+        crashIn(e) match {
+          case Some(crash) =>
+            ("FAIL", s"${crash.getClass.getName}: ${crash.getMessage}" +
+              crash.getStackTrace.take(3).map(f => s"\n        at $f").mkString)
+          case None =>
+            val m = Option(e.getMessage).getOrElse("").linesIterator
+              .take(1).mkString
+            val inner = (Option(e.getCause) ++ e.getSuppressed.headOption)
+              .flatMap(t => Option(t.getMessage)).headOption
+              .map(_.linesIterator.take(1).mkString)
+              .filter(im => im.nonEmpty && !m.contains(im))
+              .map(im => s" <- $im").getOrElse("")
+            ("LOUD", s"${e.getClass.getSimpleName}: $m$inner")
+        }
+    } finally graft.ops.Pins.releaseAll(spark)
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  /** `battery` mode: run EVERY shape × EVERY gate and write the ledger as
+    * SWEEPS.json — {shape: {gate: "PASS"|"LOUD: …"|"FAIL: …"}} plus a
+    * per-shape summary. One diffable artifact instead of twelve PLANS.md
+    * prose ledgers (round-15 verdict #6); SweepLedgerSpec pins its
+    * invariants (11 shapes × full board, zero FAIL, refusals named).
+    */
+  def runBattery(spark: SparkSession, srcDir: String, outPath: String,
+      only: String): Unit = {
+    val gates = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(only))
+    val sb = new StringBuilder
+    sb.append(s"""{"src":"${jsonEscape(srcDir)}","gates_n":${gates.size},""")
+    sb.append(""""shapes":{""")
+    val summaries = shapeWriters.zipWithIndex.map { case ((shape, writer), si) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sweep_$shape").toString
+      val t0 = System.nanoTime()
+      var pass, loud, fail = 0
+      try {
+        writer(spark, srcDir, dir)
+        if (si > 0) sb.append(",")
+        sb.append(s""""$shape":{""")
+        gates.zipWithIndex.foreach { case ((name, fn), gi) =>
+          val (kind, detail) = gateOutcome(spark, dir, fn)
+          kind match {
+            case "PASS" => pass += 1
+            case "LOUD" => loud += 1
+            case _ => fail += 1
+          }
+          val v = if (kind == "PASS") "PASS"
+            else s"$kind: ${detail.take(160)}"
+          if (gi > 0) sb.append(",")
+          sb.append(s""""$name":"${jsonEscape(v)}"""")
+        }
+        sb.append("}")
+      } finally graft.io.TempDirs.deleteRecursively(dir)
+      println(f"[battery] $shape%-9s $pass pass, $loud loud, $fail FAIL " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      (shape, pass, loud, fail)
+    }
+    sb.append("},")
+    sb.append(""""summary":{""")
+    sb.append(summaries.map { case (s, p, l, f) =>
+      s""""$s":{"pass":$p,"loud":$l,"fail":$f}""" }.mkString(","))
+    sb.append("}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      sb.toString.getBytes("UTF-8"))
+    val failTotal = summaries.map(_._4).sum
+    println(s"[battery] wrote $outPath; total FAIL: $failTotal")
+    if (failTotal > 0) { spark.stop(); sys.exit(1) }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val mode = if (args.length > 1) args(1) else "0"
@@ -420,6 +526,13 @@ object EmptySweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode == "battery") {
+      runBattery(spark, srcDir,
+        if (args.length > 2) args(2) else "SWEEPS.json",
+        if (args.length > 3) args(3) else "")
+      spark.stop()
+      return
+    }
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_empty_sf").toString
     if (mode == "nulls") writeNullTables(spark, srcDir, outDir, 3)
@@ -432,42 +545,24 @@ object EmptySweep {
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    try graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(only))
       .foreach { case (name, fn) =>
         val tq = System.nanoTime()
         def sec = f"${(System.nanoTime() - tq) / 1e9}%.2f"
-        try {
-          val n = fn(spark, outDir).count()
-          pass += 1
-          println(s"PASS  $name ($n rows, ${sec}s)")
-        } catch {
-          case e: Throwable =>
-            crashIn(e) match {
-              case Some(crash) =>
-                fail += 1
-                println(s"FAIL  $name (${sec}s): ${crash.getClass.getName}: " +
-                  s"${crash.getMessage}")
-                crash.getStackTrace.take(6)
-                  .foreach(f => println(s"        at $f"))
-              case None =>
-                loud += 1
-                val m = Option(e.getMessage).getOrElse("").linesIterator
-                  .take(1).mkString
-                // wrapper exceptions (AQE multi-failure, streaming
-                // teardown) put the refusal one level down — surface the
-                // first wrapped message so triage never needs a re-run
-                val inner =
-                  (Option(e.getCause) ++ e.getSuppressed.headOption)
-                    .flatMap(t => Option(t.getMessage)).headOption
-                    .map(_.linesIterator.take(1).mkString)
-                    .filter(im => im.nonEmpty && !m.contains(im))
-                    .map(im => s" <- $im").getOrElse("")
-                println(s"LOUD  $name (${sec}s): ${e.getClass.getSimpleName}: $m$inner")
-            }
+        gateOutcome(spark, outDir, fn) match {
+          case ("PASS", detail) =>
+            pass += 1
+            println(s"PASS  $name ($detail, ${sec}s)")
+          case ("FAIL", detail) =>
+            fail += 1
+            println(s"FAIL  $name (${sec}s): $detail")
+          case (_, detail) =>
+            loud += 1
+            println(s"LOUD  $name (${sec}s): $detail")
         }
-        graft.ops.Pins.releaseAll(spark)
       }
+    finally graft.io.TempDirs.deleteRecursively(outDir)
     println(f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
       s"$pass pass, $loud loud-refuse, $fail FAIL")
     spark.stop()

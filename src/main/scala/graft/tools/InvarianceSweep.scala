@@ -49,8 +49,11 @@ import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64, struct,
   * Usage: InvarianceSweep <sfDir> <mode|all|none> [gateSubstring]
   * Prints one MATCH/DIFF/ERR line per (mode, gate) and a summary; exits
   * nonzero on any DIFF. `none` runs baseline only, printing one BASE
-  * fingerprint line per gate — the cross-JVM form: diff the BASE lines
-  * of two processes. Env knobs for the cross-JVM probes (all recorded in
+  * fingerprint line per gate (hash, rows, schema tag) — the cross-JVM
+  * form: diff the BASE lines of two processes; exits nonzero if any gate
+  * REFUSES on the committed corpus (a scripted probe checking only exit
+  * status must not read an OOM-refusing board as a pass). Env knobs for
+  * the cross-JVM probes (all recorded in
   * PLANS.md "Scale-fidelity probes"):
   *   SPARK_DRIVER_MEM=800m      starved-heap memory-pressure run
   *   PROFILE_MASTER=local-cluster[2,8,2048]  real executor JVMs
@@ -115,6 +118,13 @@ object InvarianceSweep {
     val s = Option(row.get(0)).map(_.toString).getOrElse("0")
     (s, row.getLong(1), df.schema.simpleString)
   }
+
+  /** First 12 hex chars of md5 — compact, JVM-stable schema tag for the
+    * greppable BASE lines.
+    */
+  def md5_12(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   /** Run one gate to a comparable outcome: Right(fingerprint) or
     * Left(exception class simple name — refusals must be strategy-
@@ -190,14 +200,28 @@ object InvarianceSweep {
       gates.map { case (name, fn) =>
         val o = outcome(spark, srcDir, fn)
         // one greppable fingerprint line per gate — diffable across JVMs
-        // (the `none` memory-pressure form runs baseline in two heaps)
+        // (the `none` memory-pressure form runs baseline in two heaps).
+        // The schema rides along hashed (md5/12): a cross-JVM probe whose
+        // perturbation changed a result TYPE but not its row hash/count
+        // must still diff on the BASE lines (round-15 advice).
         o match {
-          case Right((s, n, _)) => println(s"BASE  $name $s $n")
+          case Right((s, n, sch)) =>
+            println(s"BASE  $name $s $n ${md5_12(sch)}")
           case Left(err) => println(s"BASE  $name REFUSED $err")
         }
         name -> o }.toMap
+    val baseRefusals = base.values.count(_.isLeft)
     println(f"baseline done in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      s"(${base.values.count(_.isLeft)} refusals)")
+      s"($baseRefusals refusals)")
+    // `none` (cross-JVM BASE) mode: the committed corpus runs all gates
+    // green, so ANY baseline refusal here is a finding (a starved-heap or
+    // multi-JVM probe scripting only the exit status must not read an
+    // OOM-refusing board as a pass — round-15 advice)
+    if (modes.isEmpty && baseRefusals > 0) {
+      println(s"FAIL: $baseRefusals baseline refusals in `none` mode")
+      spark.stop()
+      sys.exit(1)
+    }
 
     val layoutDir: String =
       if (modes.contains("layout")) {
@@ -208,7 +232,7 @@ object InvarianceSweep {
       } else ""
 
     var diffs = 0
-    modes.foreach { m =>
+    try modes.foreach { m =>
       val sess = spark.newSession()
       modeConfs(m).foreach { case (k, v) => sess.conf.set(k, v) }
       val dir = if (m == "layout") layoutDir else srcDir
@@ -236,7 +260,10 @@ object InvarianceSweep {
         }
       }
       println(f"mode $m done in ${(System.nanoTime() - tm) / 1e9}%.1f s")
-    }
+    } finally if (layoutDir.nonEmpty)
+      // the layout copy is a full parquet replica of every table (at the
+      // sweep's sf) — leaking one per run fills the disk (round-15 advice)
+      graft.io.TempDirs.deleteRecursively(layoutDir)
     println(s"done: ${gates.size} gates x ${modes.size} modes, $diffs diffs")
     spark.streams.active.foreach { st =>
       try st.stop() catch { case _: Throwable => () } }

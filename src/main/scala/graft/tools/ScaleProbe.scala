@@ -233,8 +233,13 @@ object ScaleProbe {
     // kernels and the literal-carrying plans HOLD at 24× the gate dims —
     // degrade linearly, no codegen cliff, no plan-size failure.
     //   tools/run_verify.sh graft.tools.ScaleProbe widedims
+    // Round-16 (verdict #7): extended to 4096 — the widest production
+    // embedding models emit — where the centroid typedLits and per-row
+    // ADC/dot cost quadruple again past the 1536 record. Confirms
+    // linearity or documents the practical dim ceiling next to
+    // maxQueryRows.
     if (args.contains("widedims")) {
-      for (dims <- Seq(256, 1536)) {
+      for (dims <- Seq(256, 1536, 4096)) {
         val n = 100000L
         val vecs = spark.range(n).select(col("id").as("vec_id"),
           org.apache.spark.sql.functions.transform(

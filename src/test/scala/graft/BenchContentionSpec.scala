@@ -46,6 +46,10 @@ class BenchContentionSpec extends AnyFunSuite {
     ("\"" + field + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(json)
       .getOrElse(fail(s"field $field not found")).group(1).toDouble
 
+  private def numOpt(json: String, field: String): Option[Double] =
+    ("\"" + field + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+
   private lazy val steadyRef: (Double, Map[String, Double]) = {
     val (total, sf, gates) = Bench.parseFullBoard(read("bench_steady.json"))
       .getOrElse(fail("bench_steady.json unparseable"))
@@ -62,7 +66,8 @@ class BenchContentionSpec extends AnyFunSuite {
       calibFloor = num(json, "calib_min_sec"),
       calibMax = num(json, "calib_max_sec"),
       retimedN = num(json, "retimed_n").toInt,
-      ref = Some(steadyRef))
+      ref = Some(steadyRef),
+      stealPct = numOpt(json, "steal_pct")) // absent on pre-r15 boards
   }
 
   test("r11 driver board (294.5 s): contended — calib spike AND uniform inflation") {
@@ -108,6 +113,69 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(median.exists(m => m > 0.85 && m < 1.0), s"median=$median")
     assert(math.abs(steadyEst - num(json, "value")) < 0.01,
       s"estimate must be the raw total, got $steadyEst")
+  }
+
+  test("r15 driver board (742.8 s): contended — cap hit, calib 6.4x, deep median inflation deflates") {
+    // the branch no prior pin covered (round-15 verdict #3): retime cap
+    // hit at 40 AND calib spike AND a DEEP median (the truncated stdout
+    // map keeps the slowest gates, so its median reads 3.55 vs the full
+    // board's 2.227) — plus the first board carrying host telemetry
+    // (steal 4.5% over the window, load 6.8→15.0, the external-co-tenancy
+    // evidence that resolved the round's 2.9x shipped "regression" as a
+    // host artifact)
+    val json = read("BENCH_r15.json")
+    assert(num(json, "calib_max_sec") / num(json, "calib_min_sec") > 3.0)
+    assert(num(json, "retimed_n").toInt >= 40) // cap hit
+    assert(num(json, "steal_pct") > 1.0, "the r15 board records real steal")
+    val (verdict, median, steadyEst, overlap) = classify("BENCH_r15.json")
+    assert(verdict == "contended", s"median=$median")
+    assert(overlap > 15, s"overlap=$overlap")
+    assert(median.exists(_ >= 2.0), s"median=$median")
+    // the raw 743 deflates by the (slowest-skewed) truncated median —
+    // 742.781/3.5496 = 209.3; the artifact's own full-board estimate was
+    // 333.59. Either way the raw total never ships as the cross-round
+    // number.
+    assert(steadyEst > 180 && steadyEst < 340, s"steadyEst=$steadyEst")
+    // the artifact's own contention block (computed over all 218 gates)
+    // recorded the same verdict with the full-board median (matched with
+    // \s* tolerance: the driver wrapper re-serializes with ": ")
+    assert(""""verdict":\s*"contended"""".r.findFirstIn(json).isDefined)
+    assert(math.abs(num(json, "median_ratio") - 2.227) < 0.001)
+    assert(math.abs(num(json, "steady_estimate_sec") - 333.59) < 0.01)
+  }
+
+  test("r15 builder board shape: median + steal with clean calib => contended-host, deflated") {
+    // round-15 verdict #2: the b52c8a2 hand procedure (median-only verdict
+    // + /proc steal + loadavg => host, not code) becomes a classifier
+    // branch. Real numbers from the round-15 builder window: 308.4 s,
+    // median 1.223, calib ratio 1.76 (clean), retimes under cap, host
+    // steal ~2% with loadavg 7 and zero local tasks.
+    val ref = Some((252.2, Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0,
+      "d" -> 2.0, "e" -> 2.0)))
+    val gates = Map("a" -> 2.446, "b" -> 2.446, "c" -> 2.446,
+      "d" -> 2.446, "e" -> 2.446) // each 1.223x its reference
+    // calib 0.053/0.030 = 1.76x — under the 3.0 trip; 19 retimes < 40
+    val (v, m, est, _) = Bench.contentionVerdict(308.4, gates,
+      0.030, 0.053, 19, ref, stealPct = Some(2.0))
+    assert(v == "contended-host", s"verdict=$v")
+    assert(m.exists(x => math.abs(x - 1.223) < 1e-9), s"median=$m")
+    assert(math.abs(est - 308.4 / 1.223) < 0.01,
+      s"estimate must deflate by the median, got $est")
+    // the SAME board with clean steal stays the ambiguous median-only
+    // (possible code regression): estimate raw, never the baseline
+    val (v2, _, est2, _) = Bench.contentionVerdict(308.4, gates,
+      0.030, 0.053, 19, ref, stealPct = Some(0.2))
+    assert(v2 == "median-only" && est2 == 308.4, s"$v2 / $est2")
+    // ...and with steal UNAVAILABLE (non-Linux /proc): also median-only
+    val (v3, _, est3, _) = Bench.contentionVerdict(308.4, gates,
+      0.030, 0.053, 19, ref, stealPct = None)
+    assert(v3 == "median-only" && est3 == 308.4, s"$v3 / $est3")
+    // steal WITHOUT median inflation is still steady: the gates matched
+    // the reference, so there is nothing to resolve (and nothing to hide)
+    val calm = gates.map { case (k, _) => k -> 2.0 }
+    val (v4, _, _, _) = Bench.contentionVerdict(10.0, calm,
+      0.030, 0.053, 19, ref, stealPct = Some(4.0))
+    assert(v4 == "steady", s"verdict=$v4")
   }
 
   test("median-only inflation with clean host signals is NOT deflated (possible code regression)") {

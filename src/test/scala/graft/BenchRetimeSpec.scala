@@ -138,6 +138,16 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.parseCpus(default) === "32")
     val legacy = """{"metric":"total","value":9.0,"unit":"sec","sf":"/sf"}"""
     assert(Bench.parseCpus(legacy) === "32")
+    // round-15 advice: a literal "cpus":"…" in free text BEFORE the real
+    // field (hand-edited note, retime_reason prose) must not shadow it —
+    // the parse anchors on the adjacent "sf" field fullJson emits
+    // (hand-edited files need not even be valid JSON — the parse is regex)
+    val shadowed = """{"metric":"total","note":"copied from a """ +
+      """"cpus":"8" run","value":9.0,"sf":"/sf","cpus":"16"}"""
+    assert(Bench.parseCpus(shadowed) === "16")
+    // python-style ": " re-serialization still parses
+    val spaced = """{"metric": "total", "sf": "/sf", "cpus": "8"}"""
+    assert(Bench.parseCpus(spaced) === "8")
   }
 
   // ---- retime audit trail (round-10 verdict #7: retimed_n with no

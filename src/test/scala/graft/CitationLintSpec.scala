@@ -142,4 +142,32 @@ class CitationLintSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"\nraw control bytes (write them as \\uXXXX escapes):\n  " +
       bad.mkString("\n  "))
   }
+
+  test("COVERAGE.md's gate-status header cites a current CORRECTNESS artifact") {
+    // Round-14 and round-15 verdicts both flagged the same one-line
+    // staleness: COVERAGE.md (billed as the authoritative operator map)
+    // opening with a CORRECTNESS_r{N} reference one-or-more rounds old.
+    // Mechanized: the header must cite within ONE round of the newest
+    // CORRECTNESS_r{N}.json in the repo (the driver writes r{N} after the
+    // builder's commits, so an exact match is impossible mid-round — but a
+    // two-round lag is exactly the recurring debt).
+    val repoRoot = {
+      val local = new File("COVERAGE.md")
+      if (local.isFile) new File(".") else new File("/root/repo")
+    }
+    val artifacts = Option(repoRoot.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    assume(artifacts.nonEmpty, "no CORRECTNESS artifacts yet (round 1)")
+    val newest = artifacts.max
+    val coverage = new String(
+      Files.readAllBytes(new File(repoRoot, "COVERAGE.md").toPath), "UTF-8")
+    val cited = "CORRECTNESS_r(\\d+)".r.findAllMatchIn(coverage.take(2000))
+      .map(_.group(1).toInt).toSeq
+    assert(cited.nonEmpty, "COVERAGE.md header cites no CORRECTNESS artifact")
+    assert(cited.max >= newest - 1,
+      s"COVERAGE.md header cites CORRECTNESS_r${cited.max} but " +
+        s"CORRECTNESS_r$newest exists — bump the header (round, date, " +
+        "artifact) at round close")
+  }
 }
