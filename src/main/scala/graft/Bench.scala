@@ -231,6 +231,34 @@ object Bench {
       s""""steady_estimate_sec":${cs(steadyEst)}}"""
   }
 
+  /** The A/B-anchored steady estimate (round-16 verdict #2): the best
+    * available steady-state figure for HEAD when no quiet window lands.
+    *
+    * `tools/bench_ab.sh` benches an UNCHANGED historical ref and HEAD
+    * back-to-back in one host window. The ref tree also produced the
+    * committed steady board, so `aRefTotal / steadyRefSec` measures the
+    * window's inflation directly on code that cannot have regressed
+    * against itself — and dividing HEAD's total by that factor cancels
+    * the window:
+    *
+    *   estimate = bHeadTotal × steadyRefSec / aRefTotal
+    *
+    * Round-16's attempt-8 resolution computed exactly this by prose
+    * (327.08 × 246.88 / 344.12 ≈ 234.7 s); the tool now emits it as
+    * `ab_steady_estimate_sec` (provenance "ab-anchored" — a derived
+    * figure, clearly labeled, never silently replacing a measured steady
+    * board; Bench's classifier keeps reading only bench_steady*.json).
+    * Pure so BenchContentionSpec pins the formula on the real r16 A/B
+    * numbers and re-derives the artifact's emitted field from its own
+    * inputs.
+    */
+  def abSteadyEstimate(bHeadTotal: Double, steadyRefSec: Double,
+      aRefTotal: Double): Double = {
+    require(aRefTotal > 0 && steadyRefSec > 0,
+      s"non-positive A/B inputs: aRefTotal=$aRefTotal steadyRef=$steadyRefSec")
+    bHeadTotal * steadyRefSec / aRefTotal
+  }
+
   /** Parse a full-form board (bench_last.json / bench_steady.json shape):
     * (total, sf, per-gate seconds keyed by SHORT key). Regex over our own
     * fixed serialization — no JSON library on the zero-dependency path.
@@ -259,13 +287,32 @@ object Bench {
     * an 8-cpu board becoming the reference would make every 32-cpu run
     * look impossibly fast).
     */
-  def parseCpus(json: String): String =
+  def parseCpus(json: String): String = {
     // anchored to the "sf" field that fullJson emits immediately before it
     // (tolerating python-style ": " separators): an unanchored "cpus" match
     // could be shadowed by a literal "cpus":"…" inside free text earlier in
     // a hand-edited file (round-15 advice)
-    """"sf":\s*"[^"]*",\s*"cpus":\s*"([^"]+)"""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("32")
+    val anchored = """"sf":\s*"[^"]*",\s*"cpus":\s*"([^"]+)"""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    anchored.getOrElse {
+      // Round-16 advice: a board re-serialized with sorted keys moves
+      // "cpus" away from "sf", and silently defaulting to "32" would let a
+      // wrong-thread-count board pass readBoard's comparability guard —
+      // the exact failure the anchor exists to prevent. Fall back to the
+      // LAST unanchored match (free text can precede the real field but
+      // not follow it in our serialization) and say so on stderr.
+      val loose = """"cpus":\s*"([^"]+)"""".r.findAllMatchIn(json)
+        .map(_.group(1)).toSeq
+      loose.lastOption match {
+        case Some(c) =>
+          System.err.println("[bench] WARNING: board's \"cpus\" field is " +
+            "not anchored after \"sf\" (re-serialized or hand-edited?); " +
+            s"using last unanchored match cpus=$c")
+          c
+        case None => "32" // legacy boards (pre-cpus) were all 32-thread runs
+      }
+    }
+  }
 
   /** Parse the TRUNCATED stdout-line form's queries map (short keys). */
   def parseTruncatedQueries(json: String): Map[String, Double] = {
@@ -562,7 +609,12 @@ object Bench {
         f"${contMedian.getOrElse(Double.NaN)}%.3f with clean calib but " +
         f"host steal ${steal.getOrElse(Double.NaN)}%.2f%% over the run " +
         f"window (multi-core co-tenancy, invisible to the single-thread " +
-        f"calib): raw total $total%.1f s, steady estimate $steadyEst%.1f s")
+        f"calib): raw total $total%.1f s, steady estimate $steadyEst%.1f s. " +
+        "NOTE (round-16 advice): 1%% window steal is a low bar — a genuine " +
+        "board-wide regression coinciding with mild background steal " +
+        "matches this signature too. Corroborate the host attribution " +
+        "with `tools/bench_ab.sh <last-round-close-ref>` (same-window " +
+        "A/B cancels the host term) before trusting the deflated estimate.")
     else if (contVerdict == "median-only") System.err.println(
       f"[bench] MEDIAN-ONLY inflation ${contMedian.getOrElse(Double.NaN)}%.3f " +
         f"with clean CALIB signals: raw total $total%.1f s kept as the " +

@@ -423,7 +423,12 @@ object EmptySweep {
     "extreme" -> ((s, src, out) => writeExtremeTables(s, src, out)),
     "hotkey" -> ((s, src, out) => writeHotKeyTables(s, src, out)),
     "timewarp" -> ((s, src, out) => writeTimewarpTables(s, src, out)),
-    "wide" -> ((s, src, out) => writeWideTables(s, src, out)))
+    "wide" -> ((s, src, out) => writeWideTables(s, src, out)),
+    // round-16 verdict #6: close the loop between the ScaleProbe widedims
+    // record (kernels linear to 4096 dims) and the full board — every gate
+    // at the 4096-dim embedding width, not just the ANN kernels
+    "wide4096" -> ((s, src, out) =>
+      writeWideTables(s, src, out, wideDims = 4096)))
 
   /** Classify one gate run on `dir`: ("PASS", rows) / ("LOUD", class +
     * first message line) / ("FAIL", crash class + message). The single-
@@ -468,12 +473,27 @@ object EmptySweep {
     * prose ledgers (round-15 verdict #6); SweepLedgerSpec pins its
     * invariants (11 shapes × full board, zero FAIL, refusals named).
     */
+  /** The newest CORRECTNESS_r{N}.json round present in the repo at battery
+    * time — stamped into the ledger so SweepLedgerSpec can fail when
+    * SWEEPS.json goes stale (round-16 verdict #5: the committed ledger
+    * recorded its source sf but not WHEN it ran, so a round could close
+    * green with a ledger the round's code changes never touched).
+    */
+  def newestCorrectnessRound(): Int = {
+    val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+    dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted.lastOption.getOrElse(0)
+  }
+
   def runBattery(spark: SparkSession, srcDir: String, outPath: String,
       only: String): Unit = {
     val gates = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(only))
     val sb = new StringBuilder
     sb.append(s"""{"src":"${jsonEscape(srcDir)}","gates_n":${gates.size},""")
+    sb.append(s""""as_of_round":${newestCorrectnessRound()},""")
     sb.append(""""shapes":{""")
     val summaries = shapeWriters.zipWithIndex.map { case ((shape, writer), si) =>
       val dir = java.nio.file.Files
@@ -527,8 +547,19 @@ object EmptySweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (mode == "battery") {
-      runBattery(spark, srcDir,
-        if (args.length > 2) args(2) else "SWEEPS.json",
+      val outPath = if (args.length > 2) args(2) else "SWEEPS.json"
+      // Round-16 advice: arg 2 means "gate filter" in single-shape mode
+      // but "ledger path" here — an operator reusing the single-shape
+      // invocation would silently write the ledger to a file named after
+      // their gate filter. Refuse loudly instead of guessing.
+      if (!outPath.endsWith(".json")) {
+        System.err.println(s"[battery] arg 2 must be the ledger output " +
+          s"path (*.json), got '$outPath' — in battery mode the gate " +
+          "filter is arg 3: EmptySweep <sfDir> battery [out.json] [filter]")
+        spark.stop()
+        sys.exit(2)
+      }
+      runBattery(spark, srcDir, outPath,
         if (args.length > 3) args(3) else "")
       spark.stop()
       return
@@ -542,6 +573,8 @@ object EmptySweep {
     else if (mode == "hotkey") writeHotKeyTables(spark, srcDir, outDir)
     else if (mode == "timewarp") writeTimewarpTables(spark, srcDir, outDir)
     else if (mode == "wide") writeWideTables(spark, srcDir, outDir)
+    else if (mode == "wide4096")
+      writeWideTables(spark, srcDir, outDir, wideDims = 4096)
     else writeTables(spark, srcDir, outDir, mode.toInt)
     var pass, loud, fail = 0
     val t0 = System.nanoTime()

@@ -148,6 +148,16 @@ class BenchRetimeSpec extends AnyFunSuite {
     // python-style ": " re-serialization still parses
     val spaced = """{"metric": "total", "sf": "/sf", "cpus": "8"}"""
     assert(Bench.parseCpus(spaced) === "8")
+    // round-16 advice: a key-reordering re-serializer (sort_keys) moves
+    // "cpus" away from "sf" — the anchored match fails, but an 8-cpu board
+    // must NOT silently parse as "32" and slip past readBoard's
+    // comparability guard. Fallback: LAST unanchored match (+ a stderr
+    // warning), which free text before the real field cannot shadow.
+    val reordered = """{"cpus": "8", "metric": "total", "sf": "/sf"}"""
+    assert(Bench.parseCpus(reordered) === "8")
+    val reorderedShadow = """{"note":"copied from a "cpus":"16" run",""" +
+      """"cpus":"8","metric":"total","sf":"/sf"}"""
+    assert(Bench.parseCpus(reorderedShadow) === "8")
   }
 
   // ---- retime audit trail (round-10 verdict #7: retimed_n with no

@@ -48,7 +48,11 @@ class SweepLedgerSpec extends AnyFunSuite {
     ("extreme", 183, 35),
     ("hotkey", 215, 3),
     ("timewarp", 215, 3),
-    ("wide", 216, 2))
+    ("wide", 216, 2),
+    // round-16 verdict #6: the full board at the 4096-dim embedding width
+    // ScaleProbe's widedims record proved linear — closes the loop between
+    // the kernel probe and the board ledger
+    ("wide4096", 216, 2))
 
   private lazy val root = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -75,6 +79,26 @@ class SweepLedgerSpec extends AnyFunSuite {
       assert(shapes.get(s).size == SparkEntry.queries.size,
         s"shape $s has ${shapes.get(s).size} gates")
     }
+  }
+
+  test("ledger is not stale: as_of_round within one round of the newest CORRECTNESS artifact") {
+    // round-16 verdict #5 (CitationLintSpec-style staleness guard): the
+    // committed ledger recorded its source sf but not WHEN it ran, so a
+    // round could close green with a SWEEPS.json its code changes never
+    // touched. The battery stamps the newest CORRECTNESS_r{N} present at
+    // generation time; one-round lag is tolerated (the driver writes
+    // r{N} after the round's commits land), two is the recurring debt.
+    val stamp = root.get("as_of_round")
+    assert(stamp != null,
+      "SWEEPS.json has no as_of_round stamp — regenerate with " +
+        "`EmptySweep <sfDir> battery` (round-17+)")
+    val newest = EmptySweep.newestCorrectnessRound()
+    assert(newest > 0, "no CORRECTNESS_r*.json visible from the test cwd")
+    assert(stamp.asInt >= newest - 1,
+      s"SWEEPS.json was generated as of round ${stamp.asInt} but " +
+        s"CORRECTNESS_r$newest exists — rerun the battery " +
+        "(`EmptySweep <sfDir> battery`) so the ledger reflects this " +
+        "round's tree")
   }
 
   test("zero crashes: no FAIL outcome anywhere in the ledger") {
