@@ -42,10 +42,15 @@ object Bfs {
     var r = 1
     var done = false
     while (r <= maxHops && !done) {
+      // the discovered-this-round count rides the checkpoint job as an
+      // observed metric (round-17): the old frontier.isEmpty was a second
+      // job per round answering a question the checkpoint already knew
+      val obs = org.apache.spark.sql.Observation()
       val next = edges.join(frontier.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v")).distinct()
         .join(known, Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
+        .observe(obs, count(lit(1)).as("n"))
       known = known.unionByName(next).localCheckpoint()
       // derive the NEXT frontier from the checkpointed table, never from
       // `next`'s lazy lineage: the expansion join must run exactly once
@@ -54,7 +59,7 @@ object Bfs {
       frontier = known.where(col("dist") === r).select("v")
       // a drained frontier ends the walk early — the remaining rounds
       // would join empty sets (cheap but pointless jobs)
-      done = frontier.isEmpty
+      done = obs.get("n").asInstanceOf[Long] == 0L
       r += 1
     }
     Pins.sealOutput(known.select(col("v").as("node_id"), col("dist")), edges)

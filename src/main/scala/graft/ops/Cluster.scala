@@ -116,8 +116,15 @@ object Cluster {
     val nodesChain = new CheckpointChain(spark)
     // Symmetrize ONCE — `pairs` is typically an expensive plan (an LSH /
     // blocked-Jaccard pipeline); the checkpoint is the barrier that keeps
-    // it from running twice for nodes + edges.
-    var edges = chain.next(symmetricEdges(pairs, aCol, bCol))
+    // it from running twice for nodes + edges. The initial fingerprint
+    // rides the same job as an observed metric (round-17).
+    val obs0 = org.apache.spark.sql.Observation()
+    var edges = chain.next(symmetricEdges(pairs, aCol, bCol)
+      .observe(obs0, count(lit(1)).as("n"),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")))
+    val fp0 = (obs0.get("n").asInstanceOf[Long],
+      Option(obs0.get("h").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO))
     // All nodes ever seen: star rounds can drop a component minimum from
     // the `src` side once it only appears as a star center's target.
     val nodes = nodesChain.next(edges.select(col("src").as("id")).distinct())
@@ -136,16 +143,9 @@ object Cluster {
     // hash-sum collision; this replaces the round-5 per-src label sum,
     // whose equality over a set whose src population itself shifts between
     // rounds was not a fixpoint certificate (a coincidental equal sum
-    // could exit early with wrong labels). One edge-sized aggregation per
-    // round, no join.
-    def edgeFingerprint(): (Long, java.math.BigDecimal) = {
-      val r = edges.agg(
-        count(lit(1)).as("n"),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-
-    var prevFp = edgeFingerprint()
+    // could exit early with wrong labels). Since round 17 the aggregation
+    // rides each checkpoint job as an observed metric — zero extra passes.
+    var prevFp = fp0
     var converged = prevFp._1 == 0L // no edges at all = already a fixpoint
     var i = 0
     while (!converged && i < maxIter) {
@@ -165,8 +165,16 @@ object Cluster {
       val small = directed.join(mSmall, "src")
         .select(col("dst").as(aCol), col("m").as(bCol))
         .union(mSmall.select(col("src").as(aCol), col("m").as(bCol)))
-      edges = chain.next(symmetricEdges(small, aCol, bCol))
-      val fp = edgeFingerprint()
+      // the fingerprint rides the small-star checkpoint job as an observed
+      // metric (round-17) — the standalone edgeFingerprint() pass per round
+      // was a third job re-reading the table the checkpoint just wrote
+      val obs = org.apache.spark.sql.Observation()
+      edges = chain.next(symmetricEdges(small, aCol, bCol)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")))
+      val fp = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("h").asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO))
       converged = fp._1 == prevFp._1 && fp._2.compareTo(prevFp._2) == 0
       prevFp = fp
       i += 1

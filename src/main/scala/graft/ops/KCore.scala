@@ -46,27 +46,36 @@ object KCore {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var edgeCount = edges.count()
+    // Broadcastability decided ONCE, up front (round-17): the keep table
+    // only ever SHRINKS (peeling is monotone), so "initial node count
+    // under the ceiling" certifies every round's keep table too — the old
+    // per-round keep0.count() burned one job per round purely to re-derive
+    // a monotone fact. One distinct-src count here replaces all of them.
+    val bcastKeep =
+      edges.select("src").distinct().count() <= bcastNodeCeiling
     var chain = List(edges)
     val ckpt = new CheckpointChain(spark)
     var i = 1
     var stable = false
     while (i <= rounds && !stable) {
-      // persist + count the keep table: it feeds BOTH semi-joins (without
-      // the pin the degree aggregation would run twice per round) and its
-      // count decides broadcastability (same 1M-node cutoff rationale as
-      // PageRank/LabelProp — broadcast keeps rounds edge-shuffle-free)
+      // persist the keep table: it feeds BOTH semi-joins (without the pin
+      // the degree aggregation would run twice per round). No count —
+      // the checkpoint job below materializes it on first use.
       val keep0 = edges.groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
         .select("v")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val keepCount = keep0.count()
-      val keep = if (keepCount <= bcastNodeCeiling) broadcast(keep0) else keep0
-      // drop every edge with a peeled endpoint (two semi-joins)
+      val keep = if (bcastKeep) broadcast(keep0) else keep0
+      // drop every edge with a peeled endpoint (two semi-joins); the
+      // surviving-edge count rides the same checkpoint job as an observed
+      // metric (round-17) instead of a second count() action per round
+      val obs = org.apache.spark.sql.Observation()
       val next0 = edges
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
+        .observe(obs, count(lit(1)).as("n"))
       // cut lineage EVERY round (not every 4 like PageRank/LabelProp):
       // each round references the previous edge plan THREE times (degree
       // agg + both semi-joins), so the un-cut logical plan grows 3^rounds
@@ -74,7 +83,7 @@ object KCore {
       // clock within a handful of rounds. Fan-out 1 ops can afford lazy
       // cuts; fan-out 3 cannot.
       val next = ckpt.next(next0)
-      val nextCount = next.count()
+      val nextCount = obs.get("n").asInstanceOf[Long]
       keep0.unpersist(false)
       chain.foreach(_.unpersist(false))
       chain = Nil

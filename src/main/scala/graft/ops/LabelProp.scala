@@ -51,25 +51,43 @@ object LabelProp {
     edgesD.count()
 
     var lab = nodes.withColumn("label", col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    lab.count()
-    var chain = List(lab)
-    val ckpt = new CheckpointChain(spark)
-    for (i <- 1 to rounds) {
-      val labSide = if (broadcastLabels) broadcast(lab) else lab
-      val next0 = edgesD.join(labSide, edgesD("src") === lab("v"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst").as("v2"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v2").as("v"), (-col("m.nl")).as("label"))
-      val next =
-        if (i % 4 == 0) ckpt.next(next0)
-        else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      chain.foreach(_.unpersist(false))
-      chain = if (i % 4 == 0) Nil else List(next)
-      lab = next
+    if (broadcastLabels) {
+      // LAZY broadcast chain (round-17, same rationale as PageRank): each
+      // round consumes the previous label table exactly once via its
+      // broadcast build, the two-level aggregate runs exchange-free on the
+      // dst-pre-partitioned edge copy (hash(dst) satisfies both the
+      // (dst,label) and the dst clustering), so no per-round persist /
+      // count barrier is needed — one sealing action builds the nested
+      // broadcasts bottom-up, each exactly once.
+      for (_ <- 1 to rounds) {
+        lab = edgesD
+          .join(broadcast(lab.withColumnRenamed("v", "src")), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst").as("v2"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("v2").as("v"), (-col("m.nl")).as("label"))
+      }
+    } else {
+      lab = lab.persist(StorageLevel.MEMORY_AND_DISK)
+      lab.count()
+      var chain = List(lab)
+      val ckpt = new CheckpointChain(spark)
+      for (i <- 1 to rounds) {
+        val next0 = edgesD.join(lab, edgesD("src") === lab("v"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst").as("v2"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("v2").as("v"), (-col("m.nl")).as("label"))
+        val next =
+          if (i % 4 == 0) ckpt.next(next0)
+          else next0.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        chain.foreach(_.unpersist(false))
+        chain = if (i % 4 == 0) Nil else List(next)
+        lab = next
+      }
     }
     // seal: materialize the final labeling, then release every pin the
     // loop left behind (graph tables + the last round's frame); unpersist

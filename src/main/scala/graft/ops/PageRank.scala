@@ -51,12 +51,27 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-
-    val nodes = edges.select(col("src").as("v")).distinct()
+    // ONE node-stats pass replaces three separate edge-list passes
+    // (deg aggregation, nodes distinct, dangling-check dst-distinct +
+    // anti-join — round-17, guide §1.2 "remove unnecessary passes"):
+    // per node, `d` = out-degree (each edge contributes one src tag) and
+    // `_src` records whether the node ever appears as a source — a node
+    // seen only as dst is exactly a dangling sink.
+    val stats = edges.select(col("src").as("v"), lit(1).as("_s"))
+      .unionAll(edges.select(col("dst").as("v"), lit(0).as("_s")))
+      .groupBy("v").agg(sum("_s").as("d"), max("_s").as("_src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    val cnts = stats.agg(
+      count(when(col("_src") === 1, 1)).as("n"),
+      count(when(col("_src") === 0, 1)).as("nd")).head()
+    val n = cnts.getLong(0)
+    val nDangling = cnts.getLong(1)
     require(n > 0, "empty graph")
+    require(nDangling == 0L, s"$nDangling node(s) have in-edges but no " +
+      "out-edges — PageRank's contract requires out-degree >= 1 for every " +
+      "node; symmetrize the edge list (or drop edges into sinks) first")
+    val deg = stats.select(col("v").as("src"), col("d"))
+    val nodes = stats.select(col("v"))
     // Partitioning choice is keyed to HOW the per-iteration join runs:
     //  - rank table broadcastable (the common shape — node table orders of
     //    magnitude smaller than the edge list): the join needs NO edge
@@ -76,59 +91,80 @@ object PageRank {
     // The round-7 10M cutoff risked ~640 MB/round re-broadcasts and
     // driver memory pressure right at the threshold.
     val broadcastRanks = n <= bcastNodeCeiling
-    // one prepared, co-partitioned edge table reused by every iteration
-    val edgesD = edges.join(deg, "src")
+    // one prepared, co-partitioned edge table reused by every iteration;
+    // deg is node-sized, so in the broadcast regime the attach join moves
+    // no edge bytes (only the repartition onto dst does)
+    val edgesD = edges
+      .join(if (broadcastRanks) broadcast(deg) else deg, "src")
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesD.count()
-    // Dangling guard (one anti-join, once, on the already-persisted edge
-    // list): a violating edge list would otherwise silently leak rank mass
-    // into nodes the iteration never ranks.
-    val nDangling = edges.select(col("dst").as("v")).distinct()
-      .join(nodes, Seq("v"), "left_anti").count()
-    require(nDangling == 0L, s"$nDangling node(s) have in-edges but no " +
-      "out-edges — PageRank's contract requires out-degree >= 1 for every " +
-      "node; symmetrize the edge list (or drop edges into sinks) first")
     val init = Scale / n
     val base = (Scale * 3L / 20L) / n
 
     var pr = nodes.withColumn("r", lit(init))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pr.count()
-    var chain = List(pr)
-    val ckpt = new CheckpointChain(spark)
-    for (i <- 1 to iters) {
-      // integer division (DIV), NOT `/`: Spark's `/` is double division,
-      // whose truncation can land one off when the rounded quotient
-      // crosses an integer boundary
-      val prSide = if (broadcastRanks) broadcast(pr) else pr
-      val contrib = edgesD.join(prSide, edgesD("src") === pr("v"))
-        .select(col("dst").as("v"), expr("r DIV d").as("c"))
-        .groupBy("v")
-        .agg(sum("c").as("s"))
-      // LEFT join back onto the full node set: the aggregation only yields
-      // nodes with in-edges, so a zero-in-degree node would vanish from
-      // the rank table after round 1 (and stop contributing from round 2).
-      // runRef keeps it at `base`; coalesce(s, 0) matches that exactly.
-      val next0 = nodes.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(base) + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
-      // cut lineage every 4 rounds (CheckpointChain frees the superseded
-      // checkpoint's RDD blocks, which Dataset.unpersist cannot reach);
-      // otherwise persist is enough
-      val next =
-        if (i % 4 == 0) ckpt.next(next0)
-        else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      chain.foreach(_.unpersist(false))
-      chain = if (i % 4 == 0) Nil else List(next)
-      pr = next
+    if (broadcastRanks) {
+      // LAZY broadcast chain (round-17 optimization, guide §1.2/§2.4):
+      // with node-sized rank tables every round is (edgesD ⋈ bcast(pr))
+      // → exchange-free groupBy on the pre-partitioned dst → nodes ⟕
+      // bcast(contrib). Each round's table is consumed exactly ONCE (by
+      // the next round's broadcast build), so nothing needs a per-round
+      // persist/count barrier: one sealing action at the end builds the
+      // nested broadcasts bottom-up, each exactly once. Measured on q76
+      // (sf0.1): 47 jobs → ~1/round, 5.2 s → well under half — the old
+      // loop spent most of its time in per-round count() actions, AQE
+      // stage jobs and persist/unpersist churn, not in rank arithmetic.
+      // Plan depth is O(iters), bounded by the fixed-rounds contract;
+      // the >1M-node regime keeps the materializing loop below.
+      for (_ <- 1 to iters) {
+        // integer division (DIV), NOT `/`: Spark's `/` is double division,
+        // whose truncation can land one off when the rounded quotient
+        // crosses an integer boundary
+        val contrib = edgesD
+          .join(broadcast(pr.withColumnRenamed("v", "src")), "src")
+          .select(col("dst").as("v"), expr("r DIV d").as("c"))
+          .groupBy("v")
+          .agg(sum("c").as("s"))
+        // LEFT join back onto the full node set: the aggregation only
+        // yields nodes with in-edges, so a zero-in-degree node would
+        // vanish from the rank table after round 1 (and stop contributing
+        // from round 2). runRef keeps it at `base`; coalesce(s, 0)
+        // matches that exactly. contrib is node-sized — broadcast it so
+        // the outer join moves neither side.
+        pr = nodes.join(broadcast(contrib), Seq("v"), "left")
+          .select(col("v"),
+            (lit(base) + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+      }
+    } else {
+      pr = pr.persist(StorageLevel.MEMORY_AND_DISK)
+      pr.count()
+      var chain = List(pr)
+      val ckpt = new CheckpointChain(spark)
+      for (i <- 1 to iters) {
+        val contrib = edgesD.join(pr, edgesD("src") === pr("v"))
+          .select(col("dst").as("v"), expr("r DIV d").as("c"))
+          .groupBy("v")
+          .agg(sum("c").as("s"))
+        val next0 = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(base) + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+        // cut lineage every 4 rounds (CheckpointChain frees the superseded
+        // checkpoint's RDD blocks, which Dataset.unpersist cannot reach);
+        // otherwise persist is enough
+        val next =
+          if (i % 4 == 0) ckpt.next(next0)
+          else next0.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        chain.foreach(_.unpersist(false))
+        chain = if (i % 4 == 0) Nil else List(next)
+        pr = next
+      }
     }
     // seal: materialize the final ranks, then release the pins the loop
     // left behind (edge tables + the last round's frame)
     Pins.sealOutput(
       pr.select(col("v").as("node_id"), col("r").as("rank_scaled")),
-      edges, nodes, edgesD, pr)
+      edges, stats, edgesD, pr)
   }
 
   /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
@@ -152,58 +188,84 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val seedSet = seeds.select(col("v").cast("long").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
     val init = Scale / nSeeds
     val b = (Scale * 3L / 20L) / nSeeds
-    // node universe + per-node base/init in ONE node-sized table
-    val nodes = edges.select(col("src").as("v")).distinct()
-      .join(seedSet.withColumn("_s", lit(1)), Seq("v"), "left")
-      .select(col("v"), when(col("_s").isNotNull, lit(b)).otherwise(lit(0L)).as("b"),
-        when(col("_s").isNotNull, lit(init)).otherwise(lit(0L)).as("r0"))
+    // ONE node-stats pass for degree + node universe + dangling + seed
+    // membership (round-17 — same fused-prep rationale as [[run]]; the
+    // seed flag rides the same aggregate via a broadcast left join before
+    // the groupBy, so the seed-membership guard needs no extra pass)
+    val stats = edges.select(col("src").as("v"), lit(1).as("_s"))
+      .unionAll(edges.select(col("dst").as("v"), lit(0).as("_s")))
+      .groupBy("v").agg(sum("_s").as("d"), max("_s").as("_src"))
+      .join(broadcast(seedSet.withColumn("_sd", lit(1))), Seq("v"), "left")
+      .withColumn("_isSeed", coalesce(col("_sd"), lit(0)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    val nSeedsInGraph = nodes.where(col("b") > 0).count()
+    val cnts = stats.agg(
+      count(when(col("_src") === 1, 1)).as("n"),
+      count(when(col("_src") === 0, 1)).as("nd"),
+      count(when(col("_isSeed") === 1 && col("_src") === 1, 1)).as("ns")).head()
+    val n = cnts.getLong(0)
+    require(cnts.getLong(1) == 0L, s"${cnts.getLong(1)} node(s) have " +
+      "in-edges but no out-edges — symmetrize the edge list (or drop sink " +
+      "edges) first")
+    val nSeedsInGraph = cnts.getLong(2)
     require(nSeedsInGraph == nSeeds,
       s"${nSeeds - nSeedsInGraph} seed(s) are not graph nodes — the " +
         "teleport mass would silently vanish; intersect the seed set first")
+    val deg = stats.select(col("v").as("src"), col("d"))
+    // node universe + per-node base/init in ONE node-sized table
+    val nodes = stats.select(col("v"),
+      when(col("_isSeed") === 1, lit(b)).otherwise(lit(0L)).as("b"),
+      when(col("_isSeed") === 1, lit(init)).otherwise(lit(0L)).as("r0"))
     val broadcastRanks = n <= bcastNodeCeiling
-    val edgesD = edges.join(deg, "src")
+    val edgesD = edges
+      .join(if (broadcastRanks) broadcast(deg) else deg, "src")
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesD.count()
-    val nDangling = edges.select(col("dst").as("v")).distinct()
-      .join(nodes, Seq("v"), "left_anti").count()
-    require(nDangling == 0L, s"$nDangling node(s) have in-edges but no " +
-      "out-edges — symmetrize the edge list (or drop sink edges) first")
     var pr = nodes.select(col("v"), col("r0").as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pr.count()
-    var chain = List(pr)
-    val ckpt = new CheckpointChain(spark)
-    for (i <- 1 to iters) {
-      val prSide = if (broadcastRanks) broadcast(pr) else pr
-      val contrib = edgesD.join(prSide, edgesD("src") === pr("v"))
-        .select(col("dst").as("v"), expr("r DIV d").as("c"))
-        .groupBy("v")
-        .agg(sum("c").as("s"))
-      val next0 = nodes.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (col("b") + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
-      val next =
-        if (i % 4 == 0) ckpt.next(next0)
-        else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      chain.foreach(_.unpersist(false))
-      chain = if (i % 4 == 0) Nil else List(next)
-      pr = next
+    if (broadcastRanks) {
+      // lazy broadcast chain — same structure and rationale as [[run]]
+      // (the only arithmetic difference is the per-node base column)
+      for (_ <- 1 to iters) {
+        val contrib = edgesD
+          .join(broadcast(pr.withColumnRenamed("v", "src")), "src")
+          .select(col("dst").as("v"), expr("r DIV d").as("c"))
+          .groupBy("v")
+          .agg(sum("c").as("s"))
+        pr = nodes.join(broadcast(contrib), Seq("v"), "left")
+          .select(col("v"),
+            (col("b") + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+      }
+    } else {
+      pr = pr.persist(StorageLevel.MEMORY_AND_DISK)
+      pr.count()
+      var chain = List(pr)
+      val ckpt = new CheckpointChain(spark)
+      for (i <- 1 to iters) {
+        val contrib = edgesD.join(pr, edgesD("src") === pr("v"))
+          .select(col("dst").as("v"), expr("r DIV d").as("c"))
+          .groupBy("v")
+          .agg(sum("c").as("s"))
+        val next0 = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (col("b") + expr("(17 * coalesce(s, 0)) DIV 20")).as("r"))
+        val next =
+          if (i % 4 == 0) ckpt.next(next0)
+          else next0.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        chain.foreach(_.unpersist(false))
+        chain = if (i % 4 == 0) Nil else List(next)
+        pr = next
+      }
     }
     Pins.sealOutput(
       pr.select(col("v").as("node_id"), col("r").as("rank_scaled")),
-      edges, nodes, edgesD, seedSet, pr)
+      edges, stats, edgesD, seedSet, pr)
   }
 
   /** JVM twin of [[personalized]] for tests. */
