@@ -104,13 +104,56 @@ object Cluster {
     * preserve connectivity, and the fixpoint is a star forest whose
     * centers are the component minima.
     */
+  /** Driver-closure ceiling (round-17): a symmetrized pair set at or under
+    * this many rows is closed with an exact union-find ON THE DRIVER —
+    * one bounded collect (16 B/row data; 8M rows ≈ a few hundred MB of
+    * transient Row boxing against the 24g driver) instead of O(log n)
+    * star rounds, each of which costs two checkpoint actions' worth of
+    * shuffle scheduling regardless of how little data moves. Same
+    * size-regime philosophy as a broadcast hash join (the driver already
+    * absorbs up to 8 GiB relations there), and the same labels by
+    * construction: component = minimum member id, exactly. Near-dup PAIR
+    * sets are pairs-of-duplicates, not corpus rows, so even 100 TB
+    * corpora commonly land under this; past it the distributed
+    * large-star/small-star loop runs unchanged. Overridable per call so
+    * the parity spec can force the distributed path on small graphs.
+    */
+  val DriverClosureCeiling: Long = 8L * 1000 * 1000
+
+  /** Exact min-label connected components via union-find. Unions always
+    * point the larger root at the smaller and every member starts as its
+    * own root, so each component's root IS its minimum member id — the
+    * exact label contract. Pure, for the driver-closure regime and its
+    * spec.
+    */
+  private[graft] def unionFindMinLabels(edges: Array[(Long, Long)])
+      : Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are already component minima: unions always point the larger
+    // root at the smaller, and every member joined via its own id
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
   def alternatingStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50,
       // observer for scale probes: (round, edge count after the round,
       // seconds) — per-round shuffle volume IS the edge count, so the hook
       // makes the O(log n) round bound and the shrinking per-round work
       // measurable without instrumenting the loop from outside
-      onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => (),
+      driverClosureCeiling: Long = DriverClosureCeiling): DataFrame = {
     val spark = pairs.sparkSession
     val chain = new CheckpointChain(spark)
     val nodesChain = new CheckpointChain(spark)
@@ -125,6 +168,18 @@ object Cluster {
     val fp0 = (obs0.get("n").asInstanceOf[Long],
       Option(obs0.get("h").asInstanceOf[java.math.BigDecimal])
         .getOrElse(java.math.BigDecimal.ZERO))
+    // Driver-closure regime: the symmetrized pair set fits the bounded
+    // collect — close it exactly with union-find, no star rounds at all.
+    // Node universe = edge endpoints, identical to the distributed path's
+    // `nodes`; labels = component minima, identical by construction.
+    if (fp0._1 <= driverClosureCeiling) {
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst"))
+        .as[(Long, Long)].collect() // bounded by driverClosureCeiling
+      chain.release()
+      val labels = unionFindMinLabels(es).toSeq
+      return spark.createDataset(labels).toDF("id", "cluster")
+    }
     // All nodes ever seen: star rounds can drop a component minimum from
     // the `src` side once it only appears as a star center's target.
     val nodes = nodesChain.next(edges.select(col("src").as("id")).distinct())

@@ -94,6 +94,15 @@ object Hits {
     // double-evaluate its join lineage (measured 7.9 s → 40+ s at sf0.1
     // when the pin sat after the rescale instead of before the fan-out).
     def rescaled(scores: DataFrame, c: String): DataFrame = {
+      // localCheckpoint, NOT a lazy persist (round-17 finding): each
+      // half-step reads its predecessor TWICE (max aggregate + rescale
+      // projection), so without an eager cut the logical tree doubles per
+      // half-step — and AQE renders the plan string on every stage update
+      // (AdaptiveSparkPlanExec.onUpdatePlan → explainString), which turned
+      // 2^(2·iters) nested copies into ~80 s of pure driver string
+      // building at sf0.1. The PageRank/LabelProp lazy chains are safe
+      // because their fan-out is 1; fan-out-2 iteration must stay
+      // checkpointed.
       val pinned = scores.localCheckpoint()
       // min rides the same 1-row aggregate as max (no extra pass): scores
       // are sums of non-negatives, so min < 0 can ONLY mean a Long sum

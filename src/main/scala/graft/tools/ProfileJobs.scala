@@ -32,6 +32,14 @@ object ProfileJobs {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional session-conf overrides for A/B runs in ONE JVM:
+    // PROFILE_EXTRA_CONF="k=v;k=v"
+    sys.env.get("PROFILE_EXTRA_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        System.err.println(s"[jobs] conf $k=$v")
+      })
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {

@@ -42,9 +42,26 @@ class ClusterSpec extends SparkSuite {
   test("alternating-star converges on a long chain in O(log n) rounds") {
     val n = 64
     val chain = pairsDf((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)))
-    // maxIter 10 ≈ log2(64) + slack: propagation would need ~63 rounds
-    val got = labelMap(Cluster.alternatingStar(chain, "id_a", "id_b", maxIter = 10))
+    // maxIter 10 ≈ log2(64) + slack: propagation would need ~63 rounds.
+    // driverClosureCeiling = 0 forces the DISTRIBUTED star loop — the
+    // default would close this tiny graph on the driver and the
+    // convergence contract would go untested.
+    val got = labelMap(Cluster.alternatingStar(chain, "id_a", "id_b",
+      maxIter = 10, driverClosureCeiling = 0L))
     assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
+  test("driver union-find regime matches the distributed star loop") {
+    val rnd = new scala.util.Random(7)
+    for (m <- Seq(20, 120, 400)) {
+      val pairs = pairsDf(
+        Seq.fill(m)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+          .filter { case (a, b) => a != b })
+      val driver = labelMap(Cluster.alternatingStar(pairs, "id_a", "id_b"))
+      val dist = labelMap(Cluster.alternatingStar(pairs, "id_a", "id_b",
+        driverClosureCeiling = 0L))
+      assert(driver == dist, s"regimes diverged at m=$m")
+    }
   }
 
   test("propagation and alternating-star agree on a random graph") {
