@@ -69,11 +69,14 @@ object KCore {
       val keep = if (bcastKeep) broadcast(keep0) else keep0
       // drop every edge with a peeled endpoint (two semi-joins); the
       // surviving-edge count rides the same checkpoint job as an observed
-      // metric (round-17) instead of a second count() action per round
+      // metric (round-17) instead of a second count() action per round.
+      // Both probes key the broadcast on the SAME `v` column (no alias):
+      // the two exchanges then canonicalize identically and ReuseExchange
+      // builds the keep relation once per round instead of twice.
       val obs = org.apache.spark.sql.Observation()
       val next0 = edges
-        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .join(keep, col("src") === col("v"), "left_semi")
+        .join(keep, col("dst") === col("v"), "left_semi")
         .select("src", "dst")
         .observe(obs, count(lit(1)).as("n"))
       // cut lineage EVERY round (not every 4 like PageRank/LabelProp):
