@@ -53,9 +53,8 @@ object RandomWalk {
     if (m <= bcastEdgeCeiling) {
       // broadcast regime: dst-sorted neighbor arrays, one map-side join
       // per step, walk state never shuffles. The aggregate is PINNED:
-      // each step of the final union re-derives its frontier prefix, and
-      // without the pin every branch would re-run the graph-sized groupBy
-      // (measured 7 s of pure recompute at sf0.1).
+      // without the pin every broadcast build would re-run the graph-sized
+      // groupBy (measured 7 s of pure recompute at sf0.1).
       val adjTbl = edges.groupBy(col("src").as("cur"))
         .agg(sort_array(collect_list(col("dst"))).as("_nb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -67,9 +66,18 @@ object RandomWalk {
         val pick = Hashing.hash60(
           concat(col("walk_id").cast("string"), lit(":"), lit(t.toString)),
           seed) % size(col("_nb"))
+        // localCheckpoint per step (round-17): each step is referenced by
+        // BOTH the next step's join and its own union branch, and the
+        // self-join re-aliasing gives every branch's adjacency-broadcast
+        // occurrence fresh expression ids — exchange reuse never fires
+        // across them, so the lazy form rebuilt the broadcast ~steps²/2
+        // times (26 overlapping 0.5 s build jobs at sf0.1). One tiny
+        // walk-count-row checkpoint per step caps it at one build per
+        // step against the cached aggregate.
         frontier = frontier.join(adjArr, "cur")
           .select(col("walk_id"),
             element_at(col("_nb"), (pick + 1).cast("int")).as("cur"))
+          .localCheckpoint()
         out = out.unionByName(
           frontier.select(col("walk_id"), lit(t).as("step"),
             col("cur").as("node")))
